@@ -1,0 +1,142 @@
+"""Table / write configuration.
+
+Mirrors the reference's config surface (defaults cited from
+``hudi-client/hudi-client-common/.../config/HoodieCompactionConfig.java`` and
+``HoodieStorageConfig.java`` — see BASELINE.md) but exposed as a plain
+dataclass: a PySpark engine needs no reflection-driven config registry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class TableType(str, Enum):
+    # common/model/HoodieTableType.java:30-32
+    COPY_ON_WRITE = "COPY_ON_WRITE"
+    MERGE_ON_READ = "MERGE_ON_READ"
+
+
+class WriteOperation(str, Enum):
+    # common/model/WriteOperationType.java
+    INSERT = "insert"
+    UPSERT = "upsert"
+    BULK_INSERT = "bulk_insert"
+    DELETE = "delete"
+    DELETE_PARTITION = "delete_partition"
+    INSERT_OVERWRITE = "insert_overwrite"
+    INSERT_OVERWRITE_TABLE = "insert_overwrite_table"
+    BOOTSTRAP = "bootstrap"
+
+
+class BulkInsertSortMode(str, Enum):
+    # client/execution/bulkinsert/BulkInsertSortMode.java:24-28
+    NONE = "NONE"
+    GLOBAL_SORT = "GLOBAL_SORT"
+    PARTITION_SORT = "PARTITION_SORT"
+
+
+MB = 1024 * 1024
+
+
+@dataclass
+class WriteConfig:
+    """Per-table configuration, persisted to ``_hoodie_meta/table_config.json``.
+
+    Sizing defaults follow the reference's performance envelope
+    (BASELINE.md): 120MB target files, 100MB small-file limit, compact
+    every 5 delta commits, retain 10 commits, archive band 20-30.
+    """
+
+    record_key_field: str | list[str] = "id"
+    partition_field: str | list[str] | None = None
+    precombine_field: str | None = None
+    table_name: str = "hudi_table"
+    table_type: TableType = TableType.COPY_ON_WRITE
+    payload: str = "overwrite_latest"  # see payloads.PAYLOADS
+
+    # key generation (keygen.py): simple | complex | timestamp | nonpartitioned
+    keygen: str = "auto"
+    # TimestampBasedKeyGenerator options
+    # (spark-client/keygen/TimestampBasedAvroKeyGenerator.java:48-60)
+    timestamp_output_format: str = "yyyy/MM/dd"
+    timestamp_input_type: str = "TIMESTAMP"  # TIMESTAMP | EPOCHMS | EPOCHSECONDS | DATE_STRING | SCALAR
+    hive_style_partitioning: bool = False
+
+    # sizing — HoodieStorageConfig.java:42-46, HoodieCompactionConfig.java:154-158,245-249
+    max_file_size_bytes: int = 120 * MB
+    small_file_limit_bytes: int = 100 * MB
+    record_size_estimate: int = 1024
+
+    # services — HoodieCompactionConfig.java:73-76,93-96,122-138
+    compact_max_delta_commits: int = 5
+    compact_trigger: str = "NUM_COMMITS"  # NUM_COMMITS|TIME_ELAPSED|NUM_AND_TIME|NUM_OR_TIME
+    compact_max_delta_seconds: int = 3600
+    cleaner_commits_retained: int = 10
+    cleaner_policy: str = "KEEP_LATEST_COMMITS"  # | KEEP_LATEST_FILE_VERSIONS
+    cleaner_file_versions_retained: int = 3
+    keep_min_commits: int = 20
+    keep_max_commits: int = 30
+
+    # automatic services after each commit
+    inline_compact: bool = False  # hoodie.compact.inline default false
+    auto_clean: bool = True  # hoodie.clean.automatic default true
+    auto_archive: bool = True
+
+    # write behavior
+    bulk_insert_sort_mode: BulkInsertSortMode = BulkInsertSortMode.GLOBAL_SORT
+    insert_drop_dups: bool = False
+    combine_before_insert: bool = False
+    combine_before_upsert: bool = True
+    index_type: str = "SIMPLE"  # SIMPLE | GLOBAL_SIMPLE | BLOOM (range-pruned simple)
+    update_partition_path: bool = False  # global index: move record across partitions
+    write_parallelism: int = 0  # 0 = let AQE decide / derive from data size
+    collect_column_stats: bool = True
+    stats_columns: list[str] | None = None  # None = all leaf primitive columns
+
+    def key_fields(self) -> list[str]:
+        k = self.record_key_field
+        return list(k) if isinstance(k, (list, tuple)) else [k]
+
+    def partition_fields(self) -> list[str]:
+        p = self.partition_field
+        if p is None:
+            return []
+        return list(p) if isinstance(p, (list, tuple)) else [p]
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["table_type"] = self.table_type.value
+        d["bulk_insert_sort_mode"] = self.bulk_insert_sort_mode.value
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "WriteConfig":
+        d = json.loads(s)
+        d["table_type"] = TableType(d["table_type"])
+        d["bulk_insert_sort_mode"] = BulkInsertSortMode(d["bulk_insert_sort_mode"])
+        known = {f.name for f in dataclasses.fields(WriteConfig)}
+        return WriteConfig(**{k: v for k, v in d.items() if k in known})
+
+
+# Meta columns stamped into every data file
+# (common/model/HoodieRecord.java:37-53).
+COMMIT_TIME_COL = "_hoodie_commit_time"
+SEQNO_COL = "_hoodie_commit_seqno"
+RECORD_KEY_COL = "_hoodie_record_key"
+PARTITION_PATH_COL = "_hoodie_partition_path"
+FILE_ID_COL = "_hoodie_file_id"  # reference uses _hoodie_file_name; we track group id
+META_COLS = [COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL]
+
+# Layout-only columns (consumed by DataFrameWriter.partitionBy, stripped from files)
+LAYOUT_PARTITION_COL = "_pp"
+LAYOUT_FILEGROUP_COL = "_fg"
+
+# Soft-delete flag honored on incoming batches
+# (common/model/OverwriteWithLatestAvroPayload.java checks _hoodie_is_deleted).
+DELETE_MARKER_COL = "_hoodie_is_deleted"
+
+DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"

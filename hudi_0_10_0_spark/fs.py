@@ -1,0 +1,84 @@
+"""Filesystem access via the Hadoop FileSystem API (py4j).
+
+All metadata I/O goes through ``org.apache.hadoop.fs.FileSystem`` so the
+engine works unchanged on local FS, HDFS, or object stores — the same
+abstraction level the reference uses (``common/fs/FSUtils.java``).
+Data I/O never comes through here; it is always Spark's parquet source.
+
+Atomicity: completed timeline instants are produced by write-to-temp +
+rename, matching the reference's create-immutable-file-in-metadata-path
+protocol (``common/table/timeline/HoodieActiveTimeline.java``).
+"""
+
+from __future__ import annotations
+
+
+class FS:
+    def __init__(self, spark, base_uri: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(base_uri).getFileSystem(self._conf)
+
+    # -- basic ops ---------------------------------------------------------
+    def path(self, p: str):
+        return self._Path(p)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str, recursive: bool = False) -> bool:
+        return self._fs.delete(self._Path(p), recursive)
+
+    def rename(self, src: str, dst: str) -> bool:
+        return self._fs.rename(self._Path(src), self._Path(dst))
+
+    def list_names(self, p: str) -> list[str]:
+        """Names of direct children of directory ``p`` (empty if missing)."""
+        if not self.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(self._Path(p))]
+
+    def list_files_recursive(self, p: str) -> list[tuple[str, int]]:
+        """All (file_uri, size_bytes) under ``p``."""
+        out: list[tuple[str, int]] = []
+        if not self.exists(p):
+            return out
+        it = self._fs.listFiles(self._Path(p), True)
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().toString(), st.getLen()))
+        return out
+
+    # -- small text files (timeline instants, configs) ---------------------
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            reader = self._jvm.java.io.BufferedReader(
+                self._jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, content: str) -> None:
+        stream = self._fs.create(self._Path(p), True)
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, content: str) -> None:
+        tmp = p + ".tmp"
+        self.write_text(tmp, content)
+        if not self.rename(tmp, p):
+            self.delete(tmp)
+            raise IOError(f"atomic rename failed (already exists?): {p}")

@@ -1,0 +1,281 @@
+"""Commit metadata + the file-system view.
+
+The reference tracks "which files form the latest view of each file
+group" with ``HoodieTableFileSystemView`` over timeline + file listings
+(``common/table/view/``), accelerated by an internal metadata table
+(``common/metadata/HoodieBackedTableMetadata.java``). Our commit
+metadata *is* the manifest: every completed write instant records, per
+file group, the files it added (base or delta/"log"), their row/byte
+counts, key ranges, and per-column min/max/null stats. The view is
+reconstructed by folding completed instants in timestamp order — no
+DFS listing on the read path at all.
+
+Scale note (100 TB): the active timeline holds ≤ ``keep_max_commits``
+(30) instants; older ones are archived. Each instant's JSON carries
+file-group-level entries only (a 100 TB table at 120 MB files ≈ 1M file
+groups *total*, but a single commit touches a small fraction). For very
+wide commits the manifest should graduate to a parquet snapshot +
+deltas (the reference's metadata table, §2.2); the view API here is the
+seam where that swap happens.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from .timeline import CLEAN, REPLACE_COMMIT, Timeline, WRITE_ACTIONS
+
+
+@dataclass
+class WriteStat:
+    """One file group's output within one commit
+    (reference: ``common/model/HoodieWriteStat.java``)."""
+
+    partition: str
+    file_id: str
+    paths: list[str]  # relative to table base
+    rows: int
+    bytes: int
+    min_key: str | None = None
+    max_key: str | None = None
+    log: bool = False  # True → MOR delta file ("log"); False → base file
+    col_stats: dict | None = None  # col -> [min, max, null_count]
+
+    def to_dict(self) -> dict:
+        return {
+            "partition": self.partition,
+            "file_id": self.file_id,
+            "paths": self.paths,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "min_key": self.min_key,
+            "max_key": self.max_key,
+            "log": self.log,
+            "col_stats": self.col_stats,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "WriteStat":
+        return WriteStat(**d)
+
+
+def make_commit_metadata(
+    operation: str,
+    schema_json: str,
+    write_stats: list[WriteStat],
+    replaced: dict[str, list[str]] | None = None,
+    extra: dict | None = None,
+) -> dict:
+    return {
+        "operation": operation,
+        "schema": schema_json,
+        "write_stats": [s.to_dict() for s in write_stats],
+        "replaced": replaced or {},
+        "extra": extra or {},
+        "total_rows": sum(s.rows for s in write_stats),
+        "total_bytes": sum(s.bytes for s in write_stats),
+    }
+
+
+@dataclass
+class BaseFileVersion:
+    instant: str
+    paths: list[str]
+    rows: int
+    bytes: int
+    min_key: str | None
+    max_key: str | None
+    col_stats: dict | None
+
+
+@dataclass
+class LogFileVersion:
+    instant: str
+    paths: list[str]
+    rows: int
+    bytes: int
+
+
+@dataclass
+class FileSlice:
+    """Latest-view slice of one file group: one base file + ordered
+    delta files after it (``common/model/FileSlice.java:32-53``)."""
+
+    partition: str
+    file_id: str
+    base: BaseFileVersion
+    logs: list[LogFileVersion] = field(default_factory=list)
+
+    @property
+    def total_bytes(self) -> int:
+        return self.base.bytes + sum(l.bytes for l in self.logs)
+
+    def all_paths(self) -> list[str]:
+        out = list(self.base.paths)
+        for l in self.logs:
+            out.extend(l.paths)
+        return out
+
+
+class FileGroup:
+    """All versions of one (partition, file_id)
+    (``common/model/HoodieFileGroup.java:34-156``)."""
+
+    def __init__(self, partition: str, file_id: str):
+        self.partition = partition
+        self.file_id = file_id
+        self.bases: list[BaseFileVersion] = []  # ascending by instant
+        self.logs: list[LogFileVersion] = []  # ascending by instant
+        self.replaced_at: str | None = None
+
+    def slice_as_of(self, as_of: str | None) -> FileSlice | None:
+        if self.replaced_at is not None and (as_of is None or self.replaced_at <= as_of):
+            return None
+        base = None
+        for b in self.bases:
+            if as_of is None or b.instant <= as_of:
+                base = b
+        if base is None:
+            return None
+        logs = [
+            l
+            for l in self.logs
+            if l.instant > base.instant and (as_of is None or l.instant <= as_of)
+        ]
+        return FileSlice(self.partition, self.file_id, base, logs)
+
+
+class FileSystemView:
+    """Timeline-fold view of the table's file groups."""
+
+    def __init__(self, timeline: Timeline):
+        self.timeline = timeline
+        self.groups: dict[tuple[str, str], FileGroup] = {}
+        self.commits: list[tuple[str, str, dict]] = []  # (ts, action, metadata)
+        self._build()
+
+    def _build(self) -> None:
+        # archived commits' files can still be the latest slices (archiving
+        # trims the timeline, not the data); fold their manifests first.
+        # Reference analogue: archived instants leave data files in place
+        # and readers fall back to listing — we keep the manifest instead.
+        entries: list[tuple[str, str, dict]] = [
+            (a["timestamp"], a["action"], a["metadata"])
+            for a in self.timeline.archived_instants()
+            if a["action"] in WRITE_ACTIONS
+        ]
+        for inst in self.timeline.completed_write_instants():
+            entries.append((inst.timestamp, inst.action, self.timeline.read_metadata(inst)))
+        # fold clean instants: physically removed file versions must drop
+        # out of the view (the reference's listing-based view sees their
+        # absence; ours subtracts the cleaner's deletion record)
+        cleaned: set[str] = set()
+        for a in self.timeline.archived_instants():
+            if a["action"] == CLEAN:
+                cleaned.update(a["metadata"].get("deleted", []))
+        for inst in self.timeline.completed((CLEAN,)):
+            cleaned.update(self.timeline.read_metadata(inst).get("deleted", []))
+        self._cleaned = cleaned
+        for ts, action, md in entries:
+            self.commits.append((ts, action, md))
+            for sd in md.get("write_stats", []):
+                st = WriteStat.from_dict(sd)
+                fg = self.groups.setdefault(
+                    (st.partition, st.file_id), FileGroup(st.partition, st.file_id)
+                )
+                if cleaned and all(p in cleaned for p in st.paths):
+                    continue
+                if st.log:
+                    fg.logs.append(LogFileVersion(ts, st.paths, st.rows, st.bytes))
+                else:
+                    fg.bases.append(
+                        BaseFileVersion(
+                            ts, st.paths, st.rows, st.bytes,
+                            st.min_key, st.max_key, st.col_stats,
+                        )
+                    )
+            if action == REPLACE_COMMIT:
+                for pp, fids in md.get("replaced", {}).items():
+                    for fid in fids:
+                        fg = self.groups.setdefault((pp, fid), FileGroup(pp, fid))
+                        # first replacement wins for as-of semantics
+                        if fg.replaced_at is None or ts < fg.replaced_at:
+                            fg.replaced_at = ts
+
+    # -- queries -----------------------------------------------------------
+    def latest_schema(self) -> str | None:
+        for _, _, md in reversed(self.commits):
+            if md.get("schema"):
+                return md["schema"]
+        return None
+
+    def partitions(self, as_of: str | None = None) -> list[str]:
+        return sorted(
+            {s.partition for s in self.latest_file_slices(as_of=as_of)}
+        )
+
+    def latest_file_slices(
+        self,
+        as_of: str | None = None,
+        partitions: list[str] | None = None,
+    ) -> list[FileSlice]:
+        pset = set(partitions) if partitions is not None else None
+        out = []
+        for (pp, _), fg in sorted(self.groups.items()):
+            if pset is not None and pp not in pset:
+                continue
+            sl = fg.slice_as_of(as_of)
+            if sl is not None:
+                out.append(sl)
+        return out
+
+    def commits_in_range(
+        self, begin: str | None, end: str | None = None
+    ) -> list[tuple[str, str, dict]]:
+        """Completed write commits with begin < ts <= end — the
+        reference's (begin, end] incremental bound
+        (``ds/IncrementalRelation.scala:77``)."""
+        return [
+            (ts, action, md)
+            for ts, action, md in self.commits
+            if (begin is None or ts > begin) and (end is None or ts <= end)
+        ]
+
+    def file_ids_touched_in_range(
+        self, begin: str | None, end: str | None
+    ) -> set[tuple[str, str]]:
+        touched = set()
+        for _, _, md in self.commits_in_range(begin, end):
+            for sd in md.get("write_stats", []):
+                touched.add((sd["partition"], sd["file_id"]))
+        return touched
+
+    def all_referenced_paths(self) -> set[str]:
+        paths = set()
+        for fg in self.groups.values():
+            for b in fg.bases:
+                paths.update(b.paths)
+            for l in fg.logs:
+                paths.update(l.paths)
+        return paths
+
+    # -- sizing inputs for the writer -------------------------------------
+    def avg_record_size(self, default: int) -> int:
+        """From recent commit totals
+        (``UpsertPartitioner.java:160-163`` / HoodieCompactionConfig
+        record-size estimate seed)."""
+        for ts, action, md in reversed(self.commits):
+            rows, bts = md.get("total_rows", 0), md.get("total_bytes", 0)
+            if rows and bts and not all(s.get("log") for s in md.get("write_stats", [])):
+                return max(32, int(bts / rows))
+        return default
+
+    def small_files(
+        self, partition: str, small_file_limit: int, as_of: str | None = None
+    ) -> list[FileSlice]:
+        return [
+            s
+            for s in self.latest_file_slices(as_of=as_of, partitions=[partition])
+            if not s.logs and 0 < s.base.bytes < small_file_limit
+        ]

@@ -1,0 +1,149 @@
+"""The merge kernel: stored × incoming reconciliation as one join.
+
+Reference equivalent: ``HoodieMergeHandle`` streams the old base file,
+probes a spillable hash map of incoming records, calls
+``payload.combineAndGetUpdateValue`` per record, then flushes unmatched
+incoming records (``client/io/HoodieMergeHandle.java:93-118,253,315-330``).
+
+Ours is a single ``full_outer`` join on (file_id, record_key) with the
+payload's Column expressions deciding survivor + values — Catalyst picks
+the physical join, Tungsten codegens the expressions, and Spark's
+shuffle spill replaces ``ExternalSpillableMap``. The same kernel serves
+COW upsert, MOR compaction, and MOR snapshot merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import (
+    COMMIT_TIME_COL,
+    DELETE_MARKER_COL,
+    FILE_ID_COL,
+    META_COLS,
+    PARTITION_PATH_COL,
+    RECORD_KEY_COL,
+    SEQNO_COL,
+)
+from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD, Payload
+
+
+def seqno_expr(instant: str):
+    # reference: commitTime + "_" + partitionId + "_" + rowId
+    # (spark-client/.../HoodieRowCreateHandle.java makeId)
+    return F.concat_ws(
+        "_", F.lit(instant), F.spark_partition_id().cast("string"),
+        F.monotonically_increasing_id().cast("string"),
+    )
+
+
+def merge_stored_and_incoming(
+    old: DataFrame,
+    new: DataFrame,
+    data_cols: list[str],
+    col_types: dict[str, str],
+    payload: Payload,
+    instant: str,
+) -> DataFrame:
+    """COW merge: rewrite affected file groups combining stored rows
+    (``old``, full meta columns) with incoming tagged rows (``new``,
+    carrying assigned ``_hoodie_file_id``).
+
+    Unchanged stored rows keep their original ``_hoodie_commit_time`` /
+    seqno — required for incremental query correctness (the reference
+    preserves existing meta fields when rewriting untouched records).
+    """
+    jk = [FILE_ID_COL, RECORD_KEY_COL]
+    old_cols = set(old.columns)
+    o = old.select(
+        *jk,
+        F.lit(True).alias("__om"),
+        F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
+        F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
+        F.col(PARTITION_PATH_COL).alias(OLD + PARTITION_PATH_COL),
+        *[
+            # add-column evolution: stored files predate new columns
+            (F.col(c) if c in old_cols else F.lit(None).cast(col_types[c])).alias(OLD + c)
+            for c in data_cols
+        ],
+    )
+    new_cols = set(new.columns)
+    n = new.select(
+        *jk,
+        F.lit(True).alias("__nm"),
+        F.col(PARTITION_PATH_COL).alias(NEW + PARTITION_PATH_COL),
+        (
+            F.col(DELETE_MARKER_COL) if DELETE_MARKER_COL in new_cols else F.lit(False)
+        ).cast("boolean").alias(NEW + DELETE_MARKER_COL),
+        *[
+            (
+                F.col(c) if c in new_cols else F.lit(None).cast(col_types[c])
+            ).alias(NEW + c)
+            for c in data_cols
+        ],
+    )
+    j = (
+        o.join(n, jk, "full_outer")
+        .withColumn(HAS_OLD, F.coalesce(F.col("__om"), F.lit(False)))
+        .withColumn(HAS_NEW, F.coalesce(F.col("__nm"), F.lit(False)))
+    )
+    take_new = payload.take_new()
+    is_delete = payload.is_delete()
+    out_cols = [
+        F.when(take_new, F.lit(instant))
+        .otherwise(F.col(OLD + COMMIT_TIME_COL))
+        .alias(COMMIT_TIME_COL),
+        F.when(take_new, seqno_expr(instant))
+        .otherwise(F.col(OLD + SEQNO_COL))
+        .alias(SEQNO_COL),
+        F.col(RECORD_KEY_COL),
+        F.coalesce(F.col(OLD + PARTITION_PATH_COL), F.col(NEW + PARTITION_PATH_COL))
+        .alias(PARTITION_PATH_COL),
+        F.col(FILE_ID_COL),
+        *[
+            F.when(take_new, payload.value(c)).otherwise(F.col(OLD + c)).alias(c)
+            for c in data_cols
+        ],
+    ]
+    # drop deletes; drop new-only rows the payload rejected (no stored row
+    # to fall back to, e.g. delete-key for an absent record)
+    return j.filter(~is_delete & (F.col(HAS_OLD) | take_new)).select(*out_cols)
+
+
+def mor_merge_window(
+    union_df: DataFrame, payload: Payload, drop_tombstones: bool = True
+) -> DataFrame:
+    """MOR snapshot merge: latest-version-per-key over base ∪ delta rows.
+
+    Reference: ``HoodieMergedLogRecordScanner`` builds a key→record map
+    from log blocks then merges against base rows
+    (``common/table/log/HoodieMergedLogRecordScanner.java:136-159``,
+    ``ds/HoodieMergeOnReadRDD.scala:297``). A window `row_number` over
+    (file_id, key) ordered by the payload's version order expresses the
+    same thing shuffle-free per file group.
+    """
+    order = payload.mor_merge_order() + [F.col(SEQNO_COL).desc_nulls_last()]
+    w = Window.partitionBy(FILE_ID_COL, RECORD_KEY_COL).orderBy(*order)
+    out = (
+        union_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if drop_tombstones:
+        out = out.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
+    return out
+
+
+def precombine_dedup(incoming: DataFrame, payload: Payload, global_key: bool) -> DataFrame:
+    """Within-batch duplicate-key combine (``preCombine``):
+    ``SparkWriteHelper.deduplicateRecords`` reduces by (key[, partition])
+    keeping the larger ordering value (SparkWriteHelper.java:60-75)."""
+    keys = [RECORD_KEY_COL] if global_key else [RECORD_KEY_COL, PARTITION_PATH_COL]
+    order = payload.precombine_order() or [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,279 @@
+"""Table services: compaction, cleaning, rollback, savepoint/restore.
+
+Reference: ``client/table/action/compact|clean|rollback|savepoint/``.
+All of these are manifest/timeline manipulations plus (for compaction)
+one DataFrame merge job — no row-level driver work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..config import DELETE_MARKER_COL, TableType
+from ..metadata import FileSystemView, make_commit_metadata
+from ..payloads import get_payload
+from ..timeline import (
+    CLEAN,
+    COMMIT,
+    COMPACTION,
+    DELTA_COMMIT,
+    REPLACE_COMMIT,
+    RESTORE,
+    ROLLBACK,
+    SAVEPOINT,
+    WRITE_ACTIONS,
+)
+from .merge import mor_merge_window
+from .write import collect_write_stats, write_instant_files
+
+# --------------------------------------------------------------------------
+# Compaction (client/table/action/compact/HoodieCompactor.java:99-201)
+# --------------------------------------------------------------------------
+
+
+def compaction_due(table, view: FileSystemView | None = None) -> bool:
+    """NUM_COMMITS trigger (CompactionTriggerStrategy.java:23-29):
+    delta commits since the last compaction/commit ≥ N (default 5,
+    HoodieCompactionConfig.java:93-96)."""
+    if table.cfg.table_type != TableType.MERGE_ON_READ:
+        return False
+    n = 0
+    for inst in reversed(table.timeline.completed_write_instants()):
+        if inst.action == DELTA_COMMIT:
+            n += 1
+        else:
+            break
+    return n >= table.cfg.compact_max_delta_commits
+
+
+def schedule_compaction(table, strategy: str = "LOG_FILE_SIZE", max_slices: int | None = None) -> str | None:
+    """Write a compaction plan as a `compaction.requested` instant.
+
+    Plan strategies (client/table/action/compact/strategy/): pick file
+    slices that have delta files; LOG_FILE_SIZE orders by total delta
+    bytes descending (LogFileSizeBasedCompactionStrategy), UNBOUNDED
+    takes all."""
+    view = table.view()
+    slices = [s for s in view.latest_file_slices() if s.logs]
+    if not slices:
+        return None
+    if strategy.upper() == "LOG_FILE_SIZE":
+        slices.sort(key=lambda s: sum(l.bytes for l in s.logs), reverse=True)
+    if max_slices:
+        slices = slices[:max_slices]
+    instant = table.new_instant()
+    plan = {
+        "slices": [{"partition": s.partition, "file_id": s.file_id} for s in slices],
+        "strategy": strategy,
+    }
+    table.timeline.create_requested(instant, COMPACTION, plan)
+    return instant
+
+
+def run_compaction(table, instant: str | None = None) -> str | None:
+    """Execute a scheduled (or fresh) compaction: per selected slice,
+    merge base ∪ delta rows (same window-merge as the snapshot view)
+    and rewrite the base file; completes as a `commit`."""
+    timeline = table.timeline
+    if instant is None:
+        instant = schedule_compaction(table)
+        if instant is None:
+            return None
+    req = [
+        i
+        for i in timeline.instants()
+        if i.timestamp == instant and i.action == COMPACTION and i.state == "requested"
+    ]
+    if not req:
+        raise ValueError(f"no compaction plan at {instant}")
+    plan = timeline.read_metadata(req[0])
+    targets = {(d["partition"], d["file_id"]) for d in plan["slices"]}
+
+    view = table.view()
+    # only merge deltas visible to this compaction instant (later
+    # deltacommits stay on the new slice)
+    slices = []
+    for s in view.latest_file_slices():
+        if (s.partition, s.file_id) in targets:
+            s.logs = [l for l in s.logs if l.instant <= instant]
+            slices.append(s)
+    if not slices:
+        timeline.delete_instant_files(instant, COMPACTION)
+        return None
+
+    timeline.transition_to_inflight(instant, COMPACTION)
+    try:
+        payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
+        base_paths = [p for s in slices for p in s.base.paths]
+        log_paths = [p for s in slices for l in s.logs for p in l.paths]
+        union = table.spark.read.schema(table.read_schema()).parquet(
+            *[table.abs_path(p) for p in base_paths + log_paths]
+        )
+        merged = mor_merge_window(union, payload)
+        write_instant_files(table, merged, instant, len(slices))
+        stats = collect_write_stats(table, instant)
+        md = make_commit_metadata(
+            "compact", view.latest_schema() or "", stats, extra={"plan": plan}
+        )
+        # compaction completes as a commit (reference: compaction instant
+        # transitions to a .commit on the timeline)
+        timeline.delete_instant_files(instant, COMPACTION)
+        timeline.create_requested(instant, COMMIT, {"operation": "compact"})
+        timeline.transition_to_completed(instant, COMMIT, md)
+    except Exception:
+        table.fs.delete(table.instant_data_path(instant), recursive=True)
+        timeline.delete_instant_files(instant, COMMIT)
+        raise
+    return instant
+
+
+# --------------------------------------------------------------------------
+# Cleaning (client/table/action/clean/CleanPlanner.java:207-390)
+# --------------------------------------------------------------------------
+
+
+def clean(table) -> str | None:
+    """Physically delete file versions no longer needed.
+
+    KEEP_LATEST_COMMITS (default, retain 10): keep every base file
+    version at/after the earliest retained commit plus the one version
+    just before it (to serve as-of reads back to that commit), plus
+    anything a savepoint pins. KEEP_LATEST_FILE_VERSIONS: keep the
+    newest K versions per file group."""
+    cfg = table.cfg
+    view = table.view()
+    commits = [ts for ts, _, _ in view.commits]
+    if not commits:
+        return None
+    savepoints = table.savepoint_instants()
+    keep_paths: set[str] = set()
+    deletable: list[str] = []
+
+    if cfg.cleaner_policy == "KEEP_LATEST_FILE_VERSIONS":
+        k = max(1, cfg.cleaner_file_versions_retained)
+        for fg in view.groups.values():
+            for b in fg.bases[-k:]:
+                keep_paths.update(b.paths)
+            for l in fg.logs:  # logs attached to kept bases
+                if fg.bases[-k:] and l.instant > fg.bases[-k:][0].instant:
+                    keep_paths.update(l.paths)
+    else:
+        if len(commits) <= cfg.cleaner_commits_retained:
+            return None
+        earliest_retained = commits[-cfg.cleaner_commits_retained]
+        pins = [None, earliest_retained] + list(savepoints)
+        for fg in view.groups.values():
+            needed_bases = set()
+            for b in fg.bases:
+                if b.instant >= earliest_retained and (
+                    fg.replaced_at is None or fg.replaced_at > earliest_retained
+                ):
+                    needed_bases.add(b.instant)
+            for pin in pins:
+                sl = fg.slice_as_of(pin)
+                if sl is not None:
+                    needed_bases.add(sl.base.instant)
+            for b in fg.bases:
+                if b.instant in needed_bases:
+                    keep_paths.update(b.paths)
+            # logs: keep anything in a pinned slice, plus (conservatively)
+            # every delta newer than the retention horizon
+            for pin in pins:
+                sl = fg.slice_as_of(pin)
+                if sl is not None:
+                    for l in sl.logs:
+                        keep_paths.update(l.paths)
+            for l in fg.logs:
+                if l.instant >= earliest_retained:
+                    keep_paths.update(l.paths)
+
+    for p in view.all_referenced_paths():
+        if p not in keep_paths:
+            deletable.append(p)
+    if not deletable:
+        return None
+    for p in deletable:
+        table.fs.delete(table.abs_path(p))
+    instant = table.new_instant()
+    table.timeline.create_requested(instant, CLEAN, {})
+    table.timeline.transition_to_completed(
+        instant,
+        CLEAN,
+        {"deleted": sorted(deletable), "policy": cfg.cleaner_policy},
+    )
+    return instant
+
+
+# --------------------------------------------------------------------------
+# Rollback / savepoint / restore
+# --------------------------------------------------------------------------
+
+
+def rollback_instant(table, timestamp: str) -> str:
+    """Undo one write instant: all its files live under
+    ``data/<instant>/`` so removal is one recursive delete — the marker
+    directory of the reference's marker-based rollback
+    (``client/table/marker/WriteMarkers.java``) is our layout itself.
+    Only the latest completed write (or a pending one) may be rolled
+    back, like the reference's sequential-rollback constraint."""
+    completed = table.timeline.completed_write_instants()
+    target = [i for i in completed if i.timestamp == timestamp]
+    if target and completed[-1].timestamp != timestamp:
+        raise ValueError(f"can only rollback the latest commit, {timestamp} is not last")
+    action = target[0].action if target else None
+    if action is None:
+        for i in table.timeline.pending():
+            if i.timestamp == timestamp:
+                action = i.action
+        if action is None:
+            raise ValueError(f"no such instant {timestamp}")
+    table.fs.delete(table.instant_data_path(timestamp), recursive=True)
+    table.timeline.delete_instant_files(timestamp, action)
+    inst = table.new_instant()
+    table.timeline.create_requested(inst, ROLLBACK, {})
+    table.timeline.transition_to_completed(
+        inst, ROLLBACK, {"rolled_back": timestamp, "action": action}
+    )
+    return inst
+
+
+def rollback_pending_writes(table) -> list[str]:
+    """Eager failed-write cleanup at write start
+    (``HoodieFailedWritesCleaningPolicy.EAGER``)."""
+    rolled = []
+    for inst in table.timeline.pending():
+        if inst.action in WRITE_ACTIONS:
+            table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
+            table.timeline.delete_instant_files(inst.timestamp, inst.action)
+            rolled.append(inst.timestamp)
+    return rolled
+
+
+def savepoint(table, timestamp: str | None = None) -> str:
+    """Pin a commit against cleaning
+    (``client/table/action/savepoint/SavepointActionExecutor.java``)."""
+    completed = table.timeline.completed_write_instants()
+    if not completed:
+        raise ValueError("nothing to savepoint")
+    timestamp = timestamp or completed[-1].timestamp
+    if timestamp not in {i.timestamp for i in completed}:
+        raise ValueError(f"no completed write instant {timestamp}")
+    inst = table.new_instant()
+    table.timeline.create_requested(inst, SAVEPOINT, {})
+    table.timeline.transition_to_completed(inst, SAVEPOINT, {"savepoint_at": timestamp})
+    return inst
+
+
+def restore(table, savepoint_ts: str) -> str:
+    """Restore to a savepoint = rollback chain of everything newer
+    (``AbstractHoodieWriteClient.java:535-592``)."""
+    if savepoint_ts not in table.savepoint_instants():
+        raise ValueError(f"no savepoint at {savepoint_ts}")
+    for inst in reversed(table.timeline.completed_write_instants()):
+        if inst.timestamp > savepoint_ts:
+            table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
+            table.timeline.delete_instant_files(inst.timestamp, inst.action)
+    inst = table.new_instant()
+    table.timeline.create_requested(inst, RESTORE, {})
+    table.timeline.transition_to_completed(inst, RESTORE, {"restored_to": savepoint_ts})
+    return inst

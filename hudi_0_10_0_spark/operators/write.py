@@ -1,0 +1,624 @@
+"""Write operators: bulk_insert / insert / upsert / delete /
+insert_overwrite[_table] / delete_partition / bootstrap.
+
+Pipeline parity with the reference
+(``BaseSparkCommitActionExecutor.java:146-180``):
+
+    stamp keys → preCombine dedup → index tag (key-location join) →
+    insert bucket assignment (small-file packing) → per-file-group merge
+    → write parquet → stats → commit
+
+but every stage is a DataFrame transformation; the driver only ever
+handles file-group-level metadata (bucket plans, write stats), never
+rows.
+"""
+
+from __future__ import annotations
+
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import (
+    COMMIT_TIME_COL,
+    DEFAULT_PARTITION,
+    DELETE_MARKER_COL,
+    FILE_ID_COL,
+    LAYOUT_FILEGROUP_COL,
+    LAYOUT_PARTITION_COL,
+    META_COLS,
+    PARTITION_PATH_COL,
+    RECORD_KEY_COL,
+    SEQNO_COL,
+    TableType,
+    WriteConfig,
+    WriteOperation,
+)
+from ..keygen import stamp_keys
+from ..metadata import FileSystemView, WriteStat, make_commit_metadata
+from ..payloads import Payload, get_payload
+from .merge import merge_stored_and_incoming, mor_merge_window, precombine_dedup, seqno_expr
+
+_STATS_TYPES = (
+    T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
+    T.BooleanType,
+)
+
+
+def data_columns(schema: T.StructType) -> list[str]:
+    return [
+        f.name
+        for f in schema.fields
+        if f.name not in META_COLS and f.name != DELETE_MARKER_COL
+    ]
+
+
+def _align_to_table_schema(
+    incoming: DataFrame, table_schema: T.StructType | None
+) -> DataFrame:
+    """Reorder/extend incoming columns to the table schema; columns the
+    table has but the batch lacks become typed nulls, new batch columns
+    are appended (add-column schema evolution — reference 'reconcile
+    schema', ``ds/HoodieSparkSqlWriter.scala:168``)."""
+    if table_schema is None:
+        return incoming
+    have = {f.name for f in incoming.schema.fields}
+    cols = []
+    for f in table_schema.fields:
+        if f.name in (LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL):
+            continue
+        if f.name in have:
+            cols.append(F.col(f.name))
+        elif f.name in META_COLS:
+            continue  # meta columns are restamped
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    table_names = {f.name for f in table_schema.fields}
+    for f in incoming.schema.fields:
+        if f.name not in table_names:
+            cols.append(F.col(f.name))
+    return incoming.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Index: tag incoming rows with the file group that currently holds the key
+# --------------------------------------------------------------------------
+
+
+def tag_location(table, view: FileSystemView, incoming: DataFrame) -> DataFrame:
+    """SIMPLE index (``client/index/simple/HoodieSimpleIndex.java:94-151``):
+    left-join incoming keys against (key, partition, file_id) projected
+    from the latest base files of affected partitions — Catalyst prunes
+    the scan to exactly the 3 meta columns. BLOOM mode adds the
+    reference's key-range pruning (``HoodieBloomIndex.java:143-155``):
+    files whose [min_key, max_key] cannot contain any incoming key are
+    dropped from the index scan before the join."""
+    cfg = table.cfg
+    spark = table.spark
+    global_idx = cfg.index_type.upper().startswith("GLOBAL")
+    if global_idx:
+        slices = view.latest_file_slices()
+    else:
+        parts = [
+            r[0]
+            for r in incoming.select(PARTITION_PATH_COL).distinct().collect()
+        ]
+        slices = view.latest_file_slices(partitions=parts)
+
+    if cfg.index_type.upper() == "BLOOM" and slices:
+        rng = incoming.agg(
+            F.min(RECORD_KEY_COL).alias("mn"), F.max(RECORD_KEY_COL).alias("mx")
+        ).first()
+        if rng and rng["mn"] is not None:
+            slices = [
+                s
+                for s in slices
+                if s.base.min_key is None
+                or not (s.base.max_key < rng["mn"] or s.base.min_key > rng["mx"])
+            ]
+
+    if not slices:
+        return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
+
+    paths = [table.abs_path(p) for s in slices for p in s.base.paths]
+    index = spark.read.parquet(*paths).select(
+        F.col(RECORD_KEY_COL),
+        F.col(PARTITION_PATH_COL).alias("__idx_pp"),
+        F.col(FILE_ID_COL).alias("__idx_fid"),
+    )
+    if global_idx:
+        tagged = incoming.join(index, [RECORD_KEY_COL], "left")
+        if cfg.update_partition_path:
+            # GLOBAL index + updatePartitionPath: a key arriving with a new
+            # partition is deleted from the old file group and inserted
+            # into the new partition (HoodieGlobalBloomIndex semantics).
+            moved = F.col("__idx_fid").isNotNull() & (
+                F.col("__idx_pp") != F.col(PARTITION_PATH_COL)
+            )
+            tombstones = (
+                tagged.filter(moved)
+                .withColumn(PARTITION_PATH_COL, F.col("__idx_pp"))
+                .withColumn(FILE_ID_COL, F.col("__idx_fid"))
+                .withColumn(DELETE_MARKER_COL, F.lit(True))
+            )
+            kept = tagged.withColumn(
+                FILE_ID_COL,
+                F.when(moved, F.lit(None).cast("string")).otherwise(F.col("__idx_fid")),
+            )
+            cols = [c for c in kept.columns if c not in ("__idx_pp", "__idx_fid")]
+            if DELETE_MARKER_COL not in cols:
+                kept = kept.withColumn(DELETE_MARKER_COL, F.lit(False))
+                tombstones = tombstones if DELETE_MARKER_COL in tagged.columns else tombstones
+                cols.append(DELETE_MARKER_COL)
+            return kept.select(*cols).unionByName(
+                tombstones.select(*cols), allowMissingColumns=True
+            )
+        # stay in the original partition (updatePartitionPath=false)
+        tagged = tagged.withColumn(
+            PARTITION_PATH_COL,
+            F.coalesce(F.col("__idx_pp"), F.col(PARTITION_PATH_COL)),
+        )
+        return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop(
+            "__idx_pp", "__idx_fid"
+        )
+    tagged = incoming.join(
+        index.withColumnRenamed("__idx_pp", PARTITION_PATH_COL),
+        [RECORD_KEY_COL, PARTITION_PATH_COL],
+        "left",
+    )
+    return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop("__idx_fid")
+
+
+# --------------------------------------------------------------------------
+# Insert bucket assignment (small-file packing)
+# --------------------------------------------------------------------------
+
+
+def plan_insert_buckets(
+    view: FileSystemView,
+    cfg: WriteConfig,
+    insert_counts: list[tuple[str, int]],
+    pack_small_files: bool,
+) -> list[tuple[str, int, int, str, bool]]:
+    """Driver-side bucket plan per partition, mirroring
+    ``UpsertPartitioner.assignInserts`` (UpsertPartitioner.java:60-214):
+    fill files below the small-file limit up to the target size using
+    the avg-record-size estimate, then open new file groups.
+
+    Returns rows (partition, start_idx, end_idx, file_id, into_existing).
+    """
+    rec_size = view.avg_record_size(cfg.record_size_estimate)
+    buckets = []
+    for pp, n in insert_counts:
+        idx = 0
+        if pack_small_files:
+            for sl in view.small_files(pp, cfg.small_file_limit_bytes):
+                if idx >= n:
+                    break
+                cap = max(0, (cfg.max_file_size_bytes - sl.base.bytes) // rec_size)
+                if cap <= 0:
+                    continue
+                take = min(cap, n - idx)
+                buckets.append((pp, idx, idx + take, sl.file_id, True))
+                idx += take
+        cap_new = max(1, cfg.max_file_size_bytes // rec_size)
+        while idx < n:
+            take = min(cap_new, n - idx)
+            buckets.append((pp, idx, idx + take, uuid.uuid4().hex[:16], False))
+            idx += take
+    return buckets
+
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField(PARTITION_PATH_COL, T.StringType()),
+        T.StructField("__bstart", T.LongType()),
+        T.StructField("__bend", T.LongType()),
+        T.StructField("__bfid", T.StringType()),
+        T.StructField("__bexisting", T.BooleanType()),
+    ]
+)
+
+
+def assign_inserts(
+    table, view: FileSystemView, inserts: DataFrame, pack_small_files: bool
+) -> tuple[DataFrame, set[str]]:
+    """Map each untagged (insert) row to a file group via the bucket
+    plan. Row→bucket assignment is a partition-local ``row_number``
+    (sorted by key, so files end up key-ordered like the reference's
+    partition-sort modes) joined against the broadcast bucket ranges —
+    the same shape as the reference's custom ``Partitioner``."""
+    counts = [
+        (r[0], r[1])
+        for r in inserts.groupBy(PARTITION_PATH_COL).count().collect()
+    ]
+    if not counts:
+        return inserts.limit(0).withColumn(FILE_ID_COL, F.lit(None).cast("string")), set()
+    buckets = plan_insert_buckets(view, table.cfg, counts, pack_small_files)
+    existing_fids = {b[3] for b in buckets if b[4]}
+    bucket_df = table.spark.createDataFrame(buckets, _BUCKET_SCHEMA)
+    w = Window.partitionBy(PARTITION_PATH_COL).orderBy(RECORD_KEY_COL)
+    assigned = (
+        inserts.drop(FILE_ID_COL)
+        .withColumn("__idx", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(bucket_df), [PARTITION_PATH_COL], "inner")
+        .filter((F.col("__idx") >= F.col("__bstart")) & (F.col("__idx") < F.col("__bend")))
+        .withColumn(FILE_ID_COL, F.col("__bfid"))
+        .drop("__idx", "__bstart", "__bend", "__bfid", "__bexisting")
+    )
+    return assigned, existing_fids
+
+
+# --------------------------------------------------------------------------
+# Physical write + stats
+# --------------------------------------------------------------------------
+
+
+def write_instant_files(table, df: DataFrame, instant: str, n_groups: int) -> None:
+    """One pass: shuffle by file group, sort by key within the file, and
+    let Spark's parquet sink lay out ``data/<instant>/_pp=…/_fg=…/``.
+    File-group identity is carried by directory structure + manifest, so
+    Spark's own (parallel, committer-backed) writer does all data I/O."""
+    out = (
+        df.withColumn(
+            LAYOUT_PARTITION_COL,
+            F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
+                F.col(PARTITION_PATH_COL)
+            ),
+        )
+        .withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
+        .repartition(max(1, n_groups), F.col(LAYOUT_FILEGROUP_COL))
+        .sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
+    )
+    out.write.mode("error").partitionBy(LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL).parquet(
+        table.instant_data_path(instant)
+    )
+
+
+def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] | None:
+    """→ (partition_path, file_id, rel_path) from
+    ``…/data/<instant>/_pp=<pp>/_fg=<fid>/part-….parquet``."""
+    if not file_uri.endswith(".parquet"):
+        return None
+    rel = file_uri.split("/data/", 1)[1]
+    pp, fid = None, None
+    for seg in rel.split("/"):
+        if seg.startswith(LAYOUT_PARTITION_COL + "="):
+            pp = unquote(seg.split("=", 1)[1])
+        elif seg.startswith(LAYOUT_FILEGROUP_COL + "="):
+            fid = unquote(seg.split("=", 1)[1])
+    if pp is None or fid is None:
+        return None
+    if pp == DEFAULT_PARTITION:
+        pp = ""
+    return pp, fid, "data/" + rel
+
+
+def collect_write_stats(
+    table, instant: str, log_fids: set[str] | None = None
+) -> list[WriteStat]:
+    """Read back the (fresh, small) instant directory once to compute
+    per-file-group row counts, key ranges, and column min/max/null stats
+    — the inputs for index range-pruning and data skipping
+    (``ZOrderingIndexHelper.java:86`` builds the same stats table)."""
+    cfg = table.cfg
+    spark = table.spark
+    inst_dir = table.instant_data_path(instant)
+    listed = table.fs.list_files_recursive(inst_dir)
+    by_fg_bytes: dict[tuple[str, str], int] = {}
+    by_fg_paths: dict[tuple[str, str], list[str]] = {}
+    for uri, size in listed:
+        parsed = _parse_layout_path(table.base_path, uri)
+        if parsed is None:
+            continue
+        pp, fid, rel = parsed
+        by_fg_bytes[(pp, fid)] = by_fg_bytes.get((pp, fid), 0) + size
+        by_fg_paths.setdefault((pp, fid), []).append(rel)
+    if not by_fg_paths:
+        return []
+
+    df = spark.read.option("recursiveFileLookup", "true").parquet(inst_dir)
+    stat_cols: list[str] = []
+    if cfg.collect_column_stats:
+        wanted = set(cfg.stats_columns) if cfg.stats_columns else None
+        for f in df.schema.fields:
+            if f.name in META_COLS or f.name == DELETE_MARKER_COL:
+                continue
+            if wanted is not None and f.name not in wanted:
+                continue
+            if isinstance(f.dataType, _STATS_TYPES):
+                stat_cols.append(f.name)
+    aggs = [
+        F.count(F.lit(1)).alias("__rows"),
+        F.min(RECORD_KEY_COL).alias("__mnk"),
+        F.max(RECORD_KEY_COL).alias("__mxk"),
+    ]
+    for c in stat_cols:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
+        ]
+    rows = df.groupBy(PARTITION_PATH_COL, FILE_ID_COL).agg(*aggs).collect()
+
+    def _js(v):
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        return str(v)  # datetime/date/Decimal → ISO-ish string, order-preserving
+
+    stats = []
+    for r in rows:
+        pp, fid = r[PARTITION_PATH_COL], r[FILE_ID_COL]
+        col_stats = {
+            c: [_js(r[f"__mn_{c}"]), _js(r[f"__mx_{c}"]), r[f"__nc_{c}"]]
+            for c in stat_cols
+        } or None
+        stats.append(
+            WriteStat(
+                partition=pp,
+                file_id=fid,
+                paths=sorted(by_fg_paths.get((pp, fid), [])),
+                rows=r["__rows"],
+                bytes=by_fg_bytes.get((pp, fid), 0),
+                min_key=r["__mnk"],
+                max_key=r["__mxk"],
+                log=bool(log_fids and fid in log_fids),
+                col_stats=col_stats,
+            )
+        )
+    return stats
+
+
+# --------------------------------------------------------------------------
+# The write pipelines
+# --------------------------------------------------------------------------
+
+
+def _stamp_meta(df: DataFrame, instant: str) -> DataFrame:
+    return df.withColumn(COMMIT_TIME_COL, F.lit(instant)).withColumn(
+        SEQNO_COL, seqno_expr(instant)
+    )
+
+
+def _ordered_out_cols(data_cols: list[str]) -> list[str]:
+    return META_COLS + data_cols + [DELETE_MARKER_COL]
+
+
+def _finalize(df: DataFrame, data_cols: list[str]) -> DataFrame:
+    if DELETE_MARKER_COL not in df.columns:
+        df = df.withColumn(DELETE_MARKER_COL, F.lit(False))
+    df = df.withColumn(
+        DELETE_MARKER_COL, F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+    )
+    return df.select(*_ordered_out_cols(data_cols))
+
+
+def run_batch_write(
+    table,
+    df: DataFrame,
+    operation: WriteOperation,
+    payload: Payload | None = None,
+    extra: dict | None = None,
+    instant_time: str | None = None,
+) -> str:
+    """upsert / insert / bulk_insert / delete, COW and MOR."""
+    cfg = table.cfg
+    spark = table.spark
+    is_delete = operation == WriteOperation.DELETE
+    payload = payload or get_payload(
+        "empty" if is_delete else cfg.payload, cfg.precombine_field
+    )
+    global_idx = cfg.index_type.upper().startswith("GLOBAL")
+
+    table.rollback_pending_writes()
+    view = table.view()
+    table_schema = table.schema()
+
+    incoming = stamp_keys(df, cfg)
+    incoming = _align_to_table_schema(incoming, table_schema)
+    if is_delete:
+        incoming = incoming.withColumn(DELETE_MARKER_COL, F.lit(True))
+
+    data_cols = (
+        data_columns(table_schema) if table_schema is not None else data_columns(incoming.schema)
+    )
+    # schema evolution: append new incoming columns
+    for c in data_columns(incoming.schema):
+        if c not in data_cols:
+            data_cols.append(c)
+    col_types = {
+        f.name: f.dataType.simpleString()
+        for f in incoming.schema.fields
+        if f.name in data_cols
+    }
+
+    needs_combine = (
+        operation in (WriteOperation.UPSERT, WriteOperation.DELETE)
+        and cfg.combine_before_upsert
+    ) or (operation == WriteOperation.INSERT and cfg.combine_before_insert)
+    if needs_combine:
+        incoming = precombine_dedup(incoming, payload, global_idx)
+
+    action = (
+        "deltacommit"
+        if cfg.table_type == TableType.MERGE_ON_READ
+        and operation in (WriteOperation.UPSERT, WriteOperation.DELETE, WriteOperation.INSERT)
+        and view.commits  # first write always lays base files via commit
+        else "commit"
+    )
+    instant = instant_time or table.new_instant()
+    table.timeline.create_requested(instant, action, {"operation": operation.value})
+    table.timeline.transition_to_inflight(instant, action)
+    try:
+        # ---- index tagging ------------------------------------------------
+        if operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
+            operation == WriteOperation.INSERT and cfg.insert_drop_dups
+        ):
+            tagged = tag_location(table, view, incoming)
+            if operation == WriteOperation.INSERT and cfg.insert_drop_dups:
+                # INSERT_DROP_DUPS: drop records whose key already exists
+                tagged = tagged.filter(F.col(FILE_ID_COL).isNull())
+        else:
+            tagged = incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
+
+        updates = tagged.filter(F.col(FILE_ID_COL).isNotNull())
+        inserts = tagged.filter(F.col(FILE_ID_COL).isNull())
+        if is_delete:
+            inserts = inserts.limit(0)  # deleting absent keys is a no-op
+
+        mor_delta = action == "deltacommit"
+        pack = operation in (WriteOperation.UPSERT, WriteOperation.INSERT) and not mor_delta
+        assigned_inserts, packed_fids = assign_inserts(table, view, inserts, pack)
+
+        log_fids: set[str] = set()
+        if mor_delta:
+            # MOR: updates/deletes become delta ("log") rows; inserts open
+            # new base file groups in the same deltacommit.
+            log_rows = _stamp_meta(updates, instant)
+            base_rows = _stamp_meta(assigned_inserts, instant)
+            out = _finalize(log_rows, data_cols).unionByName(
+                _finalize(base_rows, data_cols)
+            )
+            log_fids = {
+                r[0] for r in updates.select(FILE_ID_COL).distinct().collect()
+            }
+            n_groups = len(log_fids) + 8
+            write_instant_files(table, out, instant, n_groups)
+        else:
+            # COW: rewrite every affected file group (updates + packed
+            # inserts), merging with stored rows; fresh groups come along
+            # in the same pass with an empty old side.
+            touched = {
+                (r[0], r[1])
+                for r in updates.select(PARTITION_PATH_COL, FILE_ID_COL)
+                .distinct()
+                .collect()
+            }
+            for sl in view.latest_file_slices():
+                if sl.file_id in packed_fids:
+                    touched.add((sl.partition, sl.file_id))
+            old_slices = [
+                s
+                for s in view.latest_file_slices()
+                if (s.partition, s.file_id) in touched
+            ]
+            all_new = (
+                assigned_inserts
+                if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT)
+                else updates.unionByName(assigned_inserts, allowMissingColumns=True)
+            )
+
+            if old_slices:
+                old_paths = [table.abs_path(p) for s in old_slices for p in s.base.paths]
+                old = spark.read.schema(table.read_schema()).parquet(*old_paths)
+                if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
+                    # insert never consults the index: duplicates of existing
+                    # keys are appended, not merged. Salt incoming merge keys
+                    # so the full-outer join cannot match, then restore.
+                    sep = "\x1f"  # unit separator, never produced by key generators
+                    uniq = F.concat_ws(sep, F.col(RECORD_KEY_COL), F.expr("uuid()"))
+                    mnew = all_new.withColumn(RECORD_KEY_COL, uniq)
+                    merged = merge_stored_and_incoming(
+                        old, mnew, data_cols, col_types, payload, instant
+                    ).withColumn(
+                        RECORD_KEY_COL,
+                        F.substring_index(F.col(RECORD_KEY_COL), sep, 1),
+                    )
+                else:
+                    merged = merge_stored_and_incoming(
+                        old, all_new, data_cols, col_types, payload, instant
+                    )
+            else:
+                live = all_new
+                if DELETE_MARKER_COL in live.columns:
+                    live = live.filter(
+                        ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+                    )
+                merged = _stamp_meta(live, instant)
+            out = _finalize(merged, data_cols)
+            write_instant_files(table, out, instant, max(len(touched), 1) + 8)
+
+        stats = collect_write_stats(table, instant, log_fids)
+        md = make_commit_metadata(
+            operation.value,
+            out.schema.json(),
+            stats,
+            extra=extra,
+        )
+        table.timeline.transition_to_completed(instant, action, md)
+    except Exception:
+        table.timeline.delete_instant_files(instant, action)
+        table.fs.delete(table.instant_data_path(instant), recursive=True)
+        raise
+    table.run_post_commit_services()
+    return instant
+
+
+def run_replace_write(
+    table,
+    df: DataFrame | None,
+    operation: WriteOperation,
+    partitions: list[str] | None = None,
+    extra: dict | None = None,
+) -> str:
+    """insert_overwrite / insert_overwrite_table / delete_partition —
+    logical replacement via ``replacecommit``: old file groups stay on
+    disk (time travel) but are excluded from views at/after this instant
+    (``SparkInsertOverwriteCommitActionExecutor``,
+    ``SparkDeletePartitionCommitActionExecutor``)."""
+    cfg = table.cfg
+    table.rollback_pending_writes()
+    view = table.view()
+    table_schema = table.schema()
+    instant = table.new_instant()
+    table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
+    table.timeline.transition_to_inflight(instant, "replacecommit")
+    try:
+        stats: list[WriteStat] = []
+        incoming = None
+        if df is not None:
+            incoming = stamp_keys(df, cfg)
+            incoming = _align_to_table_schema(incoming, table_schema)
+            data_cols = data_columns(
+                table_schema if table_schema is not None else incoming.schema
+            )
+            for c in data_columns(incoming.schema):
+                if c not in data_cols:
+                    data_cols.append(c)
+
+        if operation == WriteOperation.DELETE_PARTITION:
+            target_parts = partitions or []
+        elif operation == WriteOperation.INSERT_OVERWRITE_TABLE:
+            target_parts = view.partitions()
+        else:  # INSERT_OVERWRITE: partitions touched by incoming data
+            target_parts = [
+                r[0]
+                for r in incoming.select(PARTITION_PATH_COL).distinct().collect()
+            ]
+        replaced: dict[str, list[str]] = {}
+        for sl in view.latest_file_slices(partitions=target_parts):
+            replaced.setdefault(sl.partition, []).append(sl.file_id)
+
+        if incoming is not None:
+            inserts = incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
+            assigned, _ = assign_inserts(table, view, inserts, pack_small_files=False)
+            out = _finalize(_stamp_meta(assigned, instant), data_cols)
+            write_instant_files(table, out, instant, 8)
+            stats = collect_write_stats(table, instant)
+            schema_json = out.schema.json()
+        else:
+            schema_json = view.latest_schema() or ""
+        md = make_commit_metadata(
+            operation.value, schema_json, stats, replaced=replaced, extra=extra
+        )
+        table.timeline.transition_to_completed(instant, "replacecommit", md)
+    except Exception:
+        table.timeline.delete_instant_files(instant, "replacecommit")
+        table.fs.delete(table.instant_data_path(instant), recursive=True)
+        raise
+    table.run_post_commit_services()
+    return instant

@@ -1,0 +1,152 @@
+"""Merge payloads as Column-expression strategies.
+
+The reference's ``HoodieRecordPayload`` plugins
+(``common/model/HoodieRecordPayload.java:38-106`` and implementations in
+``common/model/*.java``) define two hooks:
+
+- ``preCombine(other)``  — pick a survivor among duplicate keys within a
+  batch (ordered by the precombine field);
+- ``combineAndGetUpdateValue(current, schema)`` — merge an incoming
+  record against the stored record; returning EMPTY means delete.
+
+Our engine evaluates both as DataFrame expressions over a full-outer
+join of (stored, incoming) per file group, so the merge runs inside
+whole-stage codegen instead of per-record Avro calls.
+
+Join-contract used by ``combine_exprs``: the merge frame has every data
+column duplicated as ``old__<c>`` / ``new__<c>`` plus boolean markers
+``__has_old`` / ``__has_new`` and (incoming only) the delete marker.
+A payload returns (``take_new``: Column, per-column value fn) — rows
+where ``take_new`` is true use the incoming value expression, others
+keep the stored row; ``is_delete`` marks rows to drop entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .config import COMMIT_TIME_COL, DELETE_MARKER_COL
+
+OLD = "old__"
+NEW = "new__"
+HAS_OLD = "__has_old"
+HAS_NEW = "__has_new"
+
+
+class Payload:
+    """Base: OverwriteWithLatestAvroPayload semantics
+    (common/model/OverwriteWithLatestAvroPayload.java) — incoming always
+    wins; ``_hoodie_is_deleted`` on incoming means delete."""
+
+    name = "overwrite_latest"
+
+    def __init__(self, precombine_field: str | None = None):
+        self.precombine = precombine_field
+
+    # -- batch dedup ordering (preCombine) --------------------------------
+    def precombine_order(self) -> list[Column]:
+        """ORDER BY for picking the within-batch survivor per key; first
+        row wins. Reference reduces pairwise keeping the larger
+        orderingVal (SparkWriteHelper.java:68-75)."""
+        cols = []
+        if self.precombine:
+            cols.append(F.col(self.precombine).desc_nulls_last())
+        return cols
+
+    def mor_merge_order(self) -> list[Column]:
+        """Version order for MOR read-merge (latest first). Overwrite
+        semantics: the most recent commit wins; precombine breaks ties."""
+        cols = [F.col(COMMIT_TIME_COL).desc()]
+        if self.precombine:
+            cols.append(F.col(self.precombine).desc_nulls_last())
+        return cols
+
+    # -- storage merge ----------------------------------------------------
+    def take_new(self) -> Column:
+        """True where the merged row should use incoming values."""
+        return F.col(HAS_NEW)
+
+    def is_delete(self) -> Column:
+        """True where the merged row should be dropped from the file group."""
+        new_deleted = F.col(HAS_NEW) & F.coalesce(
+            F.col(NEW + DELETE_MARKER_COL), F.lit(False)
+        )
+        return self.take_new() & new_deleted
+
+    def value(self, col: str) -> Column:
+        """Value expression for data column ``col`` when take_new is true."""
+        return F.col(NEW + col)
+
+
+class DefaultPayload(Payload):
+    """DefaultHoodieRecordPayload (common/model/DefaultHoodieRecordPayload.java):
+    event-time guard — incoming only wins if its ordering value >= stored."""
+
+    name = "default"
+
+    def mor_merge_order(self) -> list[Column]:
+        # event-time order first: a log row only supersedes the base row
+        # if its ordering value is >= (DefaultHoodieRecordPayload rule)
+        cols = []
+        if self.precombine:
+            cols.append(F.col(self.precombine).desc_nulls_last())
+        cols.append(F.col(COMMIT_TIME_COL).desc())
+        return cols
+
+    def take_new(self) -> Column:
+        if not self.precombine:
+            return F.col(HAS_NEW)
+        newer = F.coalesce(
+            F.col(NEW + self.precombine) >= F.col(OLD + self.precombine), F.lit(True)
+        )
+        return F.col(HAS_NEW) & (~F.col(HAS_OLD) | newer)
+
+
+class OverwriteNonDefaultsPayload(Payload):
+    """OverwriteNonDefaultsWithLatestAvroPayload
+    (common/model/OverwriteNonDefaultsWithLatestAvroPayload.java:49-76):
+    partial update — null incoming fields keep the stored value."""
+
+    name = "overwrite_non_defaults"
+
+    def value(self, col: str) -> Column:
+        return F.when(
+            F.col(HAS_OLD), F.coalesce(F.col(NEW + col), F.col(OLD + col))
+        ).otherwise(F.col(NEW + col))
+
+
+class EventTimePayload(DefaultPayload):
+    """EventTimeAvroPayload — same ordering guard as DefaultPayload in
+    0.10.0 semantics (common/model/EventTimeAvroPayload.java)."""
+
+    name = "event_time"
+
+
+class EmptyPayload(Payload):
+    """EmptyHoodieRecordPayload (common/model/EmptyHoodieRecordPayload.java):
+    every incoming record is a tombstone → used by the delete operator."""
+
+    name = "empty"
+
+    def is_delete(self) -> Column:
+        return F.col(HAS_NEW)
+
+
+PAYLOADS = {
+    p.name: p
+    for p in (
+        Payload,
+        DefaultPayload,
+        OverwriteNonDefaultsPayload,
+        EventTimePayload,
+        EmptyPayload,
+    )
+}
+
+
+def get_payload(name: str, precombine_field: str | None) -> Payload:
+    try:
+        return PAYLOADS[name](precombine_field)
+    except KeyError:
+        raise ValueError(f"unknown payload '{name}', have {sorted(PAYLOADS)}") from None

@@ -1,0 +1,251 @@
+"""HudiTable — the user-facing façade.
+
+Mirrors the combined surface of the reference's
+``SparkRDDWriteClient`` (write ops + services,
+``spark-client/client/SparkRDDWriteClient.java``) and ``DefaultSource``
+read paths (``ds/DefaultSource.scala``), as one Python class over our
+timeline + manifest + DataFrame operators.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .config import DELETE_MARKER_COL, META_COLS, TableType, WriteConfig, WriteOperation
+from .fs import FS
+from .metadata import FileSystemView
+from .timeline import SAVEPOINT, Timeline, new_instant_time
+
+META_DIR = "_hoodie_meta"
+
+
+class HudiTable:
+    def __init__(self, spark: SparkSession, base_path: str, cfg: WriteConfig):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.cfg = cfg
+        self.fs = FS(spark, self.base_path)
+        self.meta_path = f"{self.base_path}/{META_DIR}"
+        self.timeline = Timeline(self.fs, self.meta_path)
+        self._schema_cache: T.StructType | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    @staticmethod
+    def create(
+        spark: SparkSession, base_path: str, cfg: WriteConfig, exist_ok: bool = False
+    ) -> "HudiTable":
+        t = HudiTable(spark, base_path, cfg)
+        cfg_path = f"{t.meta_path}/table_config.json"
+        if t.fs.exists(cfg_path):
+            if not exist_ok:
+                raise ValueError(f"table already exists at {base_path}")
+            return HudiTable.load(spark, base_path)
+        t.fs.mkdirs(f"{t.meta_path}/timeline")
+        t.fs.write_text_atomic(cfg_path, cfg.to_json())
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, base_path: str) -> "HudiTable":
+        fs = FS(spark, base_path)
+        cfg_path = f"{base_path.rstrip('/')}/{META_DIR}/table_config.json"
+        if not fs.exists(cfg_path):
+            raise ValueError(f"not a hudi_0_10_0_spark table: {base_path}")
+        cfg = WriteConfig.from_json(fs.read_text(cfg_path))
+        return HudiTable(spark, base_path, cfg)
+
+    @staticmethod
+    def exists(spark: SparkSession, base_path: str) -> bool:
+        fs = FS(spark, base_path)
+        return fs.exists(f"{base_path.rstrip('/')}/{META_DIR}/table_config.json")
+
+    # -- paths / metadata --------------------------------------------------
+    def abs_path(self, rel: str) -> str:
+        return rel if "://" in rel or rel.startswith("/") else f"{self.base_path}/{rel}"
+
+    def instant_data_path(self, instant: str) -> str:
+        return f"{self.base_path}/data/{instant}"
+
+    def new_instant(self) -> str:
+        return new_instant_time()
+
+    def view(self) -> FileSystemView:
+        self._schema_cache = None
+        return FileSystemView(self.timeline)
+
+    def schema(self) -> T.StructType | None:
+        """Latest committed write schema (includes meta + delete-marker
+        columns), or None for an empty table."""
+        if self._schema_cache is None:
+            sj = self.view().latest_schema()
+            self._schema_cache = (
+                T.StructType.fromJson(json.loads(sj)) if sj else None
+            )
+        return self._schema_cache
+
+    def read_schema(self) -> T.StructType:
+        s = self.schema()
+        if s is None:
+            raise ValueError("table has no commits yet")
+        return s
+
+    # -- write operators ---------------------------------------------------
+    def upsert(self, df: DataFrame, **kw) -> str:
+        from .operators.write import run_batch_write
+
+        return run_batch_write(self, df, WriteOperation.UPSERT, **kw)
+
+    def insert(self, df: DataFrame, **kw) -> str:
+        from .operators.write import run_batch_write
+
+        return run_batch_write(self, df, WriteOperation.INSERT, **kw)
+
+    def bulk_insert(self, df: DataFrame, **kw) -> str:
+        from .operators.write import run_batch_write
+
+        return run_batch_write(self, df, WriteOperation.BULK_INSERT, **kw)
+
+    def delete(self, keys_df: DataFrame, **kw) -> str:
+        """Delete by key: ``keys_df`` needs the record-key (and
+        partition) source columns, or pre-stamped meta key columns."""
+        from .operators.write import run_batch_write
+
+        return run_batch_write(self, keys_df, WriteOperation.DELETE, **kw)
+
+    def insert_overwrite(self, df: DataFrame, **kw) -> str:
+        from .operators.write import run_replace_write
+
+        return run_replace_write(self, df, WriteOperation.INSERT_OVERWRITE, **kw)
+
+    def insert_overwrite_table(self, df: DataFrame, **kw) -> str:
+        from .operators.write import run_replace_write
+
+        return run_replace_write(self, df, WriteOperation.INSERT_OVERWRITE_TABLE, **kw)
+
+    def delete_partition(self, partitions: list[str], **kw) -> str:
+        from .operators.write import run_replace_write
+
+        return run_replace_write(
+            self, None, WriteOperation.DELETE_PARTITION, partitions=partitions, **kw
+        )
+
+    def bootstrap(self, parquet_path: str, **kw) -> str:
+        """Adopt an existing parquet dataset (FULL_RECORD mode —
+        ``client/client/bootstrap/BootstrapMode.java:29-34``): read,
+        stamp keys/meta, lay out as v0 of this table."""
+        df = self.spark.read.parquet(parquet_path)
+        return self.bulk_insert(df, extra={"bootstrap_from": parquet_path}, **kw)
+
+    # -- read operators ----------------------------------------------------
+    def snapshot(self, as_of: str | None = None, filters: list | None = None) -> DataFrame:
+        from .sources.read import snapshot
+
+        return snapshot(self, as_of=as_of, filters=filters)
+
+    def read_optimized(self) -> DataFrame:
+        from .sources.read import QUERY_READ_OPTIMIZED, snapshot
+
+        return snapshot(self, query_type=QUERY_READ_OPTIMIZED)
+
+    def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
+        from .sources.read import incremental
+
+        return incremental(self, begin, end)
+
+    def time_travel(self, as_of: str) -> DataFrame:
+        return self.snapshot(as_of=as_of)
+
+    # -- services ----------------------------------------------------------
+    def schedule_compaction(self, **kw) -> str | None:
+        from .operators.services import schedule_compaction
+
+        return schedule_compaction(self, **kw)
+
+    def compact(self, instant: str | None = None) -> str | None:
+        from .operators.services import run_compaction
+
+        return run_compaction(self, instant)
+
+    def cluster(self, **kw) -> str | None:
+        from .operators.clustering import cluster
+
+        return cluster(self, **kw)
+
+    def clean(self) -> str | None:
+        from .operators.services import clean
+
+        return clean(self)
+
+    def archive(self) -> int:
+        return self.timeline.archive(
+            self.cfg.keep_min_commits,
+            self.cfg.keep_max_commits,
+            protected_ts=set(self.savepoint_instants()),
+        )
+
+    def rollback(self, instant: str) -> str:
+        from .operators.services import rollback_instant
+
+        return rollback_instant(self, instant)
+
+    def rollback_pending_writes(self) -> list[str]:
+        from .operators.services import rollback_pending_writes
+
+        return rollback_pending_writes(self)
+
+    def savepoint(self, instant: str | None = None) -> str:
+        from .operators.services import savepoint
+
+        return savepoint(self, instant)
+
+    def restore(self, savepoint_ts: str) -> str:
+        from .operators.services import restore
+
+        return restore(self, savepoint_ts)
+
+    def savepoint_instants(self) -> list[str]:
+        out = []
+        for inst in self.timeline.completed((SAVEPOINT,)):
+            out.append(self.timeline.read_metadata(inst)["savepoint_at"])
+        return out
+
+    def run_post_commit_services(self) -> None:
+        """Inline services after a successful commit, mirroring
+        ``AbstractHoodieWriteClient.java:833,1002`` (compact → clean →
+        archive per config)."""
+        from .operators.services import clean, compaction_due, run_compaction
+
+        if self.cfg.inline_compact and compaction_due(self):
+            run_compaction(self)
+        if self.cfg.auto_clean:
+            clean(self)
+        if self.cfg.auto_archive:
+            self.archive()
+
+    # -- SQL-ish DML -------------------------------------------------------
+    def merge_into(self, source: DataFrame, **kw) -> str:
+        from .sql.dml import merge_into
+
+        return merge_into(self, source, **kw)
+
+    def update_where(self, condition, assignments: dict) -> str:
+        from .sql.dml import update_where
+
+        return update_where(self, condition, assignments)
+
+    def delete_where(self, condition) -> str:
+        from .sql.dml import delete_where
+
+        return delete_where(self, condition)
+
+    # -- introspection -----------------------------------------------------
+    def commits(self) -> list[str]:
+        return [i.timestamp for i in self.timeline.completed_write_instants()]
+
+    def partitions(self) -> list[str]:
+        return self.view().partitions()
+
+    def file_slices(self) -> list:
+        return self.view().latest_file_slices()

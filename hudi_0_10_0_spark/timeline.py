@@ -1,0 +1,182 @@
+"""The commit timeline: an ordered set of instants.
+
+Semantics follow the reference timeline
+(``common/table/timeline/HoodieTimeline.java:46-57``,
+``HoodieInstant.java:63``): an instant is ``(timestamp, action, state)``
+with state REQUESTED → INFLIGHT → COMPLETED, stored one file per state
+under ``_hoodie_meta/timeline/``; completion is an atomic rename, which
+is the commit point. Instant timestamps are millisecond-resolution
+strings (``yyyyMMddHHmmssSSS``) ordered lexicographically, exactly like
+the reference's ``HoodieActiveTimeline.COMMIT_FORMATTER``.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass
+
+from .fs import FS
+
+# actions — HoodieTimeline.java:46-57
+COMMIT = "commit"
+DELTA_COMMIT = "deltacommit"
+REPLACE_COMMIT = "replacecommit"
+CLEAN = "clean"
+ROLLBACK = "rollback"
+SAVEPOINT = "savepoint"
+RESTORE = "restore"
+COMPACTION = "compaction"  # requested/inflight marker; completes as `commit`
+
+WRITE_ACTIONS = (COMMIT, DELTA_COMMIT, REPLACE_COMMIT)
+
+REQUESTED = "requested"
+INFLIGHT = "inflight"
+COMPLETED = "completed"
+
+_lock = threading.Lock()
+_last_ts = ""
+
+
+def new_instant_time() -> str:
+    """Monotonic millisecond timestamp string (driver-side, like the
+    reference's ``HoodieActiveTimeline.createNewInstantTime``)."""
+    global _last_ts
+    with _lock:
+        ts = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
+        if ts <= _last_ts:  # clock tie/skew → bump
+            ts = str(int(_last_ts) + 1).zfill(17)
+        _last_ts = ts
+        return ts
+
+
+@dataclass(frozen=True, order=True)
+class Instant:
+    timestamp: str
+    action: str
+    state: str = COMPLETED
+
+    def filename(self) -> str:
+        if self.state == COMPLETED:
+            return f"{self.timestamp}.{self.action}"
+        return f"{self.timestamp}.{self.action}.{self.state}"
+
+    @staticmethod
+    def parse(name: str) -> "Instant | None":
+        parts = name.split(".")
+        if len(parts) == 2:
+            return Instant(parts[0], parts[1], COMPLETED)
+        if len(parts) == 3 and parts[2] in (REQUESTED, INFLIGHT):
+            return Instant(parts[0], parts[1], parts[2])
+        return None  # .tmp files etc.
+
+
+class Timeline:
+    """Active timeline for one table."""
+
+    def __init__(self, fs: FS, meta_path: str):
+        self.fs = fs
+        self.dir = meta_path.rstrip("/") + "/timeline"
+        self.archive_dir = self.dir + "/archived"
+
+    # -- read --------------------------------------------------------------
+    def instants(self) -> list[Instant]:
+        out = []
+        for name in self.fs.list_names(self.dir):
+            inst = Instant.parse(name)
+            if inst is not None:
+                out.append(inst)
+        return sorted(out)
+
+    def completed(self, actions: tuple[str, ...] | None = None) -> list[Instant]:
+        return [
+            i
+            for i in self.instants()
+            if i.state == COMPLETED and (actions is None or i.action in actions)
+        ]
+
+    def completed_write_instants(self) -> list[Instant]:
+        return self.completed(WRITE_ACTIONS)
+
+    def pending(self) -> list[Instant]:
+        done = {i.timestamp for i in self.instants() if i.state == COMPLETED}
+        return [
+            i
+            for i in self.instants()
+            if i.state in (REQUESTED, INFLIGHT) and i.timestamp not in done
+        ]
+
+    def latest_completed(self, actions=WRITE_ACTIONS) -> Instant | None:
+        comp = self.completed(actions)
+        return comp[-1] if comp else None
+
+    def read_metadata(self, instant: Instant) -> dict:
+        return json.loads(self.fs.read_text(f"{self.dir}/{instant.filename()}"))
+
+    # -- state transitions -------------------------------------------------
+    def create_requested(self, timestamp: str, action: str, metadata: dict | None = None):
+        inst = Instant(timestamp, action, REQUESTED)
+        self.fs.mkdirs(self.dir)
+        self.fs.write_text_atomic(
+            f"{self.dir}/{inst.filename()}", json.dumps(metadata or {})
+        )
+        return inst
+
+    def transition_to_inflight(self, timestamp: str, action: str):
+        inst = Instant(timestamp, action, INFLIGHT)
+        self.fs.write_text(f"{self.dir}/{inst.filename()}", "{}")
+        return inst
+
+    def transition_to_completed(self, timestamp: str, action: str, metadata: dict):
+        """The commit point: atomic rename of a temp file to the completed
+        instant file (reference: ``HoodieActiveTimeline.transitionState``)."""
+        inst = Instant(timestamp, action, COMPLETED)
+        self.fs.write_text_atomic(
+            f"{self.dir}/{inst.filename()}",
+            json.dumps(metadata, sort_keys=True),
+        )
+        return inst
+
+    def delete_instant_files(self, timestamp: str, action: str) -> None:
+        for state in (REQUESTED, INFLIGHT, COMPLETED):
+            self.fs.delete(f"{self.dir}/{Instant(timestamp, action, state).filename()}")
+
+    # -- archive (client/table/HoodieTimelineArchiveLog.java:74-196) -------
+    def archive(self, keep_min: int, keep_max: int, protected_ts: set[str] | None = None) -> int:
+        """When > keep_max completed write instants, move the oldest down
+        to keep_min into ``timeline/archived/`` as one JSON-lines file."""
+        protected_ts = protected_ts or set()
+        comp = self.completed_write_instants()
+        if len(comp) <= keep_max:
+            return 0
+        to_archive = [i for i in comp[: len(comp) - keep_min] if i.timestamp not in protected_ts]
+        if not to_archive:
+            return 0
+        self.fs.mkdirs(self.archive_dir)
+        records = []
+        for inst in to_archive:
+            records.append(
+                json.dumps(
+                    {
+                        "timestamp": inst.timestamp,
+                        "action": inst.action,
+                        "metadata": self.read_metadata(inst),
+                    },
+                    sort_keys=True,
+                )
+            )
+        batch_name = f"{to_archive[0].timestamp}_{to_archive[-1].timestamp}.archive.jsonl"
+        self.fs.write_text_atomic(f"{self.archive_dir}/{batch_name}", "\n".join(records))
+        for inst in to_archive:
+            self.delete_instant_files(inst.timestamp, inst.action)
+        return len(to_archive)
+
+    def archived_instants(self) -> list[dict]:
+        out = []
+        for name in sorted(self.fs.list_names(self.archive_dir)):
+            if name.endswith(".archive.jsonl"):
+                for line in self.fs.read_text(f"{self.archive_dir}/{name}").splitlines():
+                    if line.strip():
+                        out.append(json.loads(line))
+        return out

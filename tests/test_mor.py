@@ -1,0 +1,133 @@
+"""MOR write/read/compaction (model: reference TestMORDataSource.scala,
+TestHoodieMergeOnReadTable.java)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.config import TableType
+
+
+@pytest.fixture()
+def mor(spark, tmp_table_path, orders):
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        table_type=TableType.MERGE_ON_READ,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/orders", cfg)
+    t.bulk_insert(orders)
+    return t
+
+
+def test_upsert_writes_deltacommit_log_files(mor, orders):
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    mor.upsert(upd)
+    actions = [i.action for i in mor.timeline.completed_write_instants()]
+    assert actions == ["commit", "deltacommit"]
+    assert any(s.logs for s in mor.file_slices())
+
+
+def test_snapshot_merges_read_optimized_does_not(mor, orders):
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    mor.upsert(upd)
+    exp = round(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .agg(F.sum(F.col("o_totalprice") * 2))
+        .first()[0],
+        3,
+    )
+    got = round(
+        mor.snapshot()
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .agg(F.sum("o_totalprice"))
+        .first()[0],
+        3,
+    )
+    assert got == exp
+    ro = round(
+        mor.read_optimized()
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .agg(F.sum("o_totalprice"))
+        .first()[0],
+        3,
+    )
+    assert ro == round(
+        orders.filter(F.col("o_orderkey") % 10 == 0).agg(F.sum("o_totalprice")).first()[0],
+        3,
+    )
+
+
+def test_mor_delete_tombstone_and_resurrect(mor, orders):
+    one = orders.limit(1)
+    key = one.first()["o_orderkey"]
+    mor.delete(one.select("o_orderkey", "o_orderstatus"))
+    assert mor.snapshot().filter(F.col("o_orderkey") == key).count() == 0
+    mor.upsert(one.withColumn("o_totalprice", F.lit(123.456)))
+    got = mor.snapshot().filter(F.col("o_orderkey") == key).collect()
+    assert len(got) == 1
+    assert got[0]["o_totalprice"] == 123.456
+
+
+def test_multiple_delta_commits_latest_wins(mor, orders):
+    ten = orders.limit(10)
+    for i in range(1, 4):
+        mor.upsert(ten.withColumn("o_totalprice", F.lit(float(1000 + i))))
+    keys = [r[0] for r in ten.select("o_orderkey").collect()]
+    vals = (
+        mor.snapshot()
+        .filter(F.col("o_orderkey").isin(keys))
+        .select("o_totalprice")
+        .distinct()
+        .collect()
+    )
+    assert [r[0] for r in vals] == [1003.0]
+
+
+def test_compaction_folds_logs(mor, orders):
+    upd = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    mor.upsert(upd)
+    before = mor.snapshot().orderBy("o_orderkey").select("o_orderkey", "o_totalprice").collect()
+    ci = mor.compact()
+    assert ci is not None
+    assert not any(s.logs for s in mor.file_slices())
+    after = mor.snapshot().orderBy("o_orderkey").select("o_orderkey", "o_totalprice").collect()
+    assert before == after
+    # read-optimized now sees merged values too
+    ro = mor.read_optimized().orderBy("o_orderkey").select("o_orderkey", "o_totalprice").collect()
+    assert ro == after
+
+
+def test_inline_compaction_trigger(spark, tmp_table_path, orders):
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        table_type=TableType.MERGE_ON_READ,
+        inline_compact=True,
+        compact_max_delta_commits=2,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/ic", cfg)
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    t.upsert(ten.withColumn("o_totalprice", F.lit(1.0)))
+    t.upsert(ten.withColumn("o_totalprice", F.lit(2.0)))  # triggers compaction
+    actions = [i.action for i in t.timeline.completed_write_instants()]
+    assert actions.count("commit") >= 2  # initial + compaction commit
+    assert not any(s.logs for s in t.file_slices())
+
+
+def test_mor_incremental(mor, orders):
+    c1 = mor.commits()[0]
+    upd = orders.limit(25).withColumn("o_totalprice", F.lit(7.0))
+    mor.upsert(upd)
+    inc = mor.incremental(c1)
+    assert inc.count() == 25
+    assert set(r[0] for r in inc.select("o_totalprice").collect()) == {7.0}

@@ -1,0 +1,177 @@
+"""Table services: replacecommits, clean, rollback, savepoint/restore,
+clustering, time travel (model: reference functional test suites)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.config import TableType
+
+
+@pytest.fixture()
+def cow(spark, tmp_table_path, orders):
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/t", cfg)
+    t.bulk_insert(orders)
+    return t
+
+
+def test_insert_overwrite_partition(cow, orders):
+    status = orders.select("o_orderstatus").first()[0]
+    replacement = orders.filter(F.col("o_orderstatus") == status).limit(10)
+    cow.insert_overwrite(replacement)
+    snap = cow.snapshot()
+    assert snap.filter(F.col("o_orderstatus") == status).count() == 10
+    others = orders.filter(F.col("o_orderstatus") != status).count()
+    assert snap.count() == others + 10
+
+
+def test_insert_overwrite_table(cow, orders):
+    cow.insert_overwrite_table(orders.limit(33))
+    assert cow.snapshot().count() == 33
+
+
+def test_delete_partition(cow, orders):
+    status = orders.select("o_orderstatus").first()[0]
+    cow.delete_partition([status])
+    snap = cow.snapshot()
+    assert snap.filter(F.col("o_orderstatus") == status).count() == 0
+    assert snap.count() == orders.filter(F.col("o_orderstatus") != status).count()
+    # time travel before the replace still sees the partition
+    tt = cow.time_travel(cow.commits()[0])
+    assert tt.count() == orders.count()
+
+
+def test_time_travel_across_commits(cow, orders):
+    c1 = cow.commits()[0]
+    cow.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(0.5)))
+    c2 = cow.commits()[-1]
+    cow.delete(orders.limit(5).select("o_orderkey", "o_orderstatus"))
+    assert cow.time_travel(c1).count() == orders.count()
+    tt2 = cow.time_travel(c2)
+    assert tt2.count() == orders.count()
+    assert tt2.filter(F.col("o_totalprice") == 0.5).count() == 10
+    assert cow.snapshot().count() == orders.count() - 5
+
+
+def test_rollback_latest_commit(cow, orders):
+    c1 = cow.commits()[0]
+    cow.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(0.5)))
+    c2 = cow.commits()[-1]
+    cow.rollback(c2)
+    assert cow.commits() == [c1]
+    assert cow.snapshot().filter(F.col("o_totalprice") == 0.5).count() == 0
+    # rolling back a non-latest commit is refused
+    cow.upsert(orders.limit(3).withColumn("o_totalprice", F.lit(0.25)))
+    with pytest.raises(ValueError):
+        cow.rollback(c1)
+
+
+def test_failed_write_rolled_back_eagerly(cow, orders):
+    # simulate a crashed write: inflight instant + orphan data dir
+    ts = cow.new_instant()
+    cow.timeline.create_requested(ts, "commit", {})
+    cow.timeline.transition_to_inflight(ts, "commit")
+    cow.fs.mkdirs(cow.instant_data_path(ts))
+    cow.upsert(orders.limit(1))
+    assert all(i.timestamp != ts for i in cow.timeline.instants())
+    assert not cow.fs.exists(cow.instant_data_path(ts))
+
+
+def test_savepoint_restore(cow, orders):
+    c1 = cow.commits()[0]
+    cow.savepoint(c1)
+    cow.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(0.5)))
+    cow.delete(orders.limit(20).select("o_orderkey", "o_orderstatus"))
+    cow.restore(c1)
+    snap = cow.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_totalprice") == 0.5).count() == 0
+
+
+def test_clean_keeps_retained_window(spark, tmp_table_path, orders):
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        cleaner_commits_retained=2,
+        auto_clean=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/cl", cfg)
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    for i in range(4):
+        t.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    n_files_before = len(t.view().all_referenced_paths())
+    ci = t.clean()
+    assert ci is not None
+    view = t.view()
+    remaining = view.all_referenced_paths()
+    assert len(remaining) < n_files_before
+    # live snapshot unaffected
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_totalprice") == 3.0).count() == 10
+    # files referenced by the latest view still exist
+    for s in t.file_slices():
+        for p in s.all_paths():
+            assert t.fs.exists(t.abs_path(p))
+
+
+def test_archive_timeline(spark, tmp_table_path, orders):
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        keep_min_commits=3,
+        keep_max_commits=5,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/ar", cfg)
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    for i in range(6):
+        t.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    assert len(t.commits()) == 7
+    n = t.archive()
+    assert n == 4
+    assert len(t.commits()) == 3
+    # snapshot still complete: file slices survive archiving via manifests
+    # carried in archived metadata? No — view only folds active instants.
+    # The engine requires clean-before-archive ordering; here files written
+    # by archived commits are still the latest slices, so the view must
+    # still serve them. This is the reference's invariant too: archived
+    # commits' files remain readable (listing-based fallback). Ours keeps
+    # them via the archived manifest:
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+
+
+def test_clustering_sort_preserves_results(cow, orders):
+    before = cow.snapshot().orderBy("o_orderkey").select("o_orderkey", "o_totalprice").collect()
+    ci = cow.cluster(sort_cols=["o_totalprice"], target_file_groups=2)
+    assert ci is not None
+    after = cow.snapshot().orderBy("o_orderkey").select("o_orderkey", "o_totalprice").collect()
+    assert before == after
+    # updates after clustering land on the new file groups
+    cow.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(42.0)))
+    assert cow.snapshot().filter(F.col("o_totalprice") == 42.0).count() == 5
+
+
+def test_clustering_zorder(cow, orders):
+    ci = cow.cluster(sort_cols=["o_custkey", "o_totalprice"], layout="zorder", target_file_groups=4)
+    assert ci is not None
+    assert cow.snapshot().count() == orders.count()
+
+
+def test_bootstrap(spark, tmp_table_path):
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    cfg = WriteConfig(record_key_field="n_nationkey", partition_field=None)
+    t = HudiTable.create(spark, tmp_table_path + "/bs", cfg)
+    t.bootstrap("/root/testdata/sf0.001/nation.parquet")
+    assert t.snapshot().count() == src.count()

@@ -1,0 +1,52 @@
+"""Timeline unit tests (model: reference TestHoodieActiveTimeline)."""
+
+from hudi_0_10_0_spark.fs import FS
+from hudi_0_10_0_spark.timeline import (
+    COMMIT,
+    DELTA_COMMIT,
+    Instant,
+    Timeline,
+    new_instant_time,
+)
+
+
+def test_instant_time_monotonic():
+    times = [new_instant_time() for _ in range(50)]
+    assert times == sorted(times)
+    assert len(set(times)) == 50
+
+
+def test_instant_parse_roundtrip():
+    i = Instant("20240101010101000", COMMIT)
+    assert Instant.parse(i.filename()) == i
+    j = Instant("20240101010101000", DELTA_COMMIT, "inflight")
+    assert Instant.parse(j.filename()) == j
+    assert Instant.parse("garbage.tmp") is None
+
+
+def test_state_transitions_and_read(spark, tmp_table_path):
+    fs = FS(spark, tmp_table_path)
+    tl = Timeline(fs, tmp_table_path + "/_hoodie_meta")
+    ts = new_instant_time()
+    tl.create_requested(ts, COMMIT)
+    tl.transition_to_inflight(ts, COMMIT)
+    assert [i.timestamp for i in tl.pending()] == [ts]
+    tl.transition_to_completed(ts, COMMIT, {"x": 1})
+    assert tl.pending() == []
+    assert [i.timestamp for i in tl.completed_write_instants()] == [ts]
+    assert tl.read_metadata(tl.completed()[0]) == {"x": 1}
+
+
+def test_archive_moves_old_instants(spark, tmp_table_path):
+    fs = FS(spark, tmp_table_path)
+    tl = Timeline(fs, tmp_table_path + "/_hoodie_meta")
+    for _ in range(12):
+        ts = new_instant_time()
+        tl.create_requested(ts, COMMIT)
+        tl.transition_to_completed(ts, COMMIT, {"t": ts})
+    n = tl.archive(keep_min=5, keep_max=10)
+    assert n == 7
+    assert len(tl.completed_write_instants()) == 5
+    archived = tl.archived_instants()
+    assert len(archived) == 7
+    assert archived[0]["metadata"]["t"] == archived[0]["timestamp"]
