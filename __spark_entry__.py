@@ -1,38 +1,519 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query (TPC-H Q1 over a hudi_0_10_0_spark
+COW table at sf0.001).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2; the driver runs both at sf0.01 and hash-compares.
+
+Determinism notes:
+- Float aggregations are cast to DECIMAL *before* SUM in both engines so
+  results are exact and order-independent (Spark and DuckDB would otherwise
+  disagree in the last ulps of a double sum).
+- Every computed column is aliased identically in the Spark code and the SQL.
+- Table-op queries materialize a hudi_0_10_0_spark table in a per-process
+  temp dir from the driver's parquet input, apply writes, and read back; the
+  oracle states the equivalent final relation in plain SQL.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+
+_TMP = tempfile.mkdtemp(prefix="hudi_entry_")
+_FIXTURES: dict[tuple, tuple] = {}
+
+
+def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _orders_cfg(table_type: TableType = TableType.COPY_ON_WRITE, **kw) -> WriteConfig:
+    return WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderpriority",
+        precombine_field="o_orderdate",
+        table_type=table_type,
+        inline_compact=False,
+        auto_clean=False,
+        auto_archive=False,
+        **kw,
+    )
+
+
+def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
+    """Materialize (once per process per sf_dir) a table fixture and
+    return (HudiTable, commits dict)."""
+    key = (kind, sf_dir)
+    if key in _FIXTURES:
+        return _FIXTURES[key]
+    path = f"{_TMP}/{kind}_{abs(hash(sf_dir))}"
+    orders = _pq(spark, sf_dir, "orders")
+    commits: dict[str, str] = {}
+
+    if kind == "cow":
+        # bulk_insert → upsert(status 'U' for key%7==0) → delete(key%5==0)
+        t = HudiTable.create(spark, path, _orders_cfg())
+        commits["c0"] = t.bulk_insert(orders)
+        commits["c1"] = t.upsert(
+            orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_orderstatus", F.lit("U")
+            )
+        )
+        commits["c2"] = t.delete(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            )
+        )
+    elif kind == "mor":
+        # two delta commits over a MOR base
+        t = HudiTable.create(spark, path, _orders_cfg(TableType.MERGE_ON_READ))
+        commits["c0"] = t.bulk_insert(orders)
+        commits["c1"] = t.upsert(
+            orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_orderstatus", F.lit("A")
+            )
+        )
+        commits["c2"] = t.upsert(
+            orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+                "o_orderstatus", F.lit("B")
+            )
+        )
+    elif kind == "mor_compacted":
+        t = HudiTable.create(spark, path, _orders_cfg(TableType.MERGE_ON_READ))
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_orderstatus", F.lit("A")
+            )
+        )
+        commits["compaction"] = t.compact()
+    elif kind == "dml":
+        # MERGE INTO: matched(key%2==0) → status 'M'; source also carries
+        # brand-new keys (key+100000000 for key%9==0) → inserted
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(orders)
+        matched_src = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_orderstatus", F.lit("M")
+        )
+        insert_src = (
+            orders.filter(F.col("o_orderkey") % 9 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+        t.merge_into(
+            matched_src.unionByName(insert_src),
+            matched_update="all",
+            not_matched_insert=True,
+        )
+        # NOTE: update a NON-partition column — updating the partition field
+        # under a non-global index moves the record to a new partition
+        # without removing the old copy (reference semantics too: needs
+        # GLOBAL index + update-partition-path).
+        t.update_where(
+            F.col("o_orderstatus") == "N",
+            {"o_custkey": F.lit(-1).cast("long")},
+        )
+        t.delete_where(
+            (F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") < 100000000)
+        )
+    elif kind == "replace":
+        # insert_overwrite of one partition + delete_partition of another
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(orders)
+        t.insert_overwrite(
+            orders.filter(
+                (F.col("o_orderpriority") == "1-URGENT")
+                & (F.col("o_orderkey") % 2 == 0)
+            )
+        )
+        t.delete_partition(["5-LOW"])
+    elif kind == "precombine":
+        # one upsert batch containing two versions per key; preCombine
+        # (max o_orderdate) must keep the bumped copy
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(orders)
+        bumped = orders.withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
+        ).withColumn("o_orderstatus", F.lit("Z"))
+        t.upsert(orders.unionByName(bumped))
+    else:
+        raise ValueError(kind)
+    out = (t, commits)
+    _FIXTURES[key] = out
+    return out
+
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _snap(t: HudiTable, **kw) -> DataFrame:
+    return t.snapshot(**kw).select(*_ORDER_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Table-format operators (SURVEY.md §2.1-2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_cow_snapshot(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "cow")
+    return _snap(t)
+
+
+def q_cow_incremental(spark, sf_dir):
+    t, c = _fixture(spark, sf_dir, "cow")
+    return t.incremental(c["c0"], c["c1"]).select(*_ORDER_COLS)
+
+
+def q_cow_time_travel(spark, sf_dir):
+    t, c = _fixture(spark, sf_dir, "cow")
+    return _snap(t, as_of=c["c1"])
+
+
+def q_mor_snapshot(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "mor")
+    return _snap(t)
+
+
+def q_mor_read_optimized(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "mor")
+    return t.read_optimized().select(*_ORDER_COLS)
+
+
+def q_mor_compaction(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "mor_compacted")
+    return t.read_optimized().select(*_ORDER_COLS)
+
+
+def q_merge_into(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "dml")
+    return _snap(t)
+
+
+def q_insert_overwrite(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "replace")
+    return _snap(t)
+
+
+def q_precombine_dedup(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "precombine")
+    return _snap(t)
+
+
+_SQL_COW_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+_SQL_MOR_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 4 = 0 THEN 'B'
+            WHEN o_orderkey % 3 = 0 THEN 'A'
+            ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+"""
+
+_SQL_MOR_COMPACTED = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'A' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+"""
+
+_SQL_DML_FINAL = """
+WITH merged AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, CAST(-1 AS BIGINT) AS o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 9 = 0
+)
+SELECT * FROM merged
+WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey < 100000000)
+"""
+
+_SQL_REPLACE_FINAL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey % 2 = 0
+           WHEN o_orderpriority = '5-LOW' THEN FALSE
+           ELSE TRUE END
+"""
+
+_SQL_PRECOMBINE = """
+SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus, o_totalprice,
+       o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (reference delegates these to Spark — SURVEY.md §2.5;
+# they double as the bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(30,4)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _pq(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _pq(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _pq(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem, orders, customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _pq(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _pq(spark, sf_dir, "nation")
+    cust = _pq(spark, sf_dir, "customer")
+    supp = _pq(spark, sf_dir, "supplier")
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_SQL_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; read nanos as long and truncate to micros
+    (integer `div` — matches DuckDB's ns→µs truncation)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_latest_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+_SQL_EVENTS_LATEST = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_events_hourly_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 over a hudi_0_10_0_spark COW snapshot at sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = f"{_TMP}/flagship"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(
+            spark,
+            path,
+            WriteConfig(
+                record_key_field=["l_orderkey", "l_linenumber"],
+                partition_field="l_returnflag",
+                precombine_field="l_shipdate",
+            ),
+        )
+        t.bulk_insert(_pq(spark, sf_dir, "lineitem"))
+    else:
+        t = HudiTable.load(spark, path)
+    snap = t.snapshot()
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        snap.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cow_snapshot_upsert_delete": q_cow_snapshot,
+        "cow_incremental": q_cow_incremental,
+        "cow_time_travel": q_cow_time_travel,
+        "mor_snapshot": q_mor_snapshot,
+        "mor_read_optimized": q_mor_read_optimized,
+        "mor_compaction": q_mor_compaction,
+        "merge_into_update_delete": q_merge_into,
+        "insert_overwrite_delete_partition": q_insert_overwrite,
+        "precombine_dedup": q_precombine_dedup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_latest_per_user": q_events_latest_per_user,
+        "events_hourly_agg": q_events_hourly_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cow_snapshot_upsert_delete": _SQL_COW_FINAL,
+        "cow_incremental": """
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 7 = 0
+        """,
+        "cow_time_travel": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+        """,
+        "mor_snapshot": _SQL_MOR_FINAL,
+        "mor_read_optimized": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+        """,
+        "mor_compaction": _SQL_MOR_COMPACTED,
+        "merge_into_update_delete": _SQL_DML_FINAL,
+        "insert_overwrite_delete_partition": _SQL_REPLACE_FINAL,
+        "precombine_dedup": _SQL_PRECOMBINE,
+        "tpch_q1": _SQL_Q1,
+        "tpch_q3": _SQL_Q3,
+        "tpch_q5": _SQL_Q5,
+        "events_latest_per_user": _SQL_EVENTS_LATEST,
+        "events_hourly_agg": _SQL_EVENTS_HOURLY,
+    }
