@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB posture):
+- Exact dedup is a hash aggregation on the dedup key — one shuffle,
+  map-side combined by Spark.
+- MinHash signatures are pure per-row JVM expressions (shingle →
+  xxhash64 → k universal-hash mins); LSH banding turns the O(n²)
+  all-pairs problem into an equi-join on (band, band_hash) — a plain
+  shuffle join AQE can skew-split. Candidates are then exact-verified,
+  so banding parameters only affect recall, never precision.
+- SimHash is one vectorized Pandas UDF (numpy bit-twiddling over Arrow
+  batches), bucketed by 16-bit chunks for Hamming-distance blocking
+  (pigeonhole: hamming<=3 ⇒ at least one of 4 chunks equal).
+- "Drop" rule everywhere: a doc is a duplicate if ANY kept doc with a
+  smaller id is similar — greedy min-id survivor, deterministic without
+  iterative connected components (documented deviation: true CC would
+  also drop transitively-linked docs whose direct similarity is below
+  threshold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import normalize_text, tokens, word_shingles
+
+# Deterministic universal-hash parameters for MinHash: x -> (a*x + b) mod p.
+# Constants from splitmix64 of the permutation index — fixed across runs.
+# p = 2^31-1 keeps a*x within int64 (Spark runs ANSI overflow checks).
+MERSENNE_P = (1 << 31) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = _splitmix64(2 * i) % (MERSENNE_P - 1) + 1
+        b = _splitmix64(2 * i + 1) % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact key; adds ``dup_count``."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = 64, shingle: int = 3
+) -> DataFrame:
+    """Append ``minhash`` (array<bigint> of k values). Entirely JVM-side:
+    word shingles → xxhash64 → per-permutation array_min."""
+    sh = F.array_distinct(word_shingles(text_col, shingle))
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    mins = [
+        F.array_min(
+            F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)))
+        )
+        for a, b in _perm_params(k)
+    ]
+    return df.withColumn("minhash", F.array(*mins))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 32, rows: int = 2
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs (a < b) whose MinHash signatures
+    collide in at least one LSH band. One explode + one self-equi-join."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("minhash", j + 1).cast("string")
+                    for j in range(i * rows, (i + 1) * rows)
+                ]))
+                for i in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str = "text",
+    shingle: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs; keeps pairs with
+    similarity >= threshold. Join fans shingle sets onto both sides."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, shingle)).alias("sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 64, bands: int = 32, rows: int = 2,
+    shingle: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates → exact-Jaccard verify → drop any
+    doc similar to a smaller-id doc. Returns the surviving rows."""
+    sigs = minhash_signature(df, text_col, k, shingle)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    dup_pairs = jaccard_verify(df, pairs, id_col, text_col, shingle, threshold)
+    losers = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_udf(k_bits: int = 64):
+    """Vectorized SimHash over Arrow batches: per doc, sum ±1 per bit of
+    each token hash (weight 1), sign → bit."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = np.array(
+                [hash_token(w) for w in str(t).lower().split()], dtype=np.uint64
+            )
+            if toks.size == 0:
+                continue
+            bits = ((toks[:, None] >> np.arange(k_bits, dtype=np.uint64)) & 1).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= toks.size, 1, 0).astype(np.uint64)
+            out[i] = int((v << np.arange(k_bits, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    return _simhash
+
+
+def hash_token(w: str) -> int:
+    """Deterministic 64-bit FNV-1a (python hash() is salted per process —
+    unusable across executors)."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup removal with 16-bit-chunk blocking (4 chunks: any
+    pair within hamming<=3 shares at least one chunk — pigeonhole)."""
+    sim = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+    chunks = sim.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    losers = cand.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def embedding_dedup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal (brute-force verify; for the
+    scale path bucket by random-hyperplane LSH first — similarity.py)."""
+    from .similarity import cosine
+
+    n = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+    )
+    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` (no Python
+UDFs): tokenization is a regexp, language ID is stopword-list hit counting,
+quality scoring is length/punct/stopword ratios, fingerprinting is a
+normalized-text hash. Each operator is a ``DataFrame -> DataFrame`` over a
+``text`` column and is designed to scan-parallelize at 100 TB (pure
+row-local columnar work — no shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deliberately minimal + deterministic; at 100 TB this stays a broadcast-free
+# literal IN-list evaluated in whole-stage codegen.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Lower-cased word tokens (BPE-ish regexp split, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_RE), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character n-gram (shingle) array via sequence+substring — JVM only."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles: join every n consecutive tokens."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts;
+    'und' (undetermined) when no list scores > 0. Deterministic tie-break
+    by language code order en < de < es < fr (via struct max on
+    (hits, -ord))."""
+    scored = []
+    for code in sorted(LANG_STOPWORDS):  # de, en, es, fr — alphabetical
+        scored.append(F.struct(stopword_hits(col, code).alias("hits"), F.lit(code).alias("code")))
+    # greatest struct = max hits, tie → lexicographically LARGEST code;
+    # keep that rule (documented) so SQL oracles can replicate it.
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features: n_chars, n_tokens, mean token
+    length, punctuation count, stopword(en) ratio, and a composite
+    ``quality_score`` in [0,1]. All built-in expressions."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_tok_len = F.when(n_tok > 0, (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)))
+                          .cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.3) * F.least(sw_ratio * 5, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_token_len", mean_tok_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """64-bit document fingerprint = xxhash64 of the normalized text.
+    Two docs share a fingerprint iff their canonical forms are equal
+    (modulo 64-bit collisions)."""
+    return F.xxhash64(normalize_text(col))
