@@ -433,6 +433,172 @@ ORDER BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from hudi_0_10_0_spark.functions.dedup import exact_dedup
+    from hudi_0_10_0_spark.functions.text import normalize_text
+
+    docs = _pq(spark, sf_dir, "documents").withColumn("norm", normalize_text("text"))
+    return exact_dedup(docs, ["norm"], "doc_id").select("doc_id", "dup_count")
+
+
+_SQL_DEDUP_EXACT = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+      FROM documents)
+GROUP BY norm
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup removal, exact-Jaccard verified at 0.8 —
+    survivors (greedy min-id rule). LSH prunes candidates; the verify
+    step makes the result equal to the all-pairs oracle."""
+    from hudi_0_10_0_spark.functions.dedup import minhash_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select("doc_id", "lang", "source")
+
+
+_SQL_DEDUP_MINHASH = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+), losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) >= 0.8 * len(list_distinct(list_concat(a.s, b.s)))
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Token count, language ID, quality score per document."""
+    from hudi_0_10_0_spark.functions.text import lang_id, quality_features
+
+    docs = _pq(spark, sf_dir, "documents")
+    return quality_features(docs).withColumn("lang_pred", lang_id("text")).select(
+        "doc_id", "n_tokens", "lang_pred", "stopword_ratio", "quality_score"
+    )
+
+
+_SQL_TEXT_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id, text, t, len(t) AS n_tokens,
+    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
+    len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+    length(text) AS n_chars
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+  CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+  ROUND(
+    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
+    + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
+  , 6) AS quality_score
+FROM hits
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for every 100th vector."""
+    from hudi_0_10_0_spark.functions.similarity import brute_force_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+_SQL_SIMILARITY_TOPK = """
+WITH dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+             s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS dp,
+    sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+    sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(dp / (nq * nc), 6) DESC, neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Approximate top-5 via multi-table random-hyperplane LSH (no SQL
+    oracle — approximate by construction; tests assert recall vs exact)."""
+    from hudi_0_10_0_spark.functions.similarity import ann_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk(emb, queries, k=5)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup survivors (pandas-UDF hash — no SQL oracle)."""
+    from hudi_0_10_0_spark.functions.dedup import simhash_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    return simhash_dedup(docs).select("doc_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column through the Arrow-batched decode pipeline
+    (deterministic fake decode); byte length is oracle-checkable."""
+    from hudi_0_10_0_spark.functions.multimodal import decode_and_featurize
+
+    docs = _pq(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return decode_and_featurize(media, fake=True).select(
+        "media_id", "media_type", "n_bytes"
+    )
+
+
+_SQL_MULTIMODAL = """
+SELECT doc_id AS media_id, 'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -484,6 +650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_simhash_dedup,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_ann_topk,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -516,4 +689,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _SQL_Q5,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        # dedup_simhash / similarity_ann_lsh: intentionally no oracle —
+        # hash-based approximations (driver records rows-only checks)
+        "text_stats": _SQL_TEXT_STATS,
+        "similarity_topk": _SQL_SIMILARITY_TOPK,
+        "multimodal_features": _SQL_MULTIMODAL,
     }
