@@ -30,6 +30,16 @@ RESTORE = "restore"
 COMPACTION = "compaction"  # requested/inflight marker; completes as `commit`
 
 WRITE_ACTIONS = (COMMIT, DELTA_COMMIT, REPLACE_COMMIT)
+ALL_ACTIONS = (
+    COMMIT,
+    DELTA_COMMIT,
+    REPLACE_COMMIT,
+    CLEAN,
+    ROLLBACK,
+    SAVEPOINT,
+    RESTORE,
+    COMPACTION,
+)
 
 REQUESTED = "requested"
 INFLIGHT = "inflight"
@@ -65,9 +75,13 @@ class Instant:
     @staticmethod
     def parse(name: str) -> "Instant | None":
         parts = name.split(".")
-        if len(parts) == 2:
+        if len(parts) == 2 and parts[1] in ALL_ACTIONS:
             return Instant(parts[0], parts[1], COMPLETED)
-        if len(parts) == 3 and parts[2] in (REQUESTED, INFLIGHT):
+        if (
+            len(parts) == 3
+            and parts[1] in ALL_ACTIONS
+            and parts[2] in (REQUESTED, INFLIGHT)
+        ):
             return Instant(parts[0], parts[1], parts[2])
         return None  # .tmp files etc.
 
@@ -101,11 +115,17 @@ class Timeline:
 
     def pending(self) -> list[Instant]:
         done = {i.timestamp for i in self.instants() if i.state == COMPLETED}
-        return [
-            i
-            for i in self.instants()
-            if i.state in (REQUESTED, INFLIGHT) and i.timestamp not in done
-        ]
+        # one entry per (timestamp, action): the most advanced state wins
+        # (both the .requested and .inflight files exist on disk mid-write)
+        rank = {REQUESTED: 0, INFLIGHT: 1}
+        best: dict[tuple[str, str], Instant] = {}
+        for i in self.instants():
+            if i.state not in rank or i.timestamp in done:
+                continue
+            cur = best.get((i.timestamp, i.action))
+            if cur is None or rank[i.state] > rank[cur.state]:
+                best[(i.timestamp, i.action)] = i
+        return sorted(best.values())
 
     def latest_completed(self, actions=WRITE_ACTIONS) -> Instant | None:
         comp = self.completed(actions)
