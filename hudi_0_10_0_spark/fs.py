@@ -53,6 +53,18 @@ class FS:
             out.append((st.getPath().toString(), st.getLen()))
         return out
 
+    def list_files_mtime(self, p: str) -> list[tuple[str, int]]:
+        """All (file_uri, modification_time_ms) under ``p`` — the
+        DeltaStreamer DFS-source checkpoint basis (``DFSPathSelector``)."""
+        out: list[tuple[str, int]] = []
+        if not self.exists(p):
+            return out
+        it = self._fs.listFiles(self._Path(p), True)
+        while it.hasNext():
+            st = it.next()
+            out.append((st.getPath().toString(), st.getModificationTime()))
+        return out
+
     # -- small text files (timeline instants, configs) ---------------------
     def read_text(self, p: str) -> str:
         stream = self._fs.open(self._Path(p))

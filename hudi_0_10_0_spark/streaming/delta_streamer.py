@@ -1,0 +1,124 @@
+"""DeltaStreamer-style ingest driver.
+
+Reference: ``util/deltastreamer/HoodieDeltaStreamer.java:92,178-193,315``
+(once vs ``--continuous``) and ``DeltaSync.java`` — pull from a source
+since the last checkpoint, apply an optional transformer, write to the
+target table, and store the new checkpoint **inside the commit
+metadata** (key ``deltastreamer.checkpoint.key``) so ingest is
+exactly-once without an external offset store.
+
+Sources (``util/sources/``): DFS parquet/json/csv dirs (checkpoint =
+max file-modification time, like ``DFSPathSelector``), hudi-incremental
+(checkpoint = commit timestamp, like ``HoodieIncrSource``), or any
+user callable ``(spark, checkpoint) -> (DataFrame | None, new_checkpoint)``.
+
+Transformer (``util/transform/SqlQueryBasedTransformer``): a SQL string
+containing ``<SRC>``, replaced by a temp view of the source batch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+CHECKPOINT_KEY = "deltastreamer.checkpoint.key"
+
+
+class DeltaStreamer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        target,
+        source: "str | Callable",
+        source_format: str = "parquet",
+        source_schema=None,
+        transformer_sql: str | None = None,
+        transformer: Callable[[DataFrame], DataFrame] | None = None,
+        operation: str = "upsert",
+    ):
+        self.spark = spark
+        self.target = target
+        self.source = source
+        self.source_format = source_format
+        self.source_schema = source_schema
+        self.transformer_sql = transformer_sql
+        self.transformer = transformer
+        self.operation = operation
+
+    # -- checkpoint --------------------------------------------------------
+    def last_checkpoint(self) -> str | None:
+        """Newest checkpoint recorded in the target's commit metadata
+        (``DeltaSync.getLatestCommitMetadataWithValidCheckpointInfo``)."""
+        for _, _, md in reversed(self.target.view().commits):
+            ckpt = md.get("extra", {}).get(CHECKPOINT_KEY)
+            if ckpt is not None:
+                return ckpt
+        return None
+
+    # -- source pulls ------------------------------------------------------
+    def _pull_dfs(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """New files in the source dir with mtime > checkpoint
+        (``DFSPathSelector.getNextFilePathsAndMaxModificationTime``)."""
+        fs = self.target.fs
+        since = int(ckpt) if ckpt else -1
+        files = [
+            (p, m)
+            for p, m in fs.list_files_mtime(self.source)
+            if m > since and not p.rsplit("/", 1)[-1].startswith(("_", "."))
+        ]
+        if not files:
+            return None, ckpt
+        reader = self.spark.read
+        if self.source_schema is not None:
+            reader = reader.schema(self.source_schema)
+        df = reader.format(self.source_format).load([p for p, _ in files])
+        return df, str(max(m for _, m in files))
+
+    def _pull_hudi_incr(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        from ..table import HudiTable
+
+        src = HudiTable.load(self.spark, self.source)
+        latest = src.timeline.latest_completed()
+        if latest is None or latest.timestamp == ckpt:
+            return None, ckpt
+        return src.incremental(ckpt, latest.timestamp), latest.timestamp
+
+    def _pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        if callable(self.source):
+            return self.source(self.spark, ckpt)
+        if self.source_format == "hudi":
+            return self._pull_hudi_incr(ckpt)
+        return self._pull_dfs(ckpt)
+
+    # -- run ---------------------------------------------------------------
+    def sync_once(self) -> str | None:
+        """One pull→transform→write cycle; returns the commit instant or
+        None when the source had nothing new."""
+        ckpt = self.last_checkpoint()
+        df, new_ckpt = self._pull(ckpt)
+        if df is None:
+            return None
+        if self.transformer_sql:
+            view = f"ds_src_{abs(hash(self.transformer_sql)) % 10**8}"
+            df.createOrReplaceTempView(view)
+            df = self.spark.sql(self.transformer_sql.replace("<SRC>", view))
+        if self.transformer is not None:
+            df = self.transformer(df)
+        op = getattr(self.target, self.operation)
+        return op(df, extra={CHECKPOINT_KEY: new_ckpt or ""})
+
+    def run_continuous(
+        self, max_rounds: int = 10, poll_seconds: float = 0.2
+    ) -> list[str]:
+        """``--continuous`` mode, bounded for tests: poll + sync until
+        ``max_rounds`` cycles complete."""
+        commits = []
+        for _ in range(max_rounds):
+            instant = self.sync_once()
+            if instant:
+                commits.append(instant)
+            else:
+                time.sleep(poll_seconds)
+        return commits

@@ -1,0 +1,262 @@
+"""Streaming surface: sink (foreachBatch micro-batch writes, exactly-once
+batch skip), source (readStream incremental pulls via the Python
+DataSource; batch format reads), and the DeltaStreamer ingest driver.
+
+Reference behaviors mirrored: ``ds/HoodieStreamingSink.scala:41-140``
+(batch-id in commit metadata), ``sql/hudi/streaming/HoodieStreamSource
+.scala:50-144`` (offsets = commit timestamps),
+``util/deltastreamer/DeltaSync.java`` (checkpoint in commit metadata).
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+from hudi_0_10_0_spark.streaming import (
+    DeltaStreamer,
+    incremental_batches,
+    last_committed_batch_id,
+    read_stream,
+    write_stream,
+)
+from hudi_0_10_0_spark.streaming.delta_streamer import CHECKPOINT_KEY
+from hudi_0_10_0_spark.streaming.sink import BATCH_ID_KEY
+
+from conftest import SCRATCH
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, SRC_SCHEMA)
+
+
+def _cfg(**kw):
+    return WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        auto_clean=False,
+        auto_archive=False,
+        **kw,
+    )
+
+
+@pytest.fixture()
+def scratch_dir():
+    import shutil
+
+    p = f"{SCRATCH}/stream_{uuid.uuid4().hex[:10]}"
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def test_streaming_sink_file_source(spark, scratch_dir):
+    src_dir = f"{scratch_dir}/in"
+    ckpt = f"{scratch_dir}/ckpt"
+    _mkdf(spark, [(i, "p0" if i % 2 == 0 else "p1", i * 10) for i in range(50)]).write.parquet(
+        src_dir
+    )
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg())
+    stream = spark.readStream.schema(SRC_SCHEMA).parquet(src_dir)
+    q = write_stream(
+        stream, t, ckpt, operation="upsert", query_name="sink1",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 50
+    assert last_committed_batch_id(t, "sink1") == 0
+    md = t.timeline.read_metadata(t.timeline.latest_completed())
+    assert md["extra"][BATCH_ID_KEY] == "0"
+
+    # second wave of files → next batch upserts (25 updates + 25 inserts)
+    _mkdf(
+        spark, [(i, "p0" if i % 2 == 0 else "p1", i * 10 + 1) for i in range(25, 75)]
+    ).write.mode("append").parquet(src_dir)
+    q = write_stream(
+        stream, t, ckpt, operation="upsert", query_name="sink1",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    snap = t.snapshot()
+    assert snap.count() == 75
+    assert snap.filter("v % 10 = 1").count() == 50  # updated + new rows
+    assert last_committed_batch_id(t, "sink1") == 1
+
+    # restart with the same checkpoint: no new data → no new commits
+    n_commits = len(t.commits())
+    q = write_stream(
+        stream, t, ckpt, operation="upsert", query_name="sink1",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert len(t.commits()) == n_commits
+
+
+def test_streaming_sink_skips_replayed_batch(spark, scratch_dir):
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg())
+    from hudi_0_10_0_spark.streaming.sink import _foreach_batch
+
+    fn = _foreach_batch(t, "upsert", "q1", retries=1, on_commit=None)
+    df = _mkdf(spark, [(1, "p0", 1)])
+    fn(df, 0)
+    fn(df, 1)
+    assert len(t.commits()) == 2
+    # replay of batch 0 and 1 (as after a checkpoint restart) → skipped
+    fn(df, 0)
+    fn(df, 1)
+    assert len(t.commits()) == 2
+    fn(df, 2)
+    assert len(t.commits()) == 3
+
+
+def test_stream_source_incremental_microbatches(spark, scratch_dir):
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg())
+    t.bulk_insert(_mkdf(spark, [(i, "p0", i) for i in range(20)]))
+    t.upsert(_mkdf(spark, [(i, "p0", 100 + i) for i in range(5)]))
+
+    out_dir = f"{scratch_dir}/out"
+    ckpt = f"{scratch_dir}/ckpt"
+    stream = read_stream(spark, t.base_path)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir)
+    # first pull covers (None, latest]: the full current snapshot
+    assert got.count() == 20
+    assert got.filter("v >= 100").count() == 5
+    assert "_hoodie_commit_time" in got.columns
+
+    # new commit → restart from checkpoint pulls ONLY the delta
+    t.upsert(_mkdf(spark, [(i, "p0", 200 + i) for i in range(18, 22)]))
+    q = (
+        read_stream(spark, t.base_path)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 24  # 20 + the 4 changed rows appended
+    assert got2.filter("v >= 200").count() == 4
+
+
+def test_batch_format_reader_snapshot_and_incremental(spark, scratch_dir):
+    from hudi_0_10_0_spark.streaming.source import FORMAT_NAME, register
+
+    t = HudiTable.create(
+        spark, f"{scratch_dir}/t", _cfg(table_type=TableType.MERGE_ON_READ, inline_compact=False)
+    )
+    c0 = t.bulk_insert(_mkdf(spark, [(i, "p0", i) for i in range(30)]))
+    t.upsert(_mkdf(spark, [(i, "p0", 500) for i in range(10)]))
+
+    register(spark)
+    snap = spark.read.format(FORMAT_NAME).option("path", t.base_path).load()
+    assert snap.count() == 30
+    assert snap.filter("v = 500").count() == 10  # MOR merge applied
+
+    ro = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.base_path)
+        .option("query.type", "read_optimized")
+        .load()
+    )
+    assert ro.filter("v = 500").count() == 0  # log files ignored
+
+    inc = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.base_path)
+        .option("query.type", "incremental")
+        .option("begin", c0)
+        .load()
+    )
+    assert inc.count() == 10
+    # matches the native incremental read
+    native = t.incremental(c0)
+    assert sorted(r.id for r in inc.select("id").collect()) == sorted(
+        r.id for r in native.select("id").collect()
+    )
+
+
+def test_incremental_batches_helper(spark, scratch_dir):
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg())
+    t.bulk_insert(_mkdf(spark, [(i, "p0", i) for i in range(10)]))
+    t.upsert(_mkdf(spark, [(5, "p0", 99)]))
+    seen = list(incremental_batches(t))
+    # single window (None → latest]: full snapshot once
+    assert len(seen) == 1
+    df, end = seen[0]
+    assert df.count() == 10
+    assert end == t.commits()[-1]
+    # resuming from that checkpoint yields nothing
+    assert list(incremental_batches(t, begin=end)) == []
+    t.delete(_mkdf(spark, [(3, "p0", 0)]).select("id", "part"))
+    nxt = list(incremental_batches(t, begin=end))
+    assert len(nxt) == 1
+    assert nxt[0][0].count() == 0  # delete emits no rows incrementally
+
+
+def test_delta_streamer_dfs_source_checkpointing(spark, scratch_dir):
+    src_dir = f"{scratch_dir}/in"
+    _mkdf(spark, [(i, "p0", i) for i in range(40)]).write.parquet(src_dir)
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg())
+    ds = DeltaStreamer(
+        spark, t, src_dir, source_schema=SRC_SCHEMA,
+        transformer_sql="SELECT id, part, v * 2 AS v FROM <SRC>",
+    )
+    c1 = ds.sync_once()
+    assert c1 is not None
+    snap = t.snapshot()
+    assert snap.count() == 40
+    assert snap.filter("v % 2 != 0").count() == 0  # transformer applied
+    assert ds.last_checkpoint() is not None
+    md = t.timeline.read_metadata(t.timeline.latest_completed())
+    assert CHECKPOINT_KEY in md["extra"]
+
+    # nothing new → no commit
+    assert ds.sync_once() is None
+
+    # new files → only they are ingested
+    import time
+
+    time.sleep(1.1)  # mtime resolution guard
+    _mkdf(spark, [(i, "p0", 1000 + i) for i in range(40, 50)]).write.mode(
+        "append"
+    ).parquet(src_dir)
+    c2 = ds.sync_once()
+    assert c2 is not None
+    assert t.snapshot().count() == 50
+    assert t.incremental(c1).count() == 10
+
+
+def test_delta_streamer_hudi_incremental_chain(spark, scratch_dir):
+    """Table-to-table incremental pipeline (HoodieIncrSource)."""
+    up = HudiTable.create(spark, f"{scratch_dir}/up", _cfg())
+    up.bulk_insert(_mkdf(spark, [(i, "p0", i) for i in range(15)]))
+    down = HudiTable.create(spark, f"{scratch_dir}/down", _cfg())
+    ds = DeltaStreamer(spark, down, up.base_path, source_format="hudi")
+    assert ds.sync_once() is not None
+    assert down.snapshot().count() == 15
+    assert ds.sync_once() is None  # caught up
+
+    up.upsert(_mkdf(spark, [(3, "p0", 999), (20, "p0", 20)]))
+    assert ds.sync_once() is not None
+    snap = down.snapshot()
+    assert snap.count() == 16
+    assert snap.filter("id = 3").first().v == 999
