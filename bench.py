@@ -19,9 +19,15 @@ from pyspark.sql import SparkSession
 def build_spark(cpus: str) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        # shuffle width: size-based AQE coalescing (parallelismFirst=false)
+        # collapses small stages to right-sized tasks; at sf0.1 the data is
+        # tens of MB so a modest initial width avoids per-task overhead —
+        # at cluster scale raise via spark.sql.shuffle.partitions env conf
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "16"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -94,6 +94,9 @@ class WriteConfig:
     index_type: str = "SIMPLE"  # SIMPLE | GLOBAL_SIMPLE | BLOOM (range-pruned simple)
     update_partition_path: bool = False  # global index: move record across partitions
     write_parallelism: int = 0  # 0 = let AQE decide / derive from data size
+    # multi-writer — WriteConcurrencyMode.java:30-32; OCC = lock + overlap check
+    concurrency_mode: str = "SINGLE_WRITER"  # | OPTIMISTIC_CONCURRENCY_CONTROL
+    lock_wait_seconds: float = 60.0
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
 

@@ -53,6 +53,10 @@ class FS:
             out.append((st.getPath().toString(), st.getLen()))
         return out
 
+    def path_size(self, p: str) -> int:
+        """Size in bytes of a single file."""
+        return self._fs.getFileStatus(self._Path(p)).getLen()
+
     def list_files_mtime(self, p: str) -> list[tuple[str, int]]:
         """All (file_uri, modification_time_ms) under ``p`` — the
         DeltaStreamer DFS-source checkpoint basis (``DFSPathSelector``)."""

@@ -184,7 +184,7 @@ class FileSystemView:
                 fg = self.groups.setdefault(
                     (st.partition, st.file_id), FileGroup(st.partition, st.file_id)
                 )
-                if cleaned and all(p in cleaned for p in st.paths):
+                if cleaned and st.paths and all(p in cleaned for p in st.paths):
                     continue
                 if st.log:
                     fg.logs.append(LogFileVersion(ts, st.paths, st.rows, st.bytes))

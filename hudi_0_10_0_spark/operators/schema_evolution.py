@@ -1,0 +1,97 @@
+"""Schema evolution operators.
+
+Reference: add-column via SQL ``ALTER TABLE ADD COLUMNS``
+(``sql/hudi/command/AlterHoodieTableAddColumnsCommand.scala``), column
+type change via ``ALTER TABLE CHANGE COLUMN`` (same dir, validated
+widening only), and write-time "reconcile schema"
+(``ds/HoodieSparkSqlWriter.scala:168``). The reference commits the new
+Avro schema with an empty commit; we commit the new Spark schema JSON
+the same way — data files are never rewritten, readers pin the latest
+schema and old files surface typed nulls for added columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ..config import DELETE_MARKER_COL, META_COLS
+from ..metadata import make_commit_metadata
+
+# widenings Spark's parquet reader can apply file→table
+# (AlterHoodieTableChangeColumnCommand validates with the same idea)
+_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
+    instant = table.new_instant()
+    table.timeline.create_requested(instant, "commit", {"operation": operation})
+    table.timeline.transition_to_inflight(instant, "commit")
+    md = make_commit_metadata(operation, new_schema.json(), [])
+    table.timeline.transition_to_completed(instant, "commit", md)
+    table._schema_cache = None
+    return instant
+
+
+def add_columns(table, fields: list[tuple[str, str]] | T.StructType) -> str:
+    """Append nullable columns to the table schema (empty commit carrying
+    the evolved schema). ``fields`` = [(name, simple_type_string)] or a
+    StructType."""
+    cur = table.read_schema()
+    if isinstance(fields, T.StructType):
+        new_fields = list(fields.fields)
+    else:
+        new_fields = [
+            T.StructField(n, T._parse_datatype_string(t), True) for n, t in fields
+        ]
+    names = {f.name for f in cur.fields}
+    for f in new_fields:
+        if f.name in names:
+            raise ValueError(f"column already exists: {f.name}")
+    # keep layout convention: meta cols, data cols, delete marker last
+    out = [f for f in cur.fields if f.name != DELETE_MARKER_COL]
+    out += [T.StructField(f.name, f.dataType, True) for f in new_fields]
+    out += [f for f in cur.fields if f.name == DELETE_MARKER_COL]
+    return _commit_schema(table, T.StructType(out), "alter_add_columns")
+
+
+def change_column_type(table, name: str, new_type: str | T.DataType) -> str:
+    """Widen a column's type (int→long, float→double, …); narrowing or
+    incompatible changes are rejected like the reference's
+    ``AlterHoodieTableChangeColumnCommand``."""
+    cur = table.read_schema()
+    if name in META_COLS or name == DELETE_MARKER_COL:
+        raise ValueError(f"cannot alter meta column: {name}")
+    tgt = (
+        T._parse_datatype_string(new_type) if isinstance(new_type, str) else new_type
+    )
+    out = []
+    found = False
+    for f in cur.fields:
+        if f.name != name:
+            out.append(f)
+            continue
+        found = True
+        if f.dataType == tgt:
+            raise ValueError(f"column {name} already has type {tgt.simpleString()}")
+        ok = (f.dataType.typeName(), tgt.typeName()) in _WIDENINGS or (
+            isinstance(f.dataType, T.DecimalType)
+            and isinstance(tgt, T.DecimalType)
+            and tgt.precision >= f.dataType.precision
+            and tgt.scale >= f.dataType.scale
+            and (tgt.precision - tgt.scale) >= (f.dataType.precision - f.dataType.scale)
+        )
+        if not ok:
+            raise ValueError(
+                f"unsupported type change for {name}: "
+                f"{f.dataType.simpleString()} → {tgt.simpleString()}"
+            )
+        out.append(T.StructField(name, tgt, f.nullable))
+    if not found:
+        raise ValueError(f"no such column: {name}")
+    return _commit_schema(table, T.StructType(out), "alter_change_column")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..config import DELETE_MARKER_COL, TableType
-from ..metadata import FileSystemView, make_commit_metadata
+from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import get_payload
 from ..timeline import (
     CLEAN,
@@ -112,6 +112,17 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         merged = mor_merge_window(union, payload)
         write_instant_files(table, merged, instant, len(slices))
         stats = collect_write_stats(table, instant)
+        # groups whose merge came out empty (all records tombstoned) must
+        # still supersede their old slice with a zero-row version
+        seen = {(s.partition, s.file_id) for s in stats}
+        for s in slices:
+            if (s.partition, s.file_id) not in seen:
+                stats.append(
+                    WriteStat(
+                        partition=s.partition, file_id=s.file_id,
+                        paths=[], rows=0, bytes=0,
+                    )
+                )
         md = make_commit_metadata(
             "compact", view.latest_schema() or "", stats, extra={"plan": plan}
         )

@@ -37,6 +37,7 @@ from ..config import (
     WriteConfig,
     WriteOperation,
 )
+from ..concurrency import guarded_commit
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
@@ -125,6 +126,8 @@ def tag_location(table, view: FileSystemView, incoming: DataFrame) -> DataFrame:
         return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
 
     paths = [table.abs_path(p) for s in slices for p in s.base.paths]
+    if not paths:  # only zero-row slices remain (fully-deleted groups)
+        return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
     index = spark.read.parquet(*paths).select(
         F.col(RECORD_KEY_COL),
         F.col(PARTITION_PATH_COL).alias("__idx_pp"),
@@ -258,22 +261,25 @@ def assign_inserts(
 # --------------------------------------------------------------------------
 
 
-def write_instant_files(table, df: DataFrame, instant: str, n_groups: int) -> None:
+def write_instant_files(
+    table, df: DataFrame, instant: str, n_groups: int, pre_partitioned: bool = False
+) -> None:
     """One pass: shuffle by file group, sort by key within the file, and
     let Spark's parquet sink lay out ``data/<instant>/_pp=…/_fg=…/``.
     File-group identity is carried by directory structure + manifest, so
-    Spark's own (parallel, committer-backed) writer does all data I/O."""
-    out = (
-        df.withColumn(
-            LAYOUT_PARTITION_COL,
-            F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
-                F.col(PARTITION_PATH_COL)
-            ),
-        )
-        .withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
-        .repartition(max(1, n_groups), F.col(LAYOUT_FILEGROUP_COL))
-        .sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
-    )
+    Spark's own (parallel, committer-backed) writer does all data I/O.
+    ``pre_partitioned`` skips the shuffle+sort (bulk-insert path, which
+    has already range-partitioned and sorted the data)."""
+    out = df.withColumn(
+        LAYOUT_PARTITION_COL,
+        F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
+            F.col(PARTITION_PATH_COL)
+        ),
+    ).withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
+    if not pre_partitioned:
+        out = out.repartition(
+            max(1, n_groups), F.col(LAYOUT_FILEGROUP_COL)
+        ).sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
     out.write.mode("error").partitionBy(LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL).parquet(
         table.instant_data_path(instant)
     )
@@ -298,19 +304,67 @@ def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] |
     return pp, fid, "data/" + rel
 
 
+def _js(v):
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)  # datetime/date/Decimal → ISO-ish string, order-preserving
+
+
+def _footer_stats(uri: str, stat_cols: list[str]) -> dict:
+    """Per-file stats straight from the parquet footer — row count and
+    per-column min/max/null-count, no data pages read. The reference
+    reads key ranges from footers the same way
+    (``HoodieBloomIndex.java:136-160`` via ``ParquetUtils``)."""
+    import pyarrow.parquet as pq
+
+    path = uri[len("file:"):] if uri.startswith("file:") else uri
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    wanted = [c for c in [RECORD_KEY_COL, *stat_cols] if c in names]
+    agg: dict[str, list] = {}  # col -> [min, max, nulls, exact]
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in wanted:
+            st = g.column(names[c]).statistics
+            cur = agg.setdefault(c, [None, None, 0, True])
+            if st is None or not st.has_min_max:
+                cur[3] = False
+                continue
+            mn, mx = st.min, st.max
+            # long binary stats may be writer-truncated → not trustworthy
+            if isinstance(mn, bytes) or (isinstance(mx, str) and len(mx) > 1000):
+                cur[3] = False
+                continue
+            cur[0] = mn if cur[0] is None else min(cur[0], mn)
+            cur[1] = mx if cur[1] is None else max(cur[1], mx)
+            cur[2] += st.null_count if st.has_null_count else 0
+    out_cols = {}
+    for c in stat_cols:
+        a = agg.get(c)
+        if a and a[3] and a[0] is not None:
+            out_cols[c] = [_js(a[0]), _js(a[1]), a[2]]
+    k = agg.get(RECORD_KEY_COL)
+    key_rng = (k[0], k[1]) if k and k[3] else (None, None)
+    return {"rows": md.num_rows, "min_key": key_rng[0], "max_key": key_rng[1],
+            "col_stats": out_cols}
+
+
 def collect_write_stats(
     table, instant: str, log_fids: set[str] | None = None
 ) -> list[WriteStat]:
-    """Read back the (fresh, small) instant directory once to compute
-    per-file-group row counts, key ranges, and column min/max/null stats
-    — the inputs for index range-pruning and data skipping
-    (``ZOrderingIndexHelper.java:86`` builds the same stats table)."""
+    """Per-file-group row counts, key ranges, and column min/max/null
+    stats — the inputs for index range-pruning and data skipping
+    (``ZOrderingIndexHelper.java:86`` builds the same stats table).
+
+    Read from parquet footers only (no data I/O, no Spark shuffle);
+    footers are fetched on the driver for small commits and fanned out
+    over executors for large ones."""
     cfg = table.cfg
-    spark = table.spark
     inst_dir = table.instant_data_path(instant)
     listed = table.fs.list_files_recursive(inst_dir)
     by_fg_bytes: dict[tuple[str, str], int] = {}
     by_fg_paths: dict[tuple[str, str], list[str]] = {}
+    uris: dict[str, tuple[str, str]] = {}
     for uri, size in listed:
         parsed = _parse_layout_path(table.base_path, uri)
         if parsed is None:
@@ -318,59 +372,134 @@ def collect_write_stats(
         pp, fid, rel = parsed
         by_fg_bytes[(pp, fid)] = by_fg_bytes.get((pp, fid), 0) + size
         by_fg_paths.setdefault((pp, fid), []).append(rel)
+        uris[uri] = (pp, fid)
     if not by_fg_paths:
         return []
 
-    df = spark.read.option("recursiveFileLookup", "true").parquet(inst_dir)
     stat_cols: list[str] = []
     if cfg.collect_column_stats:
         wanted = set(cfg.stats_columns) if cfg.stats_columns else None
-        for f in df.schema.fields:
-            if f.name in META_COLS or f.name == DELETE_MARKER_COL:
-                continue
-            if wanted is not None and f.name not in wanted:
-                continue
-            if isinstance(f.dataType, _STATS_TYPES):
-                stat_cols.append(f.name)
-    aggs = [
-        F.count(F.lit(1)).alias("__rows"),
-        F.min(RECORD_KEY_COL).alias("__mnk"),
-        F.max(RECORD_KEY_COL).alias("__mxk"),
-    ]
-    for c in stat_cols:
-        aggs += [
-            F.min(c).alias(f"__mn_{c}"),
-            F.max(c).alias(f"__mx_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nc_{c}"),
-        ]
-    rows = df.groupBy(PARTITION_PATH_COL, FILE_ID_COL).agg(*aggs).collect()
+        schema = table.schema()
+        if schema is not None:
+            for f in schema.fields:
+                if f.name in META_COLS or f.name == DELETE_MARKER_COL:
+                    continue
+                if wanted is not None and f.name not in wanted:
+                    continue
+                if isinstance(f.dataType, _STATS_TYPES):
+                    stat_cols.append(f.name)
 
-    def _js(v):
-        if v is None or isinstance(v, (int, float, str, bool)):
-            return v
-        return str(v)  # datetime/date/Decimal → ISO-ish string, order-preserving
+    uri_list = sorted(uris)
+    if len(uri_list) > 64:  # distribute footer reads for large commits
+        sc = table.spark.sparkContext
+        per_file = dict(
+            sc.parallelize(uri_list, max(2, len(uri_list) // 32)).map(
+                lambda u: (u, _footer_stats(u, stat_cols))
+            ).collect()
+        )
+    else:
+        per_file = {u: _footer_stats(u, stat_cols) for u in uri_list}
+
+    # fold per-file → per-file-group
+    acc: dict[tuple[str, str], dict] = {}
+    for u, fstats in per_file.items():
+        key = uris[u]
+        a = acc.setdefault(
+            key, {"rows": 0, "min_key": None, "max_key": None, "cols": {}, "ok": True}
+        )
+        a["rows"] += fstats["rows"]
+        if fstats["min_key"] is None:
+            a["ok"] = False
+        elif a["ok"]:
+            a["min_key"] = (
+                fstats["min_key"] if a["min_key"] is None
+                else min(a["min_key"], fstats["min_key"])
+            )
+            a["max_key"] = (
+                fstats["max_key"] if a["max_key"] is None
+                else max(a["max_key"], fstats["max_key"])
+            )
+        for c, (mn, mx, nc) in fstats["col_stats"].items():
+            cur = a["cols"].setdefault(c, [mn, mx, 0, 0])
+            cur[0] = min(cur[0], mn)
+            cur[1] = max(cur[1], mx)
+            cur[2] += nc
+            cur[3] += 1
+    n_files_per_group = {k: len(v) for k, v in by_fg_paths.items()}
 
     stats = []
-    for r in rows:
-        pp, fid = r[PARTITION_PATH_COL], r[FILE_ID_COL]
+    for (pp, fid), a in sorted(acc.items()):
+        # only keep a column's stats if every file of the group had them
         col_stats = {
-            c: [_js(r[f"__mn_{c}"]), _js(r[f"__mx_{c}"]), r[f"__nc_{c}"]]
-            for c in stat_cols
+            c: v[:3]
+            for c, v in a["cols"].items()
+            if v[3] == n_files_per_group[(pp, fid)]
         } or None
         stats.append(
             WriteStat(
                 partition=pp,
                 file_id=fid,
-                paths=sorted(by_fg_paths.get((pp, fid), [])),
-                rows=r["__rows"],
+                paths=sorted(by_fg_paths[(pp, fid)]),
+                rows=a["rows"],
                 bytes=by_fg_bytes.get((pp, fid), 0),
-                min_key=r["__mnk"],
-                max_key=r["__mxk"],
+                min_key=a["min_key"] if a["ok"] else None,
+                max_key=a["max_key"] if a["ok"] else None,
                 log=bool(log_fids and fid in log_fids),
                 col_stats=col_stats,
             )
         )
     return stats
+
+
+def _estimate_bulk_groups(table, df: DataFrame) -> int:
+    """Target file-group count for bulk insert = input bytes / max file
+    size — from source file listings only (no Spark job). Falls back to
+    the session's default parallelism for non-file inputs."""
+    cfg = table.cfg
+    if cfg.write_parallelism > 0:
+        return cfg.write_parallelism
+    total = 0
+    try:
+        files = df.inputFiles()
+        sample = files[:1000]
+        for uri in sample:
+            total += table.fs.path_size(uri)
+        if len(files) > len(sample) and sample:
+            total = total * len(files) // len(sample)
+    except Exception:
+        total = 0
+    if total <= 0:
+        return table.spark.sparkContext.defaultParallelism
+    return max(1, min(4096, -(-total // cfg.max_file_size_bytes)))
+
+
+def _bulk_insert_df(
+    table, incoming: DataFrame, data_cols: list[str], instant: str
+) -> DataFrame:
+    """Sort-mode layout (``BulkInsertSortMode.java:24-28``):
+    GLOBAL_SORT = range-shuffle on (partition, key) + local sort;
+    PARTITION_SORT = local sort only; NONE = leave as-is. File-group id
+    = fresh-uuid prefix + output Spark partition id (each task writes
+    exactly its own file groups — zero extra shuffles)."""
+    from ..config import BulkInsertSortMode
+
+    mode = table.cfg.bulk_insert_sort_mode
+    n = _estimate_bulk_groups(table, incoming)
+    df = incoming
+    if mode == BulkInsertSortMode.GLOBAL_SORT:
+        df = df.repartitionByRange(
+            n, F.col(PARTITION_PATH_COL), F.col(RECORD_KEY_COL)
+        ).sortWithinPartitions(PARTITION_PATH_COL, RECORD_KEY_COL)
+    elif mode == BulkInsertSortMode.PARTITION_SORT:
+        df = df.sortWithinPartitions(PARTITION_PATH_COL, RECORD_KEY_COL)
+    fid_prefix = uuid.uuid4().hex[:8]
+    df = df.withColumn(
+        FILE_ID_COL,
+        F.concat_ws("-", F.lit(fid_prefix), F.spark_partition_id().cast("string")),
+    )
+    if DELETE_MARKER_COL in df.columns:
+        df = df.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
+    return _finalize(_stamp_meta(df, instant), data_cols)
 
 
 # --------------------------------------------------------------------------
@@ -454,6 +583,21 @@ def run_batch_write(
     table.timeline.create_requested(instant, action, {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, action)
     try:
+        if operation == WriteOperation.BULK_INSERT:
+            # fast path (row-writer analogue,
+            # HoodieDatasetBulkInsertHelper.java:70-133): no index lookup,
+            # no small-file packing — one range shuffle + local sort,
+            # file groups derived from the output partition id
+            out = _bulk_insert_df(table, incoming, data_cols, instant)
+            write_instant_files(table, out, instant, 0, pre_partitioned=True)
+            stats = collect_write_stats(table, instant)
+            md = make_commit_metadata(
+                operation.value, out.schema.json(), stats, extra=extra
+            )
+            guarded_commit(table, instant, action, md)
+            table.run_post_commit_services()
+            return instant
+
         # ---- index tagging ------------------------------------------------
         if operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
             operation == WriteOperation.INSERT and cfg.insert_drop_dups
@@ -465,6 +609,12 @@ def run_batch_write(
         else:
             tagged = incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
 
+        # the tagged frame feeds ≥3 actions (profile collects + the write);
+        # persist it like the reference persists its input RDD
+        # (BaseSparkCommitActionExecutor.java:150-151)
+        from pyspark import StorageLevel
+
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         updates = tagged.filter(F.col(FILE_ID_COL).isNotNull())
         inserts = tagged.filter(F.col(FILE_ID_COL).isNull())
         if is_delete:
@@ -543,17 +693,34 @@ def run_batch_write(
             write_instant_files(table, out, instant, max(len(touched), 1) + 8)
 
         stats = collect_write_stats(table, instant, log_fids)
+        if not mor_delta:
+            # a rewritten file group can come out EMPTY (every record
+            # deleted): Spark's sink writes no file, but the commit must
+            # still supersede the old slice — record a zero-row version
+            # (reference analogue: HoodieMergeHandle always produces a
+            # file, even with 0 records)
+            seen = {(s.partition, s.file_id) for s in stats}
+            for pp, fid in sorted(touched):
+                if (pp, fid) not in seen:
+                    stats.append(
+                        WriteStat(partition=pp, file_id=fid, paths=[], rows=0, bytes=0)
+                    )
         md = make_commit_metadata(
             operation.value,
             out.schema.json(),
             stats,
             extra=extra,
         )
-        table.timeline.transition_to_completed(instant, action, md)
+        guarded_commit(table, instant, action, md)
     except Exception:
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         raise
+    finally:
+        try:
+            tagged.unpersist()
+        except NameError:
+            pass
     table.run_post_commit_services()
     return instant
 
@@ -615,7 +782,7 @@ def run_replace_write(
         md = make_commit_metadata(
             operation.value, schema_json, stats, replaced=replaced, extra=extra
         )
-        table.timeline.transition_to_completed(instant, "replacecommit", md)
+        guarded_commit(table, instant, "replacecommit", md)
     except Exception:
         table.timeline.delete_instant_files(instant, "replacecommit")
         table.fs.delete(table.instant_data_path(instant), recursive=True)

@@ -1,0 +1,230 @@
+"""SQL statement surface over registered tables.
+
+The reference injects a Spark session extension: a small ANTLR grammar
+for compaction statements (``HoodieSqlCommon.g4:23-33``) plus analysis
+rules that turn MERGE/UPDATE/DELETE/ALTER/TRUNCATE/SHOW plans into Hudi
+commands (``sql/hudi/analysis/HoodieAnalysis.scala:58-88,403-431``). A
+Python-only engine can't inject Catalyst rules, so this module is the
+equivalent front door: it parses the Hudi-specific statement shapes
+itself (same surface as ``sql/hudi/command/*``) and delegates every
+plain relational statement to ``spark.sql`` with the registered tables
+exposed as snapshot temp views.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..payloads import NEW, OLD
+
+_WS = r"\s+"
+_ID = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens/quotes."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [x for x in out if x]
+
+
+class HudiSqlSession:
+    """``sql(stmt)`` over registered HudiTables — the Python analogue of
+    ``HoodieSparkSessionExtension``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, object] = {}
+
+    def register(self, name: str, table) -> None:
+        self.tables[name] = table
+
+    def _table(self, name: str):
+        t = self.tables.get(name)
+        if t is None:
+            raise ValueError(f"not a registered hudi table: {name}")
+        return t
+
+    def _refresh_views(self) -> None:
+        for name, t in self.tables.items():
+            t.snapshot().createOrReplaceTempView(name)
+
+    # -- MERGE INTO ---------------------------------------------------------
+    def _merge(self, stmt: str) -> str:
+        m = re.match(
+            rf"MERGE{_WS}INTO{_WS}(?P<tgt>{_ID})(?:{_WS}(?:AS{_WS})?(?P<talias>{_ID}))?"
+            rf"{_WS}USING{_WS}(?P<src>\(.*\)|{_ID})(?:{_WS}(?:AS{_WS})?(?P<salias>{_ID}))?"
+            rf"{_WS}ON{_WS}(?P<on>.*?)(?P<whens>{_WS}WHEN{_WS}.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE statement: {stmt[:120]}")
+        t = self._table(m.group("tgt"))
+        talias = m.group("talias") or m.group("tgt")
+        salias = m.group("salias")
+        src_spec = m.group("src").strip()
+        if src_spec.startswith("("):
+            self._refresh_views()
+            source = self.spark.sql(src_spec[1:-1])
+            salias = salias or "src"
+        else:
+            if src_spec in self.tables:
+                source = self._table(src_spec).snapshot()
+            else:
+                self._refresh_views()
+                source = self.spark.table(src_spec)
+            salias = salias or src_spec
+
+        def rewrite(expr: str) -> str:
+            # alias.col → merge-frame prefixed columns (ExpressionPayload
+            # evaluates against the joined old/new frame)
+            expr = re.sub(rf"\b{re.escape(talias)}\.({_ID})", rf"`{OLD}\1`", expr)
+            expr = re.sub(rf"\b{re.escape(salias)}\.({_ID})", rf"`{NEW}\1`", expr)
+            return expr
+
+        kw: dict = {"matched_update": None, "not_matched_insert": False}
+        for when in re.finditer(
+            rf"WHEN{_WS}(?P<not>NOT{_WS})?MATCHED(?:{_WS}AND{_WS}(?P<cond>.*?))?"
+            rf"{_WS}THEN{_WS}(?P<act>UPDATE{_WS}SET{_WS}.*?|DELETE|INSERT{_WS}\*)"
+            rf"(?=\s+WHEN\s|\s*$)",
+            m.group("whens"),
+            re.IGNORECASE | re.DOTALL,
+        ):
+            cond = F.expr(rewrite(when.group("cond"))) if when.group("cond") else None
+            act = when.group("act").strip()
+            up = re.match(rf"UPDATE{_WS}SET{_WS}(.*)$", act, re.IGNORECASE | re.DOTALL)
+            if when.group("not"):
+                if not re.match(r"INSERT\s*\*", act, re.IGNORECASE):
+                    raise ValueError("only INSERT * is supported in WHEN NOT MATCHED")
+                kw["not_matched_insert"] = True
+                kw["not_matched_condition"] = cond
+            elif up:
+                sets = up.group(1).strip()
+                if sets == "*":
+                    kw["matched_update"] = "all"
+                else:
+                    assignments = {}
+                    for a in _split_top_level(sets):
+                        col, expr = a.split("=", 1)
+                        col = col.strip().split(".")[-1]
+                        assignments[col] = F.expr(rewrite(expr.strip()))
+                    kw["matched_update"] = assignments
+                kw["matched_condition"] = cond
+            else:  # DELETE
+                kw["matched_delete"] = cond if cond is not None else F.lit(True)
+        return t.merge_into(source, **kw)
+
+    # -- dispatcher ----------------------------------------------------------
+    def sql(self, stmt: str):
+        s = stmt.strip().rstrip(";").strip()
+        u = s.upper()
+
+        if u.startswith("MERGE INTO"):
+            return self._merge(s)
+
+        m = re.match(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.*?)(?:{_WS}WHERE{_WS}(.*))?$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self._table(m.group(1))
+            assignments = {}
+            for a in _split_top_level(m.group(2)):
+                col, expr = a.split("=", 1)
+                assignments[col.strip()] = F.expr(expr.strip())
+            cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+            return t.update_where(cond, assignments)
+
+        m = re.match(rf"DELETE{_WS}FROM{_WS}({_ID})(?:{_WS}WHERE{_WS}(.*))?$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self._table(m.group(1))
+            return t.delete_where(F.expr(m.group(2)) if m.group(2) else F.lit(True))
+
+        m = re.match(rf"INSERT{_WS}(INTO|OVERWRITE){_WS}({_ID}){_WS}(SELECT.*|VALUES.*|TABLE.*)$",
+                     s, re.IGNORECASE | re.DOTALL)
+        if m:
+            t = self._table(m.group(2))
+            self._refresh_views()
+            df = self.spark.sql(m.group(3))
+            df = df.toDF(*[f.name for f in t.read_schema().fields
+                           if not f.name.startswith("_hoodie")][: len(df.columns)])
+            if m.group(1).upper() == "OVERWRITE":
+                return t.insert_overwrite(df)
+            return t.insert(df)
+
+        m = re.match(rf"TRUNCATE{_WS}TABLE{_WS}({_ID})$", s, re.IGNORECASE)
+        if m:
+            return self._table(m.group(1)).truncate()
+
+        m = re.match(rf"SHOW{_WS}PARTITIONS{_WS}({_ID})$", s, re.IGNORECASE)
+        if m:
+            parts = self._table(m.group(1)).partitions()
+            return self.spark.createDataFrame([(p,) for p in parts], "partition string")
+
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}ADD{_WS}COLUMNS?{_WS}\((.*)\)$",
+            s, re.IGNORECASE | re.DOTALL)
+        if m:
+            fields = []
+            for f in _split_top_level(m.group(2)):
+                name, typ = f.split(None, 1)
+                fields.append((name, typ))
+            return self._table(m.group(1)).add_columns(fields)
+
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}(?:CHANGE|ALTER){_WS}COLUMN{_WS}"
+            rf"({_ID}){_WS}(?:TYPE{_WS})?(.+)$",
+            s, re.IGNORECASE)
+        if m:
+            return self._table(m.group(1)).change_column_type(m.group(2), m.group(3).strip())
+
+        # custom compaction grammar — HoodieSqlCommon.g4:23-33
+        m = re.match(rf"(RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}ON{_WS}({_ID})$",
+                     s, re.IGNORECASE)
+        if m:
+            t = self._table(m.group(2))
+            verb = m.group(1).upper()
+            if verb == "RUN":
+                pend = [
+                    i.timestamp for i in t.timeline.pending()
+                    if i.action == "compaction"
+                ]
+                return t.compact(pend[0] if pend else None)
+            if verb == "SCHEDULE":
+                return t.schedule_compaction()
+            pend = [
+                (i.timestamp, i.state)
+                for i in t.timeline.pending()
+                if i.action == "compaction"
+            ]
+            return self.spark.createDataFrame(
+                pend or [], "timestamp string, state string"
+            )
+
+        # plain relational SQL → Spark, with table snapshots as views
+        self._refresh_views()
+        return self.spark.sql(s)

@@ -224,6 +224,30 @@ class HudiTable:
         if self.cfg.auto_archive:
             self.archive()
 
+    # -- schema evolution / DDL ---------------------------------------------
+    def add_columns(self, fields) -> str:
+        """ALTER TABLE ADD COLUMNS — [(name, type_str)] or StructType."""
+        from .operators.schema_evolution import add_columns
+
+        return add_columns(self, fields)
+
+    def change_column_type(self, name: str, new_type) -> str:
+        """ALTER TABLE CHANGE COLUMN — widening conversions only."""
+        from .operators.schema_evolution import change_column_type
+
+        return change_column_type(self, name, new_type)
+
+    def truncate(self) -> str:
+        """TRUNCATE TABLE: logical replace of every file group, schema
+        kept (``TruncateHoodieTableCommand``)."""
+        from .config import WriteOperation
+        from .operators.write import run_replace_write
+
+        return run_replace_write(
+            self, None, WriteOperation.DELETE_PARTITION,
+            partitions=self.partitions(),
+        )
+
     # -- SQL-ish DML -------------------------------------------------------
     def merge_into(self, source: DataFrame, **kw) -> str:
         from .sql.dml import merge_into

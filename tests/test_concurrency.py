@@ -1,0 +1,110 @@
+"""OCC multi-writer tests: filesystem lock provider and
+conflict-on-overlapping-file-groups resolution
+(``SimpleConcurrentFileWritesConflictResolutionStrategy``,
+``WriteConcurrencyMode.java:30-32``)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.concurrency import (
+    ConcurrentWriteConflictError,
+    FileSystemLockProvider,
+    find_conflicts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _cfg(**kw):
+    return WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+        lock_wait_seconds=5.0,
+        auto_clean=False,
+        auto_archive=False,
+        **kw,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_lock_provider_exclusive_and_expiry(spark, tmp_table_path):
+    from hudi_0_10_0_spark.fs import FS
+
+    fs = FS(spark, tmp_table_path)
+    fs.mkdirs(tmp_table_path)
+    lp = FileSystemLockProvider(fs, f"{tmp_table_path}/_hoodie_meta")
+    assert lp.try_lock("w1")
+    assert not lp.try_lock("w2")  # held
+    lp.unlock("w2")  # non-owner unlock is a no-op
+    assert not lp.try_lock("w2")
+    lp.unlock("w1")
+    assert lp.try_lock("w2")
+    lp.unlock("w2")
+
+    # stale lock (expired TTL) is breakable
+    stale = FileSystemLockProvider(fs, f"{tmp_table_path}/_hoodie_meta", ttl_seconds=0.0)
+    assert stale.try_lock("w3")
+    assert stale.try_lock("w4")  # w3's lock expired instantly
+
+
+def test_find_conflicts_overlap_rules():
+    commits = [
+        ("005", "commit", {"write_stats": [{"partition": "p0", "file_id": "a"}]}),
+        ("010", "commit", {"write_stats": [{"partition": "p0", "file_id": "b"}]}),
+        ("015", "replacecommit", {"write_stats": [], "replaced": {"p1": ["c"]}}),
+    ]
+    # our txn began at 007: overlaps commit 010 on (p0,b), not 005
+    assert find_conflicts(commits, "007", {("p0", "b")}) == ["010"]
+    assert find_conflicts(commits, "007", {("p0", "a")}) == []
+    assert find_conflicts(commits, "007", {("p1", "c")}) == ["015"]
+    assert find_conflicts(commits, "020", {("p0", "b")}) == []
+
+
+def test_occ_concurrent_writers_conflict(spark, tmp_table_path):
+    """Writer A starts (allocates an instant), writer B lands a commit on
+    the same file group, then A tries to commit → rejected + rolled
+    back; a non-overlapping A' commit succeeds."""
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(i, "p0", i) for i in range(10)] + [(i, "p1", i) for i in range(100, 110)]))
+
+    a_instant = t.new_instant()  # A begins
+    t.upsert(_df(spark, [(1, "p0", 111)]))  # B commits on p0's group
+
+    with pytest.raises(ConcurrentWriteConflictError):
+        t.upsert(_df(spark, [(2, "p0", 222)]), instant_time=a_instant)
+    # A's failed write must leave no trace
+    assert t.timeline.pending() == []
+    snap = t.snapshot()
+    assert snap.filter("id = 2").first().v == 2  # A's change absent
+    assert snap.filter("id = 1").first().v == 111  # B's change present
+
+    # disjoint file groups (other partition) → no conflict even backdated
+    a2 = t.new_instant()
+    t.upsert(_df(spark, [(300, "p2", 300)]))  # B again, new partition
+    t.upsert(_df(spark, [(400, "p3", 400)]), instant_time=a2)
+    assert t.snapshot().count() == 22  # 20 initial + id=300 + id=400
+
+
+def test_single_writer_mode_skips_occ(spark, tmp_table_path):
+    cfg = _cfg()
+    cfg.concurrency_mode = "SINGLE_WRITER"
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    late = t.new_instant()
+    t.upsert(_df(spark, [(1, "p0", 2)]))
+    # same-group backdated write commits fine without OCC
+    t.upsert(_df(spark, [(1, "p0", 3)]), instant_time=late)
+    assert t.snapshot().count() == 1

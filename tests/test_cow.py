@@ -172,3 +172,37 @@ def test_complex_key_and_hive_style(spark, tmp_table_path, lineitem):
     key = snap.select("_hoodie_record_key").first()[0]
     assert key.startswith("l_orderkey:")
     assert snap.select("_hoodie_partition_path").first()[0].startswith("l_returnflag=")
+
+
+def test_delete_emptying_whole_file_group(spark, tmp_table_path):
+    """A COW rewrite that deletes EVERY record of a file group must
+    supersede the old slice with a zero-row version (no orphan
+    resurrection on the next snapshot)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        auto_clean=False, auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    # tiny groups: every row lands in its own file group
+    t.bulk_insert(spark.createDataFrame([(i, "p0", i) for i in range(8)], schema))
+    # delete via meta-key columns (the delete_where path)
+    keys = t.snapshot().filter("id >= 6").select(
+        "_hoodie_record_key", "_hoodie_partition_path"
+    )
+    t.delete(keys)
+    assert t.snapshot().count() == 6
+    assert t.snapshot().filter("id >= 6").count() == 0
+    # deleting everything leaves an empty but valid table
+    t.delete_where(F.lit(True))
+    assert t.snapshot().count() == 0
+    t.upsert(spark.createDataFrame([(100, "p0", 1)], schema))
+    assert t.snapshot().count() == 1

@@ -1,0 +1,107 @@
+"""Schema evolution: ALTER ADD COLUMNS, CHANGE COLUMN (widening),
+write-time reconcile, TRUNCATE.
+
+Reference: ``AlterHoodieTableAddColumnsCommand.scala``,
+``AlterHoodieTableChangeColumnCommand`` validation, reconcile-schema
+(``ds/HoodieSparkSqlWriter.scala:168``), ``TruncateHoodieTableCommand``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("v", T.IntegerType()),
+    ]
+)
+
+
+def _cfg(**kw):
+    return WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        auto_clean=False, auto_archive=False, **kw,
+    )
+
+
+def _df(spark, rows, schema=SCHEMA):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_add_columns_old_files_yield_nulls(spark, tmp_table_path):
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1), (2, "p0", 2)]))
+    t.add_columns([("score", "double"), ("tag", "string")])
+
+    snap = t.snapshot()
+    assert "score" in snap.columns and "tag" in snap.columns
+    assert snap.filter("score IS NULL").count() == 2
+
+    # new writes can fill the added columns; missing columns still OK
+    wide = T.StructType(
+        SCHEMA.fields
+        + [T.StructField("score", T.DoubleType()), T.StructField("tag", T.StringType())]
+    )
+    t.upsert(spark.createDataFrame([(2, "p0", 20, 0.5, "x"), (3, "p0", 3, 0.9, "y")], wide))
+    snap = t.snapshot()
+    assert snap.count() == 3
+    assert snap.filter("id = 2").first().score == 0.5
+    assert snap.filter("id = 1").first().score is None
+
+    dup = pytest.raises(ValueError, t.add_columns, [("score", "double")])
+    assert "already exists" in str(dup.value)
+
+
+def test_reconcile_schema_on_write(spark, tmp_table_path):
+    """A batch carrying a brand-new column evolves the table schema
+    (write-time reconcile), no explicit DDL needed."""
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    wide = T.StructType(SCHEMA.fields + [T.StructField("extra", T.LongType())])
+    t.upsert(spark.createDataFrame([(2, "p0", 2, 99)], wide))
+    snap = t.snapshot()
+    assert snap.filter("id = 2").first().extra == 99
+    assert snap.filter("id = 1").first().extra is None
+
+
+def test_change_column_type_widening(spark, tmp_table_path):
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 7)]))
+    t.change_column_type("v", "bigint")
+    assert dict(t.snapshot().dtypes)["v"] == "bigint"
+    assert t.snapshot().first().v == 7  # old int32 file read as long
+
+    with pytest.raises(ValueError, match="unsupported type change"):
+        t.change_column_type("v", "int")  # narrowing (long → int)
+    with pytest.raises(ValueError, match="meta column"):
+        t.change_column_type("_hoodie_record_key", "bigint")
+    with pytest.raises(ValueError, match="no such column"):
+        t.change_column_type("nope", "bigint")
+
+    # widened column keeps working for writes
+    wide = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t.upsert(spark.createDataFrame([(1, "p0", 2**40)], wide))
+    assert t.snapshot().first().v == 2**40
+
+
+def test_truncate_keeps_schema_and_history(spark, tmp_table_path):
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    c0 = t.bulk_insert(_df(spark, [(i, "p0", i) for i in range(5)]))
+    t.truncate()
+    assert t.snapshot().count() == 0
+    assert [f.name for f in t.read_schema().fields if f.name == "v"] == ["v"]
+    # truncation is a replacecommit: time travel still sees the old data
+    assert t.snapshot(as_of=c0).count() == 5
+    # and the table accepts new writes
+    t.upsert(_df(spark, [(9, "p0", 9)]))
+    assert t.snapshot().count() == 1

@@ -1,0 +1,147 @@
+"""SQL statement surface (sql/parser.py) — the Python analogue of the
+reference's session extension + command classes
+(``HoodieSparkSessionExtension``, ``sql/hudi/command/*``,
+``HoodieSqlCommon.g4:23-33``)."""
+
+import pytest
+from pyspark.sql import types as T
+
+from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def hs(spark, tmp_table_path):
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="v",
+            auto_clean=False, auto_archive=False,
+        ),
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, "p0" if i % 2 == 0 else "p1", i, f"n{i}") for i in range(10)], SCHEMA
+        )
+    )
+    s = HudiSqlSession(spark)
+    s.register("tgt", t)
+    return s, t
+
+
+def test_update_delete_statements(hs):
+    s, t = hs
+    s.sql("UPDATE tgt SET name = 'upd', v = v + 100 WHERE id % 3 = 0")
+    snap = t.snapshot()
+    assert snap.filter("name = 'upd'").count() == 4  # ids 0,3,6,9
+    assert snap.filter("id = 3").first().v == 103
+
+    s.sql("DELETE FROM tgt WHERE id >= 8")
+    assert t.snapshot().count() == 8
+
+    s.sql("DELETE FROM tgt")
+    assert t.snapshot().count() == 0
+
+
+def test_merge_statement_update_delete_insert(hs, spark):
+    s, t = hs
+    src = spark.createDataFrame(
+        [(0, "p0", 1000, "m0"), (1, "p1", 1001, "m1"), (50, "p0", 50, "new")], SCHEMA
+    )
+    src.createOrReplaceTempView("src_v")
+    s.sql(
+        """
+        MERGE INTO tgt AS t USING src_v AS s
+        ON t.id = s.id
+        WHEN MATCHED AND s.id = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    snap = t.snapshot()
+    assert snap.count() == 10  # 10 - 1 deleted + 1 inserted
+    assert snap.filter("id = 1").count() == 0
+    assert snap.filter("id = 0").first().name == "m0"
+    assert snap.filter("id = 50").first().name == "new"
+    # untouched rows keep their values
+    assert snap.filter("id = 2").first().name == "n2"
+
+
+def test_merge_with_subquery_source(hs, spark):
+    s, t = hs
+    s.sql(
+        """
+        MERGE INTO tgt USING (
+            SELECT id, part, v + 1 AS v, 'via_sq' AS name FROM tgt WHERE id < 2
+        ) s ON tgt.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        """
+    )
+    snap = t.snapshot()
+    assert snap.filter("name = 'via_sq'").count() == 2
+    assert snap.count() == 10
+
+
+def test_insert_into_and_overwrite(hs, spark):
+    s, t = hs
+    s.sql("INSERT INTO tgt SELECT 100 AS id, 'p0' AS part, 100 AS v, 'ins' AS name")
+    assert t.snapshot().filter("id = 100").first().name == "ins"
+    s.sql(
+        "INSERT OVERWRITE tgt SELECT 7 AS id, 'p0' AS part, 7 AS v, 'only' AS name"
+    )
+    snap = t.snapshot()
+    # p0 replaced by the single row; p1 untouched
+    assert snap.filter("part = 'p0'").count() == 1
+    assert snap.filter("part = 'p1'").count() == 5
+
+
+def test_show_partitions_truncate_alter(hs):
+    s, t = hs
+    parts = {r.partition for r in s.sql("SHOW PARTITIONS tgt").collect()}
+    assert parts == {"p0", "p1"}
+
+    s.sql("ALTER TABLE tgt ADD COLUMNS (score double)")
+    assert "score" in t.snapshot().columns
+
+    s.sql("TRUNCATE TABLE tgt")
+    assert t.snapshot().count() == 0
+
+
+def test_compaction_statements(spark, tmp_table_path):
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="v",
+            table_type=TableType.MERGE_ON_READ, inline_compact=False,
+            auto_clean=False, auto_archive=False,
+        ),
+    )
+    df = spark.createDataFrame([(1, "p0", 1, "a")], SCHEMA)
+    t.bulk_insert(df)
+    t.upsert(spark.createDataFrame([(1, "p0", 2, "b")], SCHEMA))
+    s = HudiSqlSession(spark)
+    s.register("m", t)
+
+    assert s.sql("SHOW COMPACTION ON m").count() == 0
+    s.sql("SCHEDULE COMPACTION ON m")
+    assert s.sql("SHOW COMPACTION ON m").count() == 1
+    s.sql("RUN COMPACTION ON m")
+    assert s.sql("SHOW COMPACTION ON m").count() == 0
+    assert t.read_optimized().filter("name = 'b'").count() == 1
+
+
+def test_plain_select_delegates_to_spark(hs):
+    s, t = hs
+    rows = s.sql("SELECT COUNT(*) AS n FROM tgt WHERE part = 'p0'").collect()
+    assert rows[0].n == 5
