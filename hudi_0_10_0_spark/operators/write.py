@@ -228,17 +228,27 @@ _BUCKET_SCHEMA = T.StructType(
 
 
 def assign_inserts(
-    table, view: FileSystemView, inserts: DataFrame, pack_small_files: bool
+    table,
+    view: FileSystemView,
+    inserts: DataFrame,
+    pack_small_files: bool,
+    insert_counts: list[tuple[str, int]] | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Map each untagged (insert) row to a file group via the bucket
     plan. Row→bucket assignment is a partition-local ``row_number``
     (sorted by key, so files end up key-ordered like the reference's
     partition-sort modes) joined against the broadcast bucket ranges —
-    the same shape as the reference's custom ``Partitioner``."""
-    counts = [
-        (r[0], r[1])
-        for r in inserts.groupBy(PARTITION_PATH_COL).count().collect()
-    ]
+    the same shape as the reference's custom ``Partitioner``.
+
+    ``insert_counts`` lets the caller supply per-partition row counts
+    from an already-collected workload profile (one Spark job for the
+    whole write, ``BaseSparkCommitActionExecutor.buildProfile``)."""
+    counts = insert_counts
+    if counts is None:
+        counts = [
+            (r[0], r[1])
+            for r in inserts.groupBy(PARTITION_PATH_COL).count().collect()
+        ]
     if not counts:
         return inserts.limit(0).withColumn(FILE_ID_COL, F.lit(None).cast("string")), set()
     buckets = plan_insert_buckets(view, table.cfg, counts, pack_small_files)
@@ -454,7 +464,13 @@ def collect_write_stats(
 def _estimate_bulk_groups(table, df: DataFrame) -> int:
     """Target file-group count for bulk insert = input bytes / max file
     size — from source file listings only (no Spark job). Falls back to
-    the session's default parallelism for non-file inputs."""
+    the session's default parallelism for non-file inputs.
+
+    A parallelism floor keeps small loads from collapsing to one serial
+    write task (and one file group, which would then serialize every
+    later rewrite of the table): one task per ~256 KB of compressed
+    input, capped at the session's core count. At scale the size-based
+    count dominates anyway (100 TB / 120 MB ≈ 875k groups)."""
     cfg = table.cfg
     if cfg.write_parallelism > 0:
         return cfg.write_parallelism
@@ -470,7 +486,11 @@ def _estimate_bulk_groups(table, df: DataFrame) -> int:
         total = 0
     if total <= 0:
         return table.spark.sparkContext.defaultParallelism
-    return max(1, min(4096, -(-total // cfg.max_file_size_bytes)))
+    n_size = -(-total // cfg.max_file_size_bytes)
+    n_par = min(
+        table.spark.sparkContext.defaultParallelism, -(-total // (256 << 10))
+    )
+    return max(1, min(1_000_000, max(n_size, n_par)))
 
 
 def _bulk_insert_df(
@@ -617,12 +637,23 @@ def run_batch_write(
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         updates = tagged.filter(F.col(FILE_ID_COL).isNotNull())
         inserts = tagged.filter(F.col(FILE_ID_COL).isNull())
+
+        # ---- workload profile (ONE job, like buildProfile:
+        # BaseSparkCommitActionExecutor.java:182-214): per-(partition,
+        # file_id) counts give the insert bucket sizes, the touched
+        # update groups, and the MOR log fids without extra collects.
+        profile = tagged.groupBy(PARTITION_PATH_COL, FILE_ID_COL).count().collect()
+        insert_counts = [(r[0], r[2]) for r in profile if r[1] is None]
+        update_groups = {(r[0], r[1]) for r in profile if r[1] is not None}
         if is_delete:
             inserts = inserts.limit(0)  # deleting absent keys is a no-op
+            insert_counts = []
 
         mor_delta = action == "deltacommit"
         pack = operation in (WriteOperation.UPSERT, WriteOperation.INSERT) and not mor_delta
-        assigned_inserts, packed_fids = assign_inserts(table, view, inserts, pack)
+        assigned_inserts, packed_fids = assign_inserts(
+            table, view, inserts, pack, insert_counts=insert_counts
+        )
 
         log_fids: set[str] = set()
         if mor_delta:
@@ -633,21 +664,14 @@ def run_batch_write(
             out = _finalize(log_rows, data_cols).unionByName(
                 _finalize(base_rows, data_cols)
             )
-            log_fids = {
-                r[0] for r in updates.select(FILE_ID_COL).distinct().collect()
-            }
+            log_fids = {fid for _, fid in update_groups}
             n_groups = len(log_fids) + 8
             write_instant_files(table, out, instant, n_groups)
         else:
             # COW: rewrite every affected file group (updates + packed
             # inserts), merging with stored rows; fresh groups come along
             # in the same pass with an empty old side.
-            touched = {
-                (r[0], r[1])
-                for r in updates.select(PARTITION_PATH_COL, FILE_ID_COL)
-                .distinct()
-                .collect()
-            }
+            touched = set(update_groups)
             for sl in view.latest_file_slices():
                 if sl.file_id in packed_fids:
                     touched.add((sl.partition, sl.file_id))

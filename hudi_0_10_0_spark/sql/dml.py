@@ -128,7 +128,10 @@ def update_where(table, condition: Column, assignments: dict[str, Column]) -> st
     snap = table.snapshot().filter(condition)
     for c, expr in assignments.items():
         snap = snap.withColumn(c, expr)
-    return table.upsert(snap.drop(*META_COLS, DELETE_MARKER_COL))
+    # keep the stamped key/partition columns — stamp_keys() skips
+    # recomputation when they are already present
+    drop = [c for c in META_COLS if c not in (RECORD_KEY_COL, PARTITION_PATH_COL)]
+    return table.upsert(snap.drop(*drop, DELETE_MARKER_COL))
 
 
 def delete_where(table, condition: Column) -> str:
