@@ -6,11 +6,16 @@ hilbert/sample strategies keyed by
 ``client/config/HoodieClusteringConfig.java:131,174-178``; recorded
 skipping results in BASELINE.md.
 
-Two normalization strategies, as in the reference:
-- ``map``: direct value→bits (degrades on skewed data);
-- ``sample``: rank-based via quantile boundaries (robust to skew —
-  the reference's *sample* variants keep ~78-84% skipping on skewed
-  inputs where map-based drops to ~0%).
+Three normalization strategies:
+- ``raw``: direct value→bits, the reference's *map* behavior — degrades
+  to ~0% skipping when column ranges are imbalanced (BASELINE.md's
+  skewed case) because the narrow column only occupies low bits;
+- ``map``: min-max rescale each column into the full bit range first —
+  strictly better than ``raw`` (immune to range imbalance) at the cost
+  of one min/max aggregate;
+- ``sample``: rank-based via quantile boundaries (the reference's
+  *sample* variants) — robust to arbitrary value-distribution skew,
+  not just range imbalance.
 
 The z-value is a pure Column expression (bit arithmetic, codegen'd);
 hilbert uses a vectorized pandas UDF (numpy bit loop over 63 bits is
@@ -24,6 +29,23 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _normalize_raw(df: DataFrame, cols: list[str], bits: int) -> tuple[DataFrame, list[str]]:
+    """Direct value→bits clamp, no rescaling — the reference's map-based
+    build (``ZOrderingIndexHelper.java``: int values are bit-interleaved
+    as-is). Kept for parity; prefer ``map``/``sample``."""
+    out_cols = []
+    for c in cols:
+        df = df.withColumn(
+            f"__n_{c}",
+            F.least(
+                F.greatest(F.col(c).cast("long"), F.lit(0)),
+                F.lit((1 << bits) - 1),
+            ),
+        )
+        out_cols.append(f"__n_{c}")
+    return df, out_cols
 
 
 def _normalize_map(df: DataFrame, cols: list[str], bits: int) -> tuple[DataFrame, list[str]]:
@@ -77,6 +99,13 @@ def _normalize_sample(df: DataFrame, cols: list[str], bits: int) -> tuple[DataFr
     return df, out_cols
 
 
+_NORMALIZERS = {
+    "raw": _normalize_raw,
+    "map": _normalize_map,
+    "sample": _normalize_sample,
+}
+
+
 def with_zvalue(
     df: DataFrame,
     cols: list[str],
@@ -86,9 +115,7 @@ def with_zvalue(
 ) -> DataFrame:
     """Add the interleaved-bit z-value of ``cols``. Bit interleave is a
     Column expression: for bit i of column j → output bit i*ncols+j."""
-    df, norm_cols = (
-        _normalize_sample(df, cols, bits) if method == "sample" else _normalize_map(df, cols, bits)
-    )
+    df, norm_cols = _NORMALIZERS[method](df, cols, bits)
     n = len(norm_cols)
     z: Column = F.lit(0).cast("long")
     for i in range(bits):
@@ -141,9 +168,7 @@ def with_hilbert_value(
     bits: int = 16,
     method: str = "sample",
 ) -> DataFrame:
-    df, norm_cols = (
-        _normalize_sample(df, cols, bits) if method == "sample" else _normalize_map(df, cols, bits)
-    )
+    df, norm_cols = _NORMALIZERS[method](df, cols, bits)
 
     @F.pandas_udf(T.LongType())
     def _hv(*series: pd.Series) -> pd.Series:

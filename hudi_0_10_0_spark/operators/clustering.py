@@ -35,7 +35,8 @@ def cluster(
     partitions: list[str] | None = None,
     sort_cols: list[str] | None = None,
     layout: str = "sort",  # sort | zorder | hilbert
-    curve_method: str = "sample",  # map | sample (see functions/zorder.py)
+    curve_method: str = "sample",  # raw | map | sample (see functions/zorder.py)
+    curve_bits: int = 16,
     target_file_size: int | None = None,
     small_files_only: bool = False,
     target_file_groups: int | None = None,
@@ -68,10 +69,10 @@ def cluster(
 
         sort_key = None
         if layout == "zorder" and sort_cols:
-            df = with_zvalue(df, sort_cols, "__curve", method=curve_method)
+            df = with_zvalue(df, sort_cols, "__curve", bits=curve_bits, method=curve_method)
             sort_key = "__curve"
         elif layout == "hilbert" and sort_cols:
-            df = with_hilbert_value(df, sort_cols, "__curve", method=curve_method)
+            df = with_hilbert_value(df, sort_cols, "__curve", bits=curve_bits, method=curve_method)
             sort_key = "__curve"
         elif sort_cols:
             sort_key = sort_cols[0]
