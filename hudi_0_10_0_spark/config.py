@@ -74,6 +74,9 @@ class WriteConfig:
     # services — HoodieCompactionConfig.java:73-76,93-96,122-138
     compact_max_delta_commits: int = 5
     compact_trigger: str = "NUM_COMMITS"  # NUM_COMMITS|TIME_ELAPSED|NUM_AND_TIME|NUM_OR_TIME
+    # TIME_ELAPSED band — hoodie.compact.inline.max.delta.seconds default
+    # (HoodieCompactionConfig.java:97-101)
+    compact_max_delta_seconds: int = 3600
     compact_max_delta_seconds: int = 3600
     cleaner_commits_retained: int = 10
     cleaner_policy: str = "KEEP_LATEST_COMMITS"  # | KEEP_LATEST_FILE_VERSIONS

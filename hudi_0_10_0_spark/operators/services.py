@@ -32,35 +32,90 @@ from .write import collect_write_stats, write_instant_files
 
 
 def compaction_due(table, view: FileSystemView | None = None) -> bool:
-    """NUM_COMMITS trigger (CompactionTriggerStrategy.java:23-29):
-    delta commits since the last compaction/commit ≥ N (default 5,
-    HoodieCompactionConfig.java:93-96)."""
-    if table.cfg.table_type != TableType.MERGE_ON_READ:
+    """Compaction trigger (CompactionTriggerStrategy.java:23-29):
+    NUM_COMMITS — delta commits since the last non-delta write ≥ N
+    (default 5, HoodieCompactionConfig.java:93-96); TIME_ELAPSED —
+    seconds since then ≥ ``compact_max_delta_seconds``; NUM_AND_TIME /
+    NUM_OR_TIME combine both."""
+    cfg = table.cfg
+    if cfg.table_type != TableType.MERGE_ON_READ:
         return False
     n = 0
+    first_delta_ts = None
     for inst in reversed(table.timeline.completed_write_instants()):
         if inst.action == DELTA_COMMIT:
             n += 1
+            first_delta_ts = inst.timestamp
         else:
             break
-    return n >= table.cfg.compact_max_delta_commits
+    num_ok = n >= cfg.compact_max_delta_commits
+    trigger = cfg.compact_trigger.upper()
+    if trigger == "NUM_COMMITS":
+        return num_ok
+    time_ok = False
+    if first_delta_ts is not None:
+        import time as _time
+
+        try:
+            # instant times come from time.strftime (localtime) — parse
+            # them back the same way
+            t0 = _time.mktime(_time.strptime(first_delta_ts[:14], "%Y%m%d%H%M%S"))
+            time_ok = (_time.time() - t0) >= cfg.compact_max_delta_seconds
+        except ValueError:
+            time_ok = False
+    if trigger == "TIME_ELAPSED":
+        return time_ok
+    if trigger == "NUM_AND_TIME":
+        return num_ok and time_ok
+    if trigger == "NUM_OR_TIME":
+        return num_ok or time_ok
+    return num_ok
 
 
-def schedule_compaction(table, strategy: str = "LOG_FILE_SIZE", max_slices: int | None = None) -> str | None:
+def schedule_compaction(
+    table,
+    strategy: str = "LOG_FILE_SIZE",
+    max_slices: int | None = None,
+    io_budget_bytes: int | None = None,
+    day_partitions: int | None = None,
+) -> str | None:
     """Write a compaction plan as a `compaction.requested` instant.
 
     Plan strategies (client/table/action/compact/strategy/): pick file
-    slices that have delta files; LOG_FILE_SIZE orders by total delta
-    bytes descending (LogFileSizeBasedCompactionStrategy), UNBOUNDED
-    takes all."""
+    slices that have delta files;
+    - LOG_FILE_SIZE (default): order by total delta bytes descending
+      (``LogFileSizeBasedCompactionStrategy``);
+    - BOUNDED_IO: same order, stop once the estimated IO (base read +
+      delta read + base rewrite) exceeds ``io_budget_bytes``
+      (``BoundedIOCompactionStrategy``);
+    - DAY_BASED: only slices in the ``day_partitions`` latest partitions
+      by name order (``DayBasedCompactionStrategy`` — partition paths
+      are dates, newest first);
+    - UNBOUNDED: all slices (``UnBoundedCompactionStrategy``)."""
     view = table.view()
     slices = [s for s in view.latest_file_slices() if s.logs]
     if not slices:
         return None
-    if strategy.upper() == "LOG_FILE_SIZE":
+    strat = strategy.upper()
+    if strat in ("LOG_FILE_SIZE", "BOUNDED_IO"):
         slices.sort(key=lambda s: sum(l.bytes for l in s.logs), reverse=True)
+    if strat == "BOUNDED_IO" and io_budget_bytes is not None:
+        picked, spent = [], 0
+        for s in slices:
+            cost = 2 * s.base.bytes + sum(l.bytes for l in s.logs)
+            if picked and spent + cost > io_budget_bytes:
+                break
+            picked.append(s)
+            spent += cost
+        slices = picked
+    elif strat == "DAY_BASED":
+        latest_parts = sorted({s.partition for s in slices}, reverse=True)
+        keep = set(latest_parts[: (day_partitions or 1)])
+        slices = [s for s in slices if s.partition in keep]
     if max_slices:
         slices = slices[:max_slices]
+    if not slices:
+        return None
     instant = table.new_instant()
     plan = {
         "slices": [{"partition": s.partition, "file_id": s.file_id} for s in slices],

@@ -571,6 +571,17 @@ def run_batch_write(
     incoming = _align_to_table_schema(incoming, table_schema)
     if is_delete:
         incoming = incoming.withColumn(DELETE_MARKER_COL, F.lit(True))
+    else:
+        # CDC payloads (aws_dms / debezium) mark deletes via an op column
+        # — fold that into the standard delete marker pre-write
+        cdc_delete = payload.incoming_delete_expr(incoming.columns)
+        if cdc_delete is not None:
+            existing = (
+                F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+                if DELETE_MARKER_COL in incoming.columns
+                else F.lit(False)
+            )
+            incoming = incoming.withColumn(DELETE_MARKER_COL, existing | cdc_delete)
 
     data_cols = (
         data_columns(table_schema) if table_schema is not None else data_columns(incoming.schema)

@@ -78,6 +78,13 @@ class Payload:
         """Value expression for data column ``col`` when take_new is true."""
         return F.col(NEW + col)
 
+    # -- incoming-batch hooks ---------------------------------------------
+    def incoming_delete_expr(self, columns: list[str]) -> Column | None:
+        """Optional predicate over the *incoming* batch marking rows that
+        are deletes (CDC payloads); folded into the delete marker before
+        the write so every path (COW merge, MOR delta) honors it."""
+        return None
+
 
 class DefaultPayload(Payload):
     """DefaultHoodieRecordPayload (common/model/DefaultHoodieRecordPayload.java):
@@ -133,6 +140,38 @@ class EmptyPayload(Payload):
         return F.col(HAS_NEW)
 
 
+class AWSDmsPayload(Payload):
+    """AWSDmsAvroPayload (common/model/AWSDmsAvroPayload.java): rows from
+    a DMS change stream carry an ``Op`` column; ``Op = 'D'`` deletes the
+    stored record, otherwise latest-wins. The delete signal is folded
+    into the standard delete marker on the incoming batch
+    (``incoming_delete_expr``) so COW rewrites and MOR delta rows handle
+    it identically."""
+
+    name = "aws_dms"
+    op_column = "Op"
+
+    def incoming_delete_expr(self, columns: list[str]) -> Column | None:
+        if self.op_column not in columns:
+            return None
+        return F.coalesce(F.col(self.op_column) == "D", F.lit(False))
+
+
+class DebeziumPayload(DefaultPayload):
+    """Postgres/MySQL Debezium payloads
+    (common/model/debezium/{Postgres,MySql}DebeziumAvroPayload.java):
+    ``_change_operation_type = 'd'`` deletes; ordering guard on the
+    precombine field (LSN / file+pos) like DefaultPayload."""
+
+    name = "debezium"
+    op_column = "_change_operation_type"
+
+    def incoming_delete_expr(self, columns: list[str]) -> Column | None:
+        if self.op_column not in columns:
+            return None
+        return F.coalesce(F.col(self.op_column) == "d", F.lit(False))
+
+
 PAYLOADS = {
     p.name: p
     for p in (
@@ -141,6 +180,8 @@ PAYLOADS = {
         OverwriteNonDefaultsPayload,
         EventTimePayload,
         EmptyPayload,
+        AWSDmsPayload,
+        DebeziumPayload,
     )
 }
 
