@@ -71,7 +71,11 @@ def stamp_keys(df: DataFrame, cfg: WriteConfig) -> DataFrame:
     """Add ``_hoodie_record_key`` and ``_hoodie_partition_path``."""
     out = df
     if RECORD_KEY_COL not in df.columns:
-        out = out.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
+        if cfg.keygen == "uuid":
+            # UuidKeyGenerator — SQL tables created without a primaryKey
+            out = out.withColumn(RECORD_KEY_COL, F.expr("uuid()"))
+        else:
+            out = out.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
     if PARTITION_PATH_COL not in out.columns:
         out = out.withColumn(PARTITION_PATH_COL, _partition_path_expr(cfg))
     return out

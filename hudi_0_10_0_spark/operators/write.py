@@ -67,13 +67,19 @@ def _align_to_table_schema(
     schema', ``ds/HoodieSparkSqlWriter.scala:168``)."""
     if table_schema is None:
         return incoming
-    have = {f.name for f in incoming.schema.fields}
+    in_types = {f.name: f.dataType for f in incoming.schema.fields}
     cols = []
     for f in table_schema.fields:
         if f.name in (LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL):
             continue
-        if f.name in have:
-            cols.append(F.col(f.name))
+        if f.name in in_types:
+            # cast to the table's declared type (reference:
+            # InsertIntoHoodieTableCommand aligns query output fields) so
+            # every file of a group carries an identical parquet schema
+            if in_types[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
         elif f.name in META_COLS:
             continue  # meta columns are restamped
         else:
@@ -337,10 +343,14 @@ def _footer_stats(uri: str, stat_cols: list[str]) -> dict:
         for c in wanted:
             st = g.column(names[c]).statistics
             cur = agg.setdefault(c, [None, None, 0, True])
-            if st is None or not st.has_min_max:
+            try:
+                if st is None or not st.has_min_max:
+                    cur[3] = False
+                    continue
+                mn, mx = st.min, st.max
+            except Exception:  # pyarrow: "Cannot extract statistics for type"
                 cur[3] = False
                 continue
-            mn, mx = st.min, st.max
             # long binary stats may be writer-truncated → not trustworthy
             if isinstance(mn, bytes) or (isinstance(mx, str) and len(mx) > 1000):
                 cur[3] = False
@@ -608,6 +618,7 @@ def run_batch_write(
         if cfg.table_type == TableType.MERGE_ON_READ
         and operation in (WriteOperation.UPSERT, WriteOperation.DELETE, WriteOperation.INSERT)
         and view.commits  # first write always lays base files via commit
+        and not payload.requires_stored_merge  # e.g. MERGE INTO (see Payload)
         else "commit"
     )
     instant = instant_time or table.new_instant()

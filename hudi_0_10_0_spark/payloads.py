@@ -41,6 +41,14 @@ class Payload:
 
     name = "overwrite_latest"
 
+    # True → merge semantics depend on the stored row (e.g. MERGE INTO
+    # WHEN-clauses), so MOR writes must run the full-merge rewrite path
+    # instead of appending standalone delta rows. The reference instead
+    # serializes the expressions into log blocks and evaluates them at
+    # read/compaction (ExpressionPayload.scala:77-189); a rewrite gives
+    # identical results in one pass.
+    requires_stored_merge = False
+
     def __init__(self, precombine_field: str | None = None):
         self.precombine = precombine_field
 

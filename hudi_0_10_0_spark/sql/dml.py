@@ -42,6 +42,7 @@ class ExpressionPayload(Payload):
     """
 
     name = "expression"
+    requires_stored_merge = True  # WHEN-clauses read the stored row
 
     def __init__(
         self,

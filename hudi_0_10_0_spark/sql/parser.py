@@ -139,6 +139,75 @@ class HudiSqlSession:
                 kw["matched_delete"] = cond if cond is not None else F.lit(True)
         return t.merge_into(source, **kw)
 
+    # -- CREATE TABLE [AS SELECT] -------------------------------------------
+    def _create_table(self, s: str):
+        """CREATE TABLE (``CreateHoodieTableCommand`` /
+        ``CreateHoodieTableAsSelectCommand``): table properties carry the
+        key/precombine/type config exactly like the reference's SQL
+        surface (primaryKey / preCombineField / type)."""
+        m = re.match(
+            rf"CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?(?P<name>{_ID})"
+            rf"(?:\s*\((?P<cols>[^)]*)\))?"
+            rf"{_WS}USING{_WS}(?:hudi|HUDI|Hudi)"
+            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}\((?P<parts>[^)]*)\))?"
+            rf"(?:{_WS}(?:TBLPROPERTIES|OPTIONS){_WS}\((?P<props>[^)]*)\))?"
+            rf"(?:{_WS}LOCATION{_WS}'(?P<loc>[^']+)')?"
+            rf"(?:{_WS}AS{_WS}(?P<query>SELECT.*|VALUES.*))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {s[:120]}")
+        from ..config import TableType, WriteConfig
+        from ..table import HudiTable
+
+        name = m.group("name")
+        if m.group("loc") is None:
+            raise ValueError("CREATE TABLE requires LOCATION '<path>' (no catalog)")
+        props = {}
+        for kv in _split_top_level(m.group("props") or ""):
+            k, v = kv.split("=", 1)
+            props[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
+        parts = [p.strip() for p in _split_top_level(m.group("parts") or "")]
+        cfg = WriteConfig(
+            record_key_field=props.get("primarykey", "_uuid_key_"),
+            keygen="uuid" if "primarykey" not in props else "auto",
+            partition_field=",".join(parts) if parts else None,
+            precombine_field=props.get("precombinefield"),
+            table_type=(
+                TableType.MERGE_ON_READ
+                if props.get("type", "cow").lower() in ("mor", "merge_on_read")
+                else TableType.COPY_ON_WRITE
+            ),
+        )
+        exists = HudiTable.exists(self.spark, m.group("loc"))
+        t = HudiTable.create(self.spark, m.group("loc"), cfg, exist_ok=True)
+        self.register(name, t)
+        if m.group("cols") and not exists:
+            # declared columns seed the table schema via an empty schema
+            # commit so INSERT/SELECT work before any data lands
+            from pyspark.sql import types as T
+
+            from ..config import DELETE_MARKER_COL, META_COLS
+            from ..operators.schema_evolution import _commit_schema
+
+            fields = [T.StructField(c, T.StringType()) for c in META_COLS]
+            for cd in _split_top_level(m.group("cols")):
+                n, typ = cd.split(None, 1)
+                fields.append(T.StructField(n, T._parse_datatype_string(typ), True))
+            fields.append(T.StructField(DELETE_MARKER_COL, T.BooleanType(), True))
+            _commit_schema(t, T.StructType(fields), "create_table")
+        if m.group("query") and not exists:
+            self._refresh_views_except(name)
+            df = self.spark.sql(m.group("query"))
+            t.bulk_insert(df)
+        return t
+
+    def _refresh_views_except(self, skip: str) -> None:
+        for n, t in self.tables.items():
+            if n != skip:
+                t.snapshot().createOrReplaceTempView(n)
+
     # -- dispatcher ----------------------------------------------------------
     def sql(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
@@ -146,6 +215,25 @@ class HudiSqlSession:
 
         if u.startswith("MERGE INTO"):
             return self._merge(s)
+
+        if re.match(rf"CREATE{_WS}TABLE\b", s, re.IGNORECASE):
+            return self._create_table(s)
+
+        m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}PARTITION{_WS}\((.*)\)$",
+            s, re.IGNORECASE)
+        if m:
+            # ALTER TABLE ... DROP PARTITION (col='v'[, ...]) → the
+            # partition-path string, hive-style or plain per table config
+            t = self._table(m.group(1))
+            pieces = []
+            for kv in _split_top_level(m.group(2)):
+                k, v = kv.split("=", 1)
+                v = v.strip().strip("'\"")
+                pieces.append(
+                    f"{k.strip()}={v}" if t.cfg.hive_style_partitioning else v
+                )
+            return t.delete_partition(["/".join(pieces)])
 
         m = re.match(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.*?)(?:{_WS}WHERE{_WS}(.*))?$",
                      s, re.IGNORECASE | re.DOTALL)
