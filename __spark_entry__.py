@@ -603,6 +603,91 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def q_clustering_zorder(spark, sf_dir):
+    """Cluster orders by a z-order curve on (o_custkey, o_totalprice)
+    (SURVEY.md §2.2 clustering; spark-client/client/clustering/), then
+    snapshot — layout changes, results don't."""
+    path = f"{_TMP}/cluster_{abs(hash(sf_dir))}"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(_pq(spark, sf_dir, "orders"))
+        t.cluster(
+            sort_cols=["o_custkey", "o_totalprice"],
+            layout="zorder",
+            curve_method="map",
+            target_file_groups=8,
+        )
+    else:
+        t = HudiTable.load(spark, path)
+    return _snap(t)
+
+
+def q_schema_evolution(spark, sf_dir):
+    """ALTER TABLE ADD COLUMNS then upsert rows carrying the new column:
+    old files surface typed nulls, new rows carry values
+    (AlterHoodieTableAddColumnsCommand / reconcile-schema)."""
+    path = f"{_TMP}/schevo_{abs(hash(sf_dir))}"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(_pq(spark, sf_dir, "orders"))
+        t.add_columns([("o_flag", "string")])
+        upd = (
+            _pq(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_flag", F.lit("X"))
+        )
+        t.upsert(upd)
+    else:
+        t = HudiTable.load(spark, path)
+    return t.snapshot().select(*_ORDER_COLS, "o_flag")
+
+
+def q_cdc_dms(spark, sf_dir):
+    """AWS-DMS-style CDC apply (common/model/AWSDmsAvroPayload.java):
+    a change batch with Op I/U/D upserted into the table — D rows
+    delete, U rows update."""
+    path = f"{_TMP}/cdc_{abs(hash(sf_dir))}"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(spark, path, _orders_cfg(payload="aws_dms"))
+        orders = _pq(spark, sf_dir, "orders")
+        t.bulk_insert(orders.withColumn("Op", F.lit("I")))
+        changes = orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "Op",
+            F.when(F.col("o_orderkey") % 12 == 0, F.lit("D")).otherwise(F.lit("U")),
+        ).withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 12 == 0, F.col("o_orderstatus")).otherwise(
+                F.lit("C")
+            ),
+        )
+        t.upsert(changes)
+    else:
+        t = HudiTable.load(spark, path)
+    return _snap(t)
+
+
+_SQL_CLUSTERING = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+"""
+
+_SQL_SCHEMA_EVOLUTION = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X' END AS o_flag
+    FROM orders
+"""
+
+_SQL_CDC_DMS = """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 6 = 0 THEN 'C' ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 12 <> 0
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 over a hudi_0_10_0_spark COW snapshot at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -657,6 +742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "clustering_zorder": q_clustering_zorder,
+        "schema_evolution_add_column": q_schema_evolution,
+        "cdc_aws_dms": q_cdc_dms,
     }
 
 
@@ -696,4 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _SQL_TEXT_STATS,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
+        "clustering_zorder": _SQL_CLUSTERING,
+        "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,
+        "cdc_aws_dms": _SQL_CDC_DMS,
     }
