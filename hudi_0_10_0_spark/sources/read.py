@@ -40,14 +40,27 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
 
 def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
     """MOR snapshot view of the given slices: base ∪ delta rows, then
-    latest-version-per-key (payload order) and tombstone drop."""
-    base_paths = [p for s in slices for p in s.base.paths]
-    log_paths = [p for s in slices for l in s.logs for p in l.paths]
-    if not log_paths:
-        return _read_paths(table, base_paths)
+    latest-version-per-key (payload order) and tombstone drop.
+
+    Only file groups that HAVE delta files go through the window merge
+    (one shuffle over just those groups); log-free groups are a plain
+    parquet scan — the reference's two-reader split in
+    ``MergeOnReadSnapshotRelation.buildScan`` (:104-139). At scale the
+    uncompacted fraction is small (compaction every 5 delta commits), so
+    the merge shuffle never covers the whole table."""
+    with_logs = [s for s in slices if s.logs]
+    log_free = [s for s in slices if not s.logs]
+    plain = None
+    if log_free or not with_logs:
+        plain = _read_paths(table, [p for s in log_free for p in s.base.paths])
+        plain = plain.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
+    if not with_logs:
+        return plain
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-    union = _read_paths(table, base_paths + log_paths)
-    return mor_merge_window(union, payload)
+    paths = [p for s in with_logs for p in s.base.paths]
+    paths += [p for s in with_logs for l in s.logs for p in l.paths]
+    merged = mor_merge_window(_read_paths(table, paths), payload)
+    return merged.unionByName(plain) if plain is not None else merged
 
 
 def snapshot(
