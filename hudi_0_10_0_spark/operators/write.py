@@ -563,7 +563,15 @@ def run_batch_write(
     payload: Payload | None = None,
     extra: dict | None = None,
     instant_time: str | None = None,
+    pre_tagged: bool = False,
 ) -> str:
+    """``pre_tagged=True``: the incoming frame's ``_hoodie_file_id``
+    column is trusted as the record's current location, skipping the
+    index-tagging join. Only safe when the rows were just read from this
+    table (UPDATE/DELETE ... WHERE — read→modify→write in one call under
+    the single-writer assumption); the reference's analogue is the
+    tagged ``currentLocation`` a ``HoodieRecord`` keeps when the caller
+    supplies already-located records."""
     """upsert / insert / bulk_insert / delete, COW and MOR."""
     cfg = table.cfg
     spark = table.spark
@@ -577,8 +585,13 @@ def run_batch_write(
     view = table.view()
     table_schema = table.schema()
 
+    pre_tagged = pre_tagged and FILE_ID_COL in df.columns
     incoming = stamp_keys(df, cfg)
+    if pre_tagged:  # survive the meta-column strip in schema alignment
+        incoming = incoming.withColumnRenamed(FILE_ID_COL, "__pre_fid")
     incoming = _align_to_table_schema(incoming, table_schema)
+    if pre_tagged:
+        incoming = incoming.withColumnRenamed("__pre_fid", FILE_ID_COL)
     if is_delete:
         incoming = incoming.withColumn(DELETE_MARKER_COL, F.lit(True))
     else:
@@ -641,7 +654,9 @@ def run_batch_write(
             return instant
 
         # ---- index tagging ------------------------------------------------
-        if operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
+        if pre_tagged:
+            tagged = incoming
+        elif operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
             operation == WriteOperation.INSERT and cfg.insert_drop_dups
         ):
             tagged = tag_location(table, view, incoming)

@@ -126,17 +126,27 @@ def merge_into(
 def update_where(table, condition: Column, assignments: dict[str, Column]) -> str:
     """UPDATE t SET ... WHERE ... → read → filter → assign → upsert
     (``sql/hudi/command/UpdateHoodieTableCommand.scala``)."""
+    from ..config import FILE_ID_COL
+
     snap = table.snapshot().filter(condition)
     for c, expr in assignments.items():
         snap = snap.withColumn(c, expr)
-    # keep the stamped key/partition columns — stamp_keys() skips
-    # recomputation when they are already present
-    drop = [c for c in META_COLS if c not in (RECORD_KEY_COL, PARTITION_PATH_COL)]
-    return table.upsert(snap.drop(*drop, DELETE_MARKER_COL))
+    # keep the stamped key/partition/file-id columns: stamp_keys() skips
+    # recomputation and the write skips the index join (rows were just
+    # read from storage, so their location is current — pre_tagged)
+    drop = [
+        c for c in META_COLS
+        if c not in (RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL)
+    ]
+    return table.upsert(snap.drop(*drop, DELETE_MARKER_COL), pre_tagged=True)
 
 
 def delete_where(table, condition: Column) -> str:
     """DELETE FROM t WHERE ...
     (``sql/hudi/command/DeleteHoodieTableCommand.scala``)."""
-    keys = table.snapshot().filter(condition).select(RECORD_KEY_COL, PARTITION_PATH_COL)
-    return table.delete(keys)
+    from ..config import FILE_ID_COL
+
+    keys = table.snapshot().filter(condition).select(
+        RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL
+    )
+    return table.delete(keys, pre_tagged=True)
