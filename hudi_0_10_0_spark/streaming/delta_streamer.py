@@ -37,6 +37,8 @@ class DeltaStreamer:
         transformer_sql: str | None = None,
         transformer: Callable[[DataFrame], DataFrame] | None = None,
         operation: str = "upsert",
+        source_options: dict | None = None,
+        incremental_column: str | None = None,
     ):
         self.spark = spark
         self.target = target
@@ -46,6 +48,8 @@ class DeltaStreamer:
         self.transformer_sql = transformer_sql
         self.transformer = transformer
         self.operation = operation
+        self.source_options = dict(source_options or {})
+        self.incremental_column = incremental_column
 
     # -- checkpoint --------------------------------------------------------
     def last_checkpoint(self) -> str | None:
@@ -85,11 +89,72 @@ class DeltaStreamer:
             return None, ckpt
         return src.incremental(ckpt, latest.timestamp), latest.timestamp
 
+    def _pull_kafka(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """Kafka batch pull (``util/sources/JsonKafkaSource`` family):
+        checkpoint = JSON ending-offsets map from the previous round.
+        Requires the spark-sql-kafka connector on the classpath; absent
+        in this build, the call is gated with a clear error."""
+        import json as _json
+
+        opts = {
+            "kafka.bootstrap.servers": self.source_options.get("bootstrap.servers", ""),
+            "subscribe": self.source,
+            "startingOffsets": ckpt or "earliest",
+            "endingOffsets": "latest",
+        }
+        try:
+            df = self.spark.read.format("kafka").options(**opts).load()
+        except Exception as e:  # connector jar not on classpath
+            raise NotImplementedError(
+                "kafka source needs the spark-sql-kafka connector on the "
+                "session classpath"
+            ) from e
+        if df.isEmpty():
+            return None, ckpt
+        ends = {
+            f"{r['topic']}": {str(r["partition"]): r["mx"] + 1}
+            for r in df.groupBy("topic", "partition")
+            .agg({"offset": "max"})
+            .withColumnRenamed("max(offset)", "mx")
+            .collect()
+        }
+        return df.selectExpr("CAST(value AS STRING) AS value"), _json.dumps(ends)
+
+    def _pull_jdbc(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """JDBC incremental pull (``util/sources/JdbcSource``):
+        checkpoint = max(incremental_column) of the previous round."""
+        if not self.incremental_column:
+            raise ValueError("jdbc source requires incremental_column")
+        reader = self.spark.read.format("jdbc").options(**self.source_options)
+        reader = reader.option("dbtable", self.source)
+        df = reader.load()
+        if ckpt is not None:
+            df = df.filter(f"{self.incremental_column} > '{ckpt}'")
+        from pyspark.sql import functions as F
+
+        mx = df.agg(F.max(self.incremental_column)).first()[0]
+        if mx is None:
+            return None, ckpt
+        return df, str(mx)
+
+    def _pull_sql(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """SQL source (``util/sources/SqlSource``): run the query each
+        round; checkpoint is a round counter (the reference's SqlSource
+        also re-reads fully — meant for backfills)."""
+        df = self.spark.sql(self.source)
+        return df, str(int(ckpt or 0) + 1)
+
     def _pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         if callable(self.source):
             return self.source(self.spark, ckpt)
         if self.source_format == "hudi":
             return self._pull_hudi_incr(ckpt)
+        if self.source_format == "kafka":
+            return self._pull_kafka(ckpt)
+        if self.source_format == "jdbc":
+            return self._pull_jdbc(ckpt)
+        if self.source_format == "sql":
+            return self._pull_sql(ckpt)
         return self._pull_dfs(ckpt)
 
     # -- run ---------------------------------------------------------------

@@ -260,3 +260,44 @@ def test_delta_streamer_hudi_incremental_chain(spark, scratch_dir):
     snap = down.snapshot()
     assert snap.count() == 16
     assert snap.filter("id = 3").first().v == 999
+
+
+def test_delta_streamer_sql_source(spark, tmp_table_path, orders):
+    """SqlSource: the query re-runs per round; checkpoint is a counter."""
+    from hudi_0_10_0_spark.streaming.delta_streamer import DeltaStreamer
+
+    cfg = WriteConfig(
+        record_key_field="o_orderkey", partition_field="o_orderpriority",
+        precombine_field="o_orderdate", auto_clean=False, auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/sqlsrc", cfg)
+    orders.limit(300).createOrReplaceTempView("ds_sql_source")
+    ds = DeltaStreamer(
+        spark, t, "SELECT * FROM ds_sql_source", source_format="sql",
+    )
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 300
+    assert ds.last_checkpoint() == "1"
+    ds.sync_once()  # idempotent upsert of the same rows
+    assert t.snapshot().count() == 300
+    assert ds.last_checkpoint() == "2"
+
+
+def test_delta_streamer_kafka_gated(spark, tmp_table_path, orders):
+    """Without the kafka connector jar, the kafka source raises a clear
+    NotImplementedError instead of an opaque classpath failure."""
+    import pytest as _pytest
+
+    from hudi_0_10_0_spark.streaming.delta_streamer import DeltaStreamer
+
+    cfg = WriteConfig(
+        record_key_field="o_orderkey", partition_field="o_orderpriority",
+        precombine_field="o_orderdate",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/kafka", cfg)
+    ds = DeltaStreamer(
+        spark, t, "topic", source_format="kafka",
+        source_options={"bootstrap.servers": "localhost:9092"},
+    )
+    with _pytest.raises(NotImplementedError):
+        ds.sync_once()
