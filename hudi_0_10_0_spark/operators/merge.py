@@ -54,14 +54,18 @@ def merge_stored_and_incoming(
     seqno — required for incremental query correctness (the reference
     preserves existing meta fields when rewriting untouched records).
     """
-    jk = [FILE_ID_COL, RECORD_KEY_COL]
+    # partition is part of the join key: file-group identity is
+    # (partition, file_id) — bulk insert / clustering may reuse one
+    # file_id string across partitions (fid = prefix + output partition
+    # id, and a range partition can span table partitions), so joining
+    # on file_id alone would conflate same-key rows across partitions
+    jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
     old_cols = set(old.columns)
     o = old.select(
         *jk,
         F.lit(True).alias("__om"),
         F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
         F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
-        F.col(PARTITION_PATH_COL).alias(OLD + PARTITION_PATH_COL),
         *[
             # add-column evolution: stored files predate new columns
             (F.col(c) if c in old_cols else F.lit(None).cast(col_types[c])).alias(OLD + c)
@@ -72,7 +76,6 @@ def merge_stored_and_incoming(
     n = new.select(
         *jk,
         F.lit(True).alias("__nm"),
-        F.col(PARTITION_PATH_COL).alias(NEW + PARTITION_PATH_COL),
         (
             F.col(DELETE_MARKER_COL) if DELETE_MARKER_COL in new_cols else F.lit(False)
         ).cast("boolean").alias(NEW + DELETE_MARKER_COL),
@@ -98,8 +101,7 @@ def merge_stored_and_incoming(
         .otherwise(F.col(OLD + SEQNO_COL))
         .alias(SEQNO_COL),
         F.col(RECORD_KEY_COL),
-        F.coalesce(F.col(OLD + PARTITION_PATH_COL), F.col(NEW + PARTITION_PATH_COL))
-        .alias(PARTITION_PATH_COL),
+        F.col(PARTITION_PATH_COL),
         F.col(FILE_ID_COL),
         *[
             F.when(take_new, payload.value(c)).otherwise(F.col(OLD + c)).alias(c)
@@ -124,7 +126,11 @@ def mor_merge_window(
     same thing shuffle-free per file group.
     """
     order = payload.mor_merge_order() + [F.col(SEQNO_COL).desc_nulls_last()]
-    w = Window.partitionBy(FILE_ID_COL, RECORD_KEY_COL).orderBy(*order)
+    # partition in the window key for the same reason as the merge join:
+    # one file_id string may name distinct groups in distinct partitions
+    w = Window.partitionBy(
+        FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL
+    ).orderBy(*order)
     out = (
         union_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

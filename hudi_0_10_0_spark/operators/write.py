@@ -258,7 +258,8 @@ def assign_inserts(
     if not counts:
         return inserts.limit(0).withColumn(FILE_ID_COL, F.lit(None).cast("string")), set()
     buckets = plan_insert_buckets(view, table.cfg, counts, pack_small_files)
-    existing_fids = {b[3] for b in buckets if b[4]}
+    # (partition, fid) — fid alone may name groups in other partitions
+    existing_fids = {(b[0], b[3]) for b in buckets if b[4]}
     bucket_df = table.spark.createDataFrame(buckets, _BUCKET_SCHEMA)
     w = Window.partitionBy(PARTITION_PATH_COL).orderBy(RECORD_KEY_COL)
     assigned = (
@@ -370,7 +371,7 @@ def _footer_stats(uri: str, stat_cols: list[str]) -> dict:
 
 
 def collect_write_stats(
-    table, instant: str, log_fids: set[str] | None = None
+    table, instant: str, log_fids: set[tuple[str, str]] | None = None
 ) -> list[WriteStat]:
     """Per-file-group row counts, key ranges, and column min/max/null
     stats — the inputs for index range-pruning and data skipping
@@ -464,7 +465,7 @@ def collect_write_stats(
                 bytes=by_fg_bytes.get((pp, fid), 0),
                 min_key=a["min_key"] if a["ok"] else None,
                 max_key=a["max_key"] if a["ok"] else None,
-                log=bool(log_fids and fid in log_fids),
+                log=bool(log_fids and (pp, fid) in log_fids),
                 col_stats=col_stats,
             )
         )
@@ -692,7 +693,7 @@ def run_batch_write(
             table, view, inserts, pack, insert_counts=insert_counts
         )
 
-        log_fids: set[str] = set()
+        log_fids: set[tuple[str, str]] = set()
         if mor_delta:
             # MOR: updates/deletes become delta ("log") rows; inserts open
             # new base file groups in the same deltacommit.
@@ -701,8 +702,8 @@ def run_batch_write(
             out = _finalize(log_rows, data_cols).unionByName(
                 _finalize(base_rows, data_cols)
             )
-            log_fids = {fid for _, fid in update_groups}
-            n_groups = len(log_fids) + 8
+            log_fids = set(update_groups)
+            n_groups = len({fid for _, fid in log_fids}) + 8
             write_instant_files(table, out, instant, n_groups)
         else:
             # COW: rewrite every affected file group (updates + packed
@@ -710,7 +711,7 @@ def run_batch_write(
             # in the same pass with an empty old side.
             touched = set(update_groups)
             for sl in view.latest_file_slices():
-                if sl.file_id in packed_fids:
+                if (sl.partition, sl.file_id) in packed_fids:
                     touched.add((sl.partition, sl.file_id))
             old_slices = [
                 s
