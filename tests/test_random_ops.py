@@ -84,9 +84,27 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type):
     _check(t, model)
 
     ts = 1
-    for step in range(8):
-        op = rng.choice(["upsert", "upsert", "delete", "compact", "cluster", "rollback"])
-        if op == "upsert":
+    for step in range(10):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "compact", "cluster", "rollback",
+             "overwrite", "drop_partition", "clean"]
+        )
+        if op == "overwrite":
+            # insert_overwrite: replace the touched partitions' contents
+            rows = _rows(rng, rng.randrange(2, 8), ts)
+            t.insert_overwrite(spark.createDataFrame(rows, SCHEMA))
+            touched_parts = {p for (_k, p, _v, _t) in rows}
+            for key in [k for k in model if k[1] in touched_parts]:
+                model.pop(key)
+            _apply_model(model, rows, "upsert")
+        elif op == "drop_partition":
+            part = rng.choice(PARTS)
+            t.delete_partition([part])
+            for key in [k for k in model if k[1] == part]:
+                model.pop(key)
+        elif op == "clean":
+            t.clean()
+        elif op == "upsert":
             rows = _rows(rng, rng.randrange(1, 12), ts)
             t.upsert(spark.createDataFrame(rows, SCHEMA))
             _apply_model(model, rows, "upsert")
