@@ -666,6 +666,28 @@ def q_cdc_dms(spark, sf_dir):
     return _snap(t)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup removal (brute-force verify;
+    functions/dedup.py embedding_dedup): drop the higher-id member of
+    every pair with cosine >= 0.4, return survivors."""
+    from hudi_0_10_0_spark.functions.dedup import embedding_dedup
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, threshold=0.4).select("vec_id", "label")
+
+
+_SQL_DEDUP_EMBEDDING = """
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (
+        SELECT DISTINCT b.vec_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])
+        ) >= 0.4
+    )
+"""
+
+
 _SQL_CLUSTERING = """
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
            o_orderdate, o_orderpriority
@@ -745,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_zorder": q_clustering_zorder,
         "schema_evolution_add_column": q_schema_evolution,
         "cdc_aws_dms": q_cdc_dms,
+        "dedup_embedding": q_dedup_embedding,
     }
 
 
@@ -787,4 +810,5 @@ def oracle_sql() -> dict[str, str]:
         "clustering_zorder": _SQL_CLUSTERING,
         "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,
         "cdc_aws_dms": _SQL_CDC_DMS,
+        "dedup_embedding": _SQL_DEDUP_EMBEDDING,
     }
