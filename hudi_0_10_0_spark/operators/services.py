@@ -164,8 +164,21 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         union = table.spark.read.schema(table.read_schema()).parquet(
             *[table.abs_path(p) for p in base_paths + log_paths]
         )
+        # single shuffle keyed by file group: the window merge's
+        # ClusteredDistribution((fid, pp, key)) is satisfied by
+        # HashPartitioning((fid, pp)), and the output lands pre-grouped
+        # for the writer — no re-layout shuffle
+        from ..config import FILE_ID_COL, PARTITION_PATH_COL
+        from pyspark.sql import functions as F
+
+        union = union.repartition(
+            max(1, len(slices)), F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL)
+        )
         merged = mor_merge_window(union, payload)
-        write_instant_files(table, merged, instant, len(slices))
+        write_instant_files(
+            table, merged, instant, len(slices),
+            pre_partitioned=True, local_sort=True,
+        )
         stats = collect_write_stats(table, instant)
         # groups whose merge came out empty (all records tombstoned) must
         # still supersede their old slice with a zero-row version

@@ -279,14 +279,17 @@ def assign_inserts(
 
 
 def write_instant_files(
-    table, df: DataFrame, instant: str, n_groups: int, pre_partitioned: bool = False
+    table, df: DataFrame, instant: str, n_groups: int,
+    pre_partitioned: bool = False, local_sort: bool = False,
 ) -> None:
     """One pass: shuffle by file group, sort by key within the file, and
     let Spark's parquet sink lay out ``data/<instant>/_pp=…/_fg=…/``.
     File-group identity is carried by directory structure + manifest, so
     Spark's own (parallel, committer-backed) writer does all data I/O.
-    ``pre_partitioned`` skips the shuffle+sort (bulk-insert path, which
-    has already range-partitioned and sorted the data)."""
+    ``pre_partitioned`` skips the shuffle (bulk-insert has already
+    range-partitioned + sorted; the merge kernel's output is already
+    hash-partitioned by file group); ``local_sort`` adds the in-file key
+    sort without a shuffle for the latter case."""
     out = df.withColumn(
         LAYOUT_PARTITION_COL,
         F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
@@ -297,6 +300,8 @@ def write_instant_files(
         out = out.repartition(
             max(1, n_groups), F.col(LAYOUT_FILEGROUP_COL)
         ).sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
+    elif local_sort:
+        out = out.sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
     out.write.mode("error").partitionBy(LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL).parquet(
         table.instant_data_path(instant)
     )
@@ -725,25 +730,43 @@ def run_batch_write(
             )
 
             if old_slices:
+                n_parts = max(len(touched), 1) + 8
                 old_paths = [table.abs_path(p) for s in old_slices for p in s.base.paths]
                 old = spark.read.schema(table.read_schema()).parquet(*old_paths)
                 if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
                     # insert never consults the index: duplicates of existing
                     # keys are appended, not merged. Salt incoming merge keys
-                    # so the full-outer join cannot match, then restore.
+                    # so the group-by reconcile cannot match, then restore.
                     sep = "\x1f"  # unit separator, never produced by key generators
                     uniq = F.concat_ws(sep, F.col(RECORD_KEY_COL), F.expr("uuid()"))
                     mnew = all_new.withColumn(RECORD_KEY_COL, uniq)
                     merged = merge_stored_and_incoming(
-                        old, mnew, data_cols, col_types, payload, instant
+                        old, mnew, data_cols, col_types, payload, instant,
+                        num_partitions=n_parts,
                     ).withColumn(
                         RECORD_KEY_COL,
                         F.substring_index(F.col(RECORD_KEY_COL), sep, 1),
                     )
                 else:
+                    if not needs_combine:
+                        # the reference's HoodieMergeHandle collapses
+                        # duplicate update keys via its keyToNewRecords
+                        # hash map even with preCombine disabled — mirror
+                        # that so the merge groups hold ≤1 incoming row.
+                        # Inserts keep duplicates (create-handle path
+                        # writes every row).
+                        all_new = precombine_dedup(
+                            updates, payload, global_idx
+                        ).unionByName(assigned_inserts, allowMissingColumns=True)
                     merged = merge_stored_and_incoming(
-                        old, all_new, data_cols, col_types, payload, instant
+                        old, all_new, data_cols, col_types, payload, instant,
+                        num_partitions=n_parts,
                     )
+                out = _finalize(merged, data_cols)
+                write_instant_files(
+                    table, out, instant, n_parts,
+                    pre_partitioned=True, local_sort=True,
+                )
             else:
                 live = all_new
                 if DELETE_MARKER_COL in live.columns:
@@ -751,8 +774,8 @@ def run_batch_write(
                         ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
                     )
                 merged = _stamp_meta(live, instant)
-            out = _finalize(merged, data_cols)
-            write_instant_files(table, out, instant, max(len(touched), 1) + 8)
+                out = _finalize(merged, data_cols)
+                write_instant_files(table, out, instant, max(len(touched), 1) + 8)
 
         stats = collect_write_stats(table, instant, log_fids)
         if not mor_delta:
