@@ -85,20 +85,22 @@ def cluster(
             if sort_cols
             else [F.col(RECORD_KEY_COL)]
         )
-        df = (
-            df.repartitionByRange(n_out, *order_cols)
-            .sortWithinPartitions(*order_cols)
-            .withColumn(
-                FILE_ID_COL,
-                F.concat_ws("-", F.lit(prefix), F.spark_partition_id().cast("string")),
-            )
+        df = df.repartitionByRange(n_out, *order_cols).withColumn(
+            FILE_ID_COL,
+            F.concat_ws("-", F.lit(prefix), F.spark_partition_id().cast("string")),
         )
-        if sort_key == "__curve":
-            df = df.drop("__curve")
 
         # write directly (file groups are pre-assigned by the range
-        # partitioner — no reshuffle)
+        # partitioner — no reshuffle). The single local sort leads with
+        # the layout (directory) columns so the dynamic-partition writer
+        # accepts the ordering as-is: otherwise it inserts its own sort
+        # by (_pp, _fg) alone, which both duplicates the work and
+        # scrambles the curve/sort-key order inside each file — the
+        # entire point of clustering.
         out = df.withColumn("_pp", F.when(F.col(PARTITION_PATH_COL) == "", F.lit("__HIVE_DEFAULT_PARTITION__")).otherwise(F.col(PARTITION_PATH_COL))).withColumn("_fg", F.col(FILE_ID_COL))
+        out = out.sortWithinPartitions(F.col("_pp"), F.col("_fg"), *order_cols)
+        if sort_key == "__curve":
+            out = out.drop("__curve")
         out.write.mode("error").partitionBy("_pp", "_fg").parquet(
             table.instant_data_path(instant)
         )

@@ -176,8 +176,7 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         )
         merged = mor_merge_window(union, payload)
         write_instant_files(
-            table, merged, instant, len(slices),
-            pre_partitioned=True, local_sort=True,
+            table, merged, instant, len(slices), pre_partitioned=True,
         )
         stats = collect_write_stats(table, instant)
         # groups whose merge came out empty (all records tombstoned) must

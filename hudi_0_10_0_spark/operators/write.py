@@ -15,6 +15,8 @@ rows.
 
 from __future__ import annotations
 
+import os
+import time
 import uuid
 from urllib.parse import unquote
 
@@ -48,6 +50,24 @@ _STATS_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType, T.DateType, T.TimestampType,
     T.BooleanType,
 )
+
+
+class _StageTimer:
+    """Wall-clock per write stage, printed when HUDI_SPARK_DEBUG_TIMING
+    is set — the feedback loop for keeping the write path's Spark-job
+    count and per-job cost honest."""
+
+    def __init__(self, op: str):
+        self.enabled = bool(os.environ.get("HUDI_SPARK_DEBUG_TIMING"))
+        self.op = op
+        self.last = time.perf_counter()
+
+    def mark(self, stage: str) -> None:
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        print(f"## write[{self.op}] {stage}: {now - self.last:.2f}s", flush=True)
+        self.last = now
 
 
 def data_columns(schema: T.StructType) -> list[str]:
@@ -280,7 +300,7 @@ def assign_inserts(
 
 def write_instant_files(
     table, df: DataFrame, instant: str, n_groups: int,
-    pre_partitioned: bool = False, local_sort: bool = False,
+    pre_partitioned: bool = False,
 ) -> None:
     """One pass: shuffle by file group, sort by key within the file, and
     let Spark's parquet sink lay out ``data/<instant>/_pp=…/_fg=…/``.
@@ -288,20 +308,30 @@ def write_instant_files(
     Spark's own (parallel, committer-backed) writer does all data I/O.
     ``pre_partitioned`` skips the shuffle (bulk-insert has already
     range-partitioned + sorted; the merge kernel's output is already
-    hash-partitioned by file group); ``local_sort`` adds the in-file key
-    sort without a shuffle for the latter case."""
+    hash-partitioned by file group).
+
+    The in-task sort leads with the two layout (directory) columns:
+    Spark's dynamic-partition writer requires rows sorted by the
+    partition columns and inserts its own sort when the child's output
+    ordering doesn't already start with them — by matching that prefix
+    we pay ONE sort instead of two, and the writer's (non-key-aware)
+    re-sort can't destroy the key order inside each file."""
     out = df.withColumn(
         LAYOUT_PARTITION_COL,
         F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
             F.col(PARTITION_PATH_COL)
         ),
     ).withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
+    sort_cols = [LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL, RECORD_KEY_COL]
     if not pre_partitioned:
         out = out.repartition(
             max(1, n_groups), F.col(LAYOUT_FILEGROUP_COL)
-        ).sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
-    elif local_sort:
-        out = out.sortWithinPartitions(LAYOUT_FILEGROUP_COL, RECORD_KEY_COL)
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        # always sort locally: the writer would sort by the layout columns
+        # anyway, so including the record key is free and keeps files
+        # key-ordered (footer key ranges stay tight for index pruning)
+        out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("error").partitionBy(LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL).parquet(
         table.instant_data_path(instant)
     )
@@ -587,9 +617,11 @@ def run_batch_write(
     )
     global_idx = cfg.index_type.upper().startswith("GLOBAL")
 
+    timer = _StageTimer(operation.value)
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()
+    timer.mark("view")
 
     pre_tagged = pre_tagged and FILE_ID_COL in df.columns
     incoming = stamp_keys(df, cfg)
@@ -651,7 +683,9 @@ def run_batch_write(
             # file groups derived from the output partition id
             out = _bulk_insert_df(table, incoming, data_cols, instant)
             write_instant_files(table, out, instant, 0, pre_partitioned=True)
+            timer.mark("bulk_write")
             stats = collect_write_stats(table, instant)
+            timer.mark("stats")
             md = make_commit_metadata(
                 operation.value, out.schema.json(), stats, extra=extra
             )
@@ -659,12 +693,18 @@ def run_batch_write(
             table.run_post_commit_services()
             return instant
 
+        from pyspark import StorageLevel
+
         # ---- index tagging ------------------------------------------------
         if pre_tagged:
             tagged = incoming
         elif operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
             operation == WriteOperation.INSERT and cfg.insert_drop_dups
         ):
+            # tag_location's affected-partitions collect evaluates the
+            # incoming pipeline (keygen + align + preCombine window);
+            # cache it so that evaluation isn't repeated by the tag join
+            incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
             tagged = tag_location(table, view, incoming)
             if operation == WriteOperation.INSERT and cfg.insert_drop_dups:
                 # INSERT_DROP_DUPS: drop records whose key already exists
@@ -675,17 +715,17 @@ def run_batch_write(
         # the tagged frame feeds ≥3 actions (profile collects + the write);
         # persist it like the reference persists its input RDD
         # (BaseSparkCommitActionExecutor.java:150-151)
-        from pyspark import StorageLevel
-
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         updates = tagged.filter(F.col(FILE_ID_COL).isNotNull())
         inserts = tagged.filter(F.col(FILE_ID_COL).isNull())
+        timer.mark("tag_plan")
 
         # ---- workload profile (ONE job, like buildProfile:
         # BaseSparkCommitActionExecutor.java:182-214): per-(partition,
         # file_id) counts give the insert bucket sizes, the touched
         # update groups, and the MOR log fids without extra collects.
         profile = tagged.groupBy(PARTITION_PATH_COL, FILE_ID_COL).count().collect()
+        timer.mark("profile")
         insert_counts = [(r[0], r[2]) for r in profile if r[1] is None]
         update_groups = {(r[0], r[1]) for r in profile if r[1] is not None}
         if is_delete:
@@ -764,8 +804,7 @@ def run_batch_write(
                     )
                 out = _finalize(merged, data_cols)
                 write_instant_files(
-                    table, out, instant, n_parts,
-                    pre_partitioned=True, local_sort=True,
+                    table, out, instant, n_parts, pre_partitioned=True,
                 )
             else:
                 live = all_new
@@ -777,7 +816,9 @@ def run_batch_write(
                 out = _finalize(merged, data_cols)
                 write_instant_files(table, out, instant, max(len(touched), 1) + 8)
 
+        timer.mark("write")
         stats = collect_write_stats(table, instant, log_fids)
+        timer.mark("stats")
         if not mor_delta:
             # a rewritten file group can come out EMPTY (every record
             # deleted): Spark's sink writes no file, but the commit must
@@ -803,6 +844,7 @@ def run_batch_write(
         raise
     finally:
         try:
+            incoming.unpersist()  # no-op when never persisted
             tagged.unpersist()
         except NameError:
             pass
