@@ -134,6 +134,19 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
             )
         )
         t.delete_partition(["5-LOW"])
+    elif kind == "bootstrap":
+        # METADATA_ONLY bootstrap: adopt a partitionBy-layout parquet
+        # dataset without rewriting, then upsert on top of the adopted
+        # file groups (status 'R' for key%6==0)
+        src = f"{path}_src"
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+        t = HudiTable.create(spark, path, _orders_cfg())
+        commits["c0"] = t.bootstrap(src, mode="METADATA_ONLY")
+        commits["c1"] = t.upsert(
+            orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+                "o_orderstatus", F.lit("R")
+            )
+        )
     elif kind == "precombine":
         # one upsert batch containing two versions per key; preCombine
         # (max o_orderdate) must keep the bumped copy
@@ -214,6 +227,11 @@ def q_precombine_dedup(spark, sf_dir):
     return _snap(t)
 
 
+def q_bootstrap_metadata_only(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "bootstrap")
+    return _snap(t)
+
+
 _SQL_COW_FINAL = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
@@ -250,6 +268,13 @@ WITH merged AS (
 )
 SELECT * FROM merged
 WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey < 100000000)
+"""
+
+_SQL_BOOTSTRAP_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 6 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders
 """
 
 _SQL_REPLACE_FINAL = """
@@ -752,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_update_delete": q_merge_into,
         "insert_overwrite_delete_partition": q_insert_overwrite,
         "precombine_dedup": q_precombine_dedup,
+        "bootstrap_metadata_only": q_bootstrap_metadata_only,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -795,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into_update_delete": _SQL_DML_FINAL,
         "insert_overwrite_delete_partition": _SQL_REPLACE_FINAL,
         "precombine_dedup": _SQL_PRECOMBINE,
+        "bootstrap_metadata_only": _SQL_BOOTSTRAP_FINAL,
         "tpch_q1": _SQL_Q1,
         "tpch_q3": _SQL_Q3,
         "tpch_q5": _SQL_Q5,

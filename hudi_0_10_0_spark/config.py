@@ -111,7 +111,8 @@ class WriteConfig:
         p = self.partition_field
         if p is None:
             return []
-        return list(p) if isinstance(p, (list, tuple)) else [p]
+        fields = list(p) if isinstance(p, (list, tuple)) else [p]
+        return [f for f in fields if f]  # "" → unpartitioned
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)

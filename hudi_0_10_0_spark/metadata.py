@@ -41,6 +41,12 @@ class WriteStat:
     max_key: str | None = None
     log: bool = False  # True → MOR delta file ("log"); False → base file
     col_stats: dict | None = None  # col -> [min, max, null_count]
+    # METADATA_ONLY bootstrap: file belongs to the user's source dataset
+    # (absolute path, no meta columns inside) — readers derive the meta
+    # columns on the fly and the cleaner never deletes it from disk
+    # (reference: BootstrapMode.METADATA_ONLY keeps a pointer to the
+    # original file, client/client/bootstrap/BootstrapMode.java:29-34)
+    raw: bool = False
 
     def to_dict(self) -> dict:
         return {
@@ -53,11 +59,12 @@ class WriteStat:
             "max_key": self.max_key,
             "log": self.log,
             "col_stats": self.col_stats,
+            "raw": self.raw,
         }
 
     @staticmethod
     def from_dict(d: dict) -> "WriteStat":
-        return WriteStat(**d)
+        return WriteStat(**{k: v for k, v in d.items() if k in WriteStat.__dataclass_fields__})
 
 
 def make_commit_metadata(
@@ -87,6 +94,7 @@ class BaseFileVersion:
     min_key: str | None
     max_key: str | None
     col_stats: dict | None
+    raw: bool = False  # METADATA_ONLY-bootstrapped source file
 
 
 @dataclass
@@ -192,7 +200,7 @@ class FileSystemView:
                     fg.bases.append(
                         BaseFileVersion(
                             ts, st.paths, st.rows, st.bytes,
-                            st.min_key, st.max_key, st.col_stats,
+                            st.min_key, st.max_key, st.col_stats, st.raw,
                         )
                     )
             if action == REPLACE_COMMIT:
@@ -259,6 +267,18 @@ class FileSystemView:
             for l in fg.logs:
                 paths.update(l.paths)
         return paths
+
+    def raw_paths(self) -> set[str]:
+        """Paths of METADATA_ONLY-bootstrapped source files — referenced
+        by the table but owned by the user's original dataset; the
+        cleaner may drop them from the view but never from disk."""
+        return {
+            p
+            for fg in self.groups.values()
+            for b in fg.bases
+            if b.raw
+            for p in b.paths
+        }
 
     # -- sizing inputs for the writer -------------------------------------
     def avg_record_size(self, default: int) -> int:

@@ -57,12 +57,16 @@ def cluster(
     table.timeline.create_requested(instant, REPLACE_COMMIT, {"operation": "cluster"})
     table.timeline.transition_to_inflight(instant, REPLACE_COMMIT)
     try:
-        base_paths = [p for s in slices for p in s.base.paths]
+        from ..sources.read import slices_to_df
+
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
-        df = table.spark.read.schema(table.read_schema()).parquet(
-            *[table.abs_path(p) for p in base_paths + log_paths]
-        )
+        df = slices_to_df(table, slices)
         if log_paths:  # MOR: fold deltas while clustering
+            df = df.unionByName(
+                table.spark.read.schema(table.read_schema()).parquet(
+                    *[table.abs_path(p) for p in log_paths]
+                )
+            )
             df = mor_merge_window(
                 df, get_payload(cfg.payload, cfg.precombine_field)
             )

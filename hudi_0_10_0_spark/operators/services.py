@@ -159,11 +159,16 @@ def run_compaction(table, instant: str | None = None) -> str | None:
     timeline.transition_to_inflight(instant, COMPACTION)
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-        base_paths = [p for s in slices for p in s.base.paths]
+        from ..sources.read import slices_to_df
+
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
-        union = table.spark.read.schema(table.read_schema()).parquet(
-            *[table.abs_path(p) for p in base_paths + log_paths]
-        )
+        union = slices_to_df(table, slices)
+        if log_paths:
+            union = union.unionByName(
+                table.spark.read.schema(table.read_schema()).parquet(
+                    *[table.abs_path(p) for p in log_paths]
+                )
+            )
         # single shuffle keyed by file group: the window merge's
         # ClusteredDistribution((fid, pp, key)) is satisfied by
         # HashPartitioning((fid, pp)), and the output lands pre-grouped
@@ -270,8 +275,13 @@ def clean(table) -> str | None:
             deletable.append(p)
     if not deletable:
         return None
+    # METADATA_ONLY-bootstrapped files belong to the user's source
+    # dataset: drop them from the view (recorded as deleted) but never
+    # remove them from disk
+    external = view.raw_paths()
     for p in deletable:
-        table.fs.delete(table.abs_path(p))
+        if p not in external:
+            table.fs.delete(table.abs_path(p))
     instant = table.new_instant()
     table.timeline.create_requested(instant, CLEAN, {})
     table.timeline.transition_to_completed(

@@ -151,10 +151,12 @@ def tag_location(table, view: FileSystemView, incoming: DataFrame) -> DataFrame:
     if not slices:
         return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
 
-    paths = [table.abs_path(p) for s in slices for p in s.base.paths]
-    if not paths:  # only zero-row slices remain (fully-deleted groups)
+    if not any(s.base.paths for s in slices):
+        # only zero-row slices remain (fully-deleted groups)
         return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
-    index = spark.read.parquet(*paths).select(
+    from ..sources.read import slices_to_df
+
+    index = slices_to_df(table, slices).select(
         F.col(RECORD_KEY_COL),
         F.col(PARTITION_PATH_COL).alias("__idx_pp"),
         F.col(FILE_ID_COL).alias("__idx_fid"),
@@ -771,8 +773,9 @@ def run_batch_write(
 
             if old_slices:
                 n_parts = max(len(touched), 1) + 8
-                old_paths = [table.abs_path(p) for s in old_slices for p in s.base.paths]
-                old = spark.read.schema(table.read_schema()).parquet(*old_paths)
+                from ..sources.read import slices_to_df
+
+                old = slices_to_df(table, old_slices)
                 if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
                     # insert never consults the index: duplicates of existing
                     # keys are appended, not merged. Salt incoming merge keys
@@ -849,6 +852,135 @@ def run_batch_write(
         except NameError:
             pass
     table.run_post_commit_services()
+    return instant
+
+
+def bootstrap_metadata_only(table, parquet_path: str) -> str:
+    """METADATA_ONLY bootstrap
+    (``client/client/bootstrap/BootstrapMode.java:29-34``,
+    ``spark-client/table/action/bootstrap/SparkBootstrapCommitActionExecutor.java``):
+    adopt an existing parquet dataset **without rewriting a byte** — each
+    source file becomes one file group registered in a v0 commit
+    manifest; readers derive the meta columns at scan time
+    (``sources.read._read_raw_slices``), and the reference's skeleton
+    files are unnecessary. Upserts rewrite adopted groups into normal
+    base files lazily, exactly like any other COW/MOR merge.
+
+    The source must be laid out compatibly with the table's partition
+    fields: hive-style ``field=value`` directories for a partitioned
+    table, or any flat/nested layout for an unpartitioned one.
+    Everything here is O(files) driver metadata + distributed footer
+    reads — no row is touched, so adopting a 100 TB dataset costs
+    minutes, not a rewrite."""
+    cfg = table.cfg
+    if table.schema() is not None:
+        raise ValueError("bootstrap requires a table with no commits")
+    src = parquet_path.rstrip("/")
+    src_tail = src.split("://")[-1]
+
+    def _rel(uri: str) -> str:
+        plain = uri[len("file:"):] if uri.startswith("file:") else uri
+        idx = plain.find(src_tail)
+        return plain[idx + len(src_tail):].lstrip("/") if idx >= 0 else plain
+
+    listed = [
+        (uri, size)
+        for uri, size in table.fs.list_files_recursive(src)
+        if uri.endswith(".parquet")
+        and not any(seg.startswith(("_", ".")) for seg in _rel(uri).split("/") if seg)
+    ]
+    if not listed:
+        raise ValueError(f"no parquet files under {parquet_path}")
+
+    pfields = cfg.partition_fields()
+
+    def partition_of(uri: str) -> str:
+        dirs = _rel(uri).split("/")[:-1]
+        vals = {}
+        for seg in dirs:
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                vals[k] = unquote(v)
+        pieces = []
+        for fld in pfields:
+            if fld not in vals:
+                raise ValueError(
+                    f"METADATA_ONLY bootstrap needs hive-style {fld}=... "
+                    f"directories; not found in {uri}"
+                )
+            pieces.append(
+                f"{fld}={vals[fld]}" if cfg.hive_style_partitioning else vals[fld]
+            )
+        return "/".join(pieces)
+
+    # table schema = meta columns + source data columns + delete marker,
+    # matching every other commit's written layout
+    data_schema = table.spark.read.parquet(src).schema
+    full = T.StructType(
+        [T.StructField(c, T.StringType()) for c in META_COLS]
+        + [f for f in data_schema.fields if f.name not in META_COLS]
+        + [T.StructField(DELETE_MARKER_COL, T.BooleanType())]
+    )
+    stat_cols = [
+        f.name for f in data_schema.fields if isinstance(f.dataType, _STATS_TYPES)
+    ] if cfg.collect_column_stats else []
+
+    uri_list = [u for u, _ in listed]
+    if len(uri_list) > 64:  # distribute footer reads for large adoptions
+        sc = table.spark.sparkContext
+        per_file = dict(
+            sc.parallelize(uri_list, max(2, len(uri_list) // 32)).map(
+                lambda u: (u, _footer_stats(u, stat_cols))
+            ).collect()
+        )
+    else:
+        per_file = {u: _footer_stats(u, stat_cols) for u in uri_list}
+
+    # record-key range from footers only when key order == column order
+    # (single string key field); else no range → group is must-read
+    key_fields = cfg.key_fields()
+    key_is_str = len(key_fields) == 1 and isinstance(
+        data_schema[key_fields[0]].dataType if key_fields[0] in data_schema.names else None,
+        T.StringType,
+    )
+
+    instant = table.new_instant()
+    table.timeline.create_requested(
+        instant, "commit", {"operation": "bootstrap"}
+    )
+    table.timeline.transition_to_inflight(instant, "commit")
+    try:
+        stats = []
+        for uri, size in sorted(listed):
+            fstats = per_file[uri]
+            mn = mx = None
+            if key_is_str and key_fields[0] in (fstats["col_stats"] or {}):
+                mn, mx, _ = fstats["col_stats"][key_fields[0]]
+            # store scheme-less absolute paths (abs_path passes them through)
+            plain = uri[len("file:"):] if uri.startswith("file:") else uri
+            stats.append(
+                WriteStat(
+                    partition=partition_of(uri),
+                    file_id=uuid.uuid4().hex[:16],
+                    paths=[plain],
+                    rows=fstats["rows"],
+                    bytes=size,
+                    min_key=str(mn) if mn is not None else None,
+                    max_key=str(mx) if mx is not None else None,
+                    col_stats=fstats["col_stats"] or None,
+                    raw=True,
+                )
+            )
+        md = make_commit_metadata(
+            "bootstrap",
+            full.json(),
+            stats,
+            extra={"bootstrap_from": parquet_path, "mode": "METADATA_ONLY"},
+        )
+        guarded_commit(table, instant, "commit", md)
+    except Exception:
+        table.timeline.delete_instant_files(instant, "commit")
+        raise
     return instant
 
 

@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..config import DELETE_MARKER_COL, META_COLS, TableType
+from ..config import (
+    COMMIT_TIME_COL,
+    DELETE_MARKER_COL,
+    FILE_ID_COL,
+    META_COLS,
+    PARTITION_PATH_COL,
+    SEQNO_COL,
+    TableType,
+)
 from ..metadata import FileSlice
 from ..payloads import get_payload
 from ..operators.merge import mor_merge_window
@@ -38,6 +46,116 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
     )
 
 
+def _strip_file_scheme(c):
+    return F.regexp_replace(c, "^file:/{0,2}(/)", "$1")
+
+
+def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
+    """METADATA_ONLY-bootstrapped base files: the parquet files belong to
+    the user's original dataset and carry no meta columns, so derive
+    them at scan time (the reference reads its skeleton file for this —
+    ``ds/HoodieBootstrapRelation.scala``; we recompute instead, which
+    Catalyst folds into the scan's codegen):
+
+    - ``_hoodie_record_key``: key-generator expression over the source
+      columns
+    - ``_hoodie_partition_path`` / ``_hoodie_file_id`` /
+      ``_hoodie_commit_time``: broadcast join of ``input_file_name()``
+      against the manifest's path → (partition, group, bootstrap
+      instant) mapping — one row per source FILE, so the broadcast is
+      O(file groups), fine at 100 TB (~1M rows)
+    - partition FIELD columns that Spark's ``partitionBy`` layout left
+      out of the data files are restored from the manifest partition
+      value (coalesce, so sources that kept the column are untouched)
+    """
+    from ..config import DEFAULT_PARTITION
+    from ..keygen import stamp_keys
+
+    cfg = table.cfg
+    pfields = cfg.partition_fields()
+    schema = table.read_schema()
+    data_fields = [
+        f for f in schema.fields
+        if f.name not in META_COLS and f.name != DELETE_MARKER_COL
+    ]
+    dtypes = {f.name: f.dataType for f in data_fields}
+
+    def pvals(partition: str) -> list:
+        segs = partition.split("/") if partition else []
+        out = []
+        for i, _fld in enumerate(pfields):
+            v = None
+            if i < len(segs):
+                seg = segs[i]
+                v = seg.split("=", 1)[1] if "=" in seg else seg
+                if v == DEFAULT_PARTITION:
+                    v = None
+            out.append(v)
+        return out
+
+    mapping = [
+        (table.abs_path(p), s.file_id, s.base.instant, s.partition, *pvals(s.partition))
+        for s in slices
+        for p in s.base.paths
+    ]
+    map_schema = "__raw_path string, __raw_fid string, __raw_instant string, __raw_pp string" + "".join(
+        f", __raw_pv{i} string" for i in range(len(pfields))
+    )
+    map_df = table.spark.createDataFrame(mapping, map_schema).withColumn(
+        "__raw_path", _strip_file_scheme(F.col("__raw_path"))
+    )
+    df = table.spark.read.schema(T.StructType(data_fields)).parquet(
+        *[m[0] for m in mapping]
+    )
+    # input_file_name() is non-deterministic — project it into a column
+    # before using it as a join key. It returns a percent-encoded URI
+    # (space → %20), while manifest paths are plain: decode, shielding
+    # literal '+' (url_decode would turn it into a space)
+    decoded = F.expr(
+        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
+        " input_file_name())"
+    )
+    df = df.withColumn("__raw_file", _strip_file_scheme(decoded))
+    df = df.join(
+        F.broadcast(map_df), F.col("__raw_file") == F.col("__raw_path"), "inner"
+    )
+    for i, fld in enumerate(pfields):
+        if fld in dtypes:
+            df = df.withColumn(
+                fld, F.coalesce(F.col(fld), F.col(f"__raw_pv{i}").cast(dtypes[fld]))
+            )
+    df = df.withColumn(PARTITION_PATH_COL, F.col("__raw_pp"))
+    df = stamp_keys(df, cfg)  # adds the record key; partition kept as-is
+    df = (
+        df.withColumn(COMMIT_TIME_COL, F.col("__raw_instant"))
+        .withColumn(
+            SEQNO_COL,
+            F.concat_ws(
+                "_",
+                F.col("__raw_instant"),
+                F.spark_partition_id().cast("string"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
+        )
+        .withColumn(FILE_ID_COL, F.col("__raw_fid"))
+        .withColumn(DELETE_MARKER_COL, F.lit(False))
+    )
+    return df.select(*[f.name for f in schema.fields])
+
+
+def slices_to_df(table, slices: list[FileSlice]) -> DataFrame:
+    """Base files of the given slices as one meta-complete DataFrame —
+    the single entry point every reader/merger/tagger uses, so
+    METADATA_ONLY bootstrap files are handled uniformly."""
+    raw = [s for s in slices if s.base.raw]
+    normal_paths = [p for s in slices if not s.base.raw for p in s.base.paths]
+    df = _read_paths(table, normal_paths) if (normal_paths or not raw) else None
+    if raw:
+        rdf = _read_raw_slices(table, raw)
+        df = rdf if df is None else df.unionByName(rdf)
+    return df
+
+
 def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
     """MOR snapshot view of the given slices: base ∪ delta rows, then
     latest-version-per-key (payload order) and tombstone drop.
@@ -52,14 +170,16 @@ def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
     log_free = [s for s in slices if not s.logs]
     plain = None
     if log_free or not with_logs:
-        plain = _read_paths(table, [p for s in log_free for p in s.base.paths])
+        plain = slices_to_df(table, log_free)
         plain = plain.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
     if not with_logs:
         return plain
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-    paths = [p for s in with_logs for p in s.base.paths]
-    paths += [p for s in with_logs for l in s.logs for p in l.paths]
-    merged = mor_merge_window(_read_paths(table, paths), payload)
+    base = slices_to_df(table, with_logs)
+    logs = _read_paths(
+        table, [p for s in with_logs for l in s.logs for p in l.paths]
+    )
+    merged = mor_merge_window(base.unionByName(logs), payload)
     return merged.unionByName(plain) if plain is not None else merged
 
 
@@ -79,7 +199,7 @@ def snapshot(
     if filters:
         slices = prune_slices_by_stats(table, slices, filters)
     if table.cfg.table_type == TableType.COPY_ON_WRITE or query_type == QUERY_READ_OPTIMIZED:
-        df = _read_paths(table, [p for s in slices for p in s.base.paths])
+        df = slices_to_df(table, slices)
         df = df.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
     else:
         if as_of is not None:
@@ -114,7 +234,7 @@ def incremental(
         if (s.partition, s.file_id) in touched
     ]
     if table.cfg.table_type == TableType.COPY_ON_WRITE:
-        df = _read_paths(table, [p for s in slices for p in s.base.paths])
+        df = slices_to_df(table, slices)
         df = df.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
     else:
         df = _merge_slices(table, slices)

@@ -131,10 +131,18 @@ class HudiTable:
             self, None, WriteOperation.DELETE_PARTITION, partitions=partitions, **kw
         )
 
-    def bootstrap(self, parquet_path: str, **kw) -> str:
-        """Adopt an existing parquet dataset (FULL_RECORD mode —
-        ``client/client/bootstrap/BootstrapMode.java:29-34``): read,
-        stamp keys/meta, lay out as v0 of this table."""
+    def bootstrap(self, parquet_path: str, mode: str = "FULL_RECORD", **kw) -> str:
+        """Adopt an existing parquet dataset
+        (``client/client/bootstrap/BootstrapMode.java:29-34``).
+
+        ``FULL_RECORD``: read, stamp keys/meta, rewrite as v0 of this
+        table. ``METADATA_ONLY``: register the source files in the
+        manifest without rewriting anything; meta columns are derived at
+        read time and groups are rewritten lazily on first upsert."""
+        if mode.upper() == "METADATA_ONLY":
+            from .operators.write import bootstrap_metadata_only
+
+            return bootstrap_metadata_only(self, parquet_path)
         df = self.spark.read.parquet(parquet_path)
         return self.bulk_insert(df, extra={"bootstrap_from": parquet_path}, **kw)
 
