@@ -402,6 +402,74 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    li = _pq(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (dec("l_discount") >= F.lit("0.05").cast("decimal(18,2)"))
+            & (dec("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+    )
+
+
+_SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2))
+                                            AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _pq(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _pq(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
     parquet reader rejects; read nanos as long and truncate to micros
@@ -781,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "dedup_exact": q_dedup_exact,
@@ -825,6 +895,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": _SQL_Q1,
         "tpch_q3": _SQL_Q3,
         "tpch_q5": _SQL_Q5,
+        "tpch_q6": _SQL_Q6,
+        "tpch_q10": _SQL_Q10,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "dedup_exact": _SQL_DEDUP_EXACT,
