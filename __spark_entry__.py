@@ -147,6 +147,19 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
                 "o_orderstatus", F.lit("R")
             )
         )
+    elif kind == "global_move":
+        # GLOBAL index + update-partition-path: keys arriving with a new
+        # partition value move (delete old copy + insert into new)
+        t = HudiTable.create(
+            spark, path,
+            _orders_cfg(index_type="GLOBAL_SIMPLE", update_partition_path=True),
+        )
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 50 == 0)
+            .withColumn("o_orderpriority", F.lit("9-MOVED"))
+            .withColumn("o_orderstatus", F.lit("G"))
+        )
     elif kind == "precombine":
         # one upsert batch containing two versions per key; preCombine
         # (max o_orderdate) must keep the bumped copy
@@ -232,6 +245,11 @@ def q_bootstrap_metadata_only(spark, sf_dir):
     return _snap(t)
 
 
+def q_global_index_move(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "global_move")
+    return _snap(t)
+
+
 _SQL_COW_FINAL = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
@@ -268,6 +286,14 @@ WITH merged AS (
 )
 SELECT * FROM merged
 WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey < 100000000)
+"""
+
+_SQL_GLOBAL_MOVE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 50 = 0 THEN 'G' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate,
+       CASE WHEN o_orderkey % 50 = 0 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority
+FROM orders
 """
 
 _SQL_BOOTSTRAP_FINAL = """
@@ -846,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_overwrite_delete_partition": q_insert_overwrite,
         "precombine_dedup": q_precombine_dedup,
         "bootstrap_metadata_only": q_bootstrap_metadata_only,
+        "global_index_partition_move": q_global_index_move,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -892,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "insert_overwrite_delete_partition": _SQL_REPLACE_FINAL,
         "precombine_dedup": _SQL_PRECOMBINE,
         "bootstrap_metadata_only": _SQL_BOOTSTRAP_FINAL,
+        "global_index_partition_move": _SQL_GLOBAL_MOVE,
         "tpch_q1": _SQL_Q1,
         "tpch_q3": _SQL_Q3,
         "tpch_q5": _SQL_Q5,

@@ -67,8 +67,16 @@ def _timestamp_partition_expr(cfg: WriteConfig, fld: str) -> Column:
     return F.date_format(ts, fmt)
 
 
-def stamp_keys(df: DataFrame, cfg: WriteConfig) -> DataFrame:
-    """Add ``_hoodie_record_key`` and ``_hoodie_partition_path``."""
+def stamp_keys(
+    df: DataFrame, cfg: WriteConfig, partition_optional: bool = False
+) -> DataFrame:
+    """Add ``_hoodie_record_key`` and ``_hoodie_partition_path``.
+
+    ``partition_optional``: a GLOBAL-index delete may arrive with only
+    the key columns (GlobalDeleteKeyGenerator,
+    ``spark-client/keygen/GlobalDeleteKeyGenerator.java``) — the true
+    partition comes from the index join, so stamp a placeholder instead
+    of failing on the missing partition source column."""
     out = df
     if RECORD_KEY_COL not in df.columns:
         if cfg.keygen == "uuid":
@@ -77,7 +85,11 @@ def stamp_keys(df: DataFrame, cfg: WriteConfig) -> DataFrame:
         else:
             out = out.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
     if PARTITION_PATH_COL not in out.columns:
-        out = out.withColumn(PARTITION_PATH_COL, _partition_path_expr(cfg))
+        missing = [f for f in cfg.partition_fields() if f not in out.columns]
+        if missing and partition_optional:
+            out = out.withColumn(PARTITION_PATH_COL, F.lit(""))
+        else:
+            out = out.withColumn(PARTITION_PATH_COL, _partition_path_expr(cfg))
     return out
 
 

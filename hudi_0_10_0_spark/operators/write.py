@@ -626,7 +626,7 @@ def run_batch_write(
     timer.mark("view")
 
     pre_tagged = pre_tagged and FILE_ID_COL in df.columns
-    incoming = stamp_keys(df, cfg)
+    incoming = stamp_keys(df, cfg, partition_optional=is_delete and global_idx)
     if pre_tagged:  # survive the meta-column strip in schema alignment
         incoming = incoming.withColumnRenamed(FILE_ID_COL, "__pre_fid")
     incoming = _align_to_table_schema(incoming, table_schema)
