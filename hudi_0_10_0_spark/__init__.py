@@ -25,6 +25,7 @@ Public API::
 
 from .config import TableType, WriteConfig, WriteOperation
 from .table import HudiTable
+from . import datasource
 
-__all__ = ["HudiTable", "WriteConfig", "TableType", "WriteOperation"]
+__all__ = ["HudiTable", "WriteConfig", "TableType", "WriteOperation", "datasource"]
 __version__ = "0.1.0"

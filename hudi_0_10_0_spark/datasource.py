@@ -1,0 +1,223 @@
+"""``hoodie.*`` option-string datasource shim — the reference's user API.
+
+The reference is driven through Spark's datasource options
+(``ds/DataSourceOptions.scala``: ``DataSourceWriteOptions`` /
+``DataSourceReadOptions``); a user migrating from it keeps their option
+dictionaries and calls::
+
+    from hudi_0_10_0_spark import datasource as hudi
+
+    hudi.write(df, path, mode="append", options={
+        "hoodie.table.name": "trips",
+        "hoodie.datasource.write.recordkey.field": "uuid",
+        "hoodie.datasource.write.partitionpath.field": "region",
+        "hoodie.datasource.write.precombine.field": "ts",
+        "hoodie.datasource.write.operation": "upsert",
+    })
+    df = hudi.read(spark, path, options={
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": "20260813000000",
+    })
+
+Only option TRANSLATION lives here; all semantics stay in
+``HudiTable`` / ``WriteConfig``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import TableType, WriteConfig
+from .table import HudiTable
+
+# ``hoodie.datasource.write.payload.class`` values (reference class
+# names, common/model/*.java) → our payload registry names
+_PAYLOAD_CLASSES = {
+    "OverwriteWithLatestAvroPayload": "overwrite_latest",
+    "DefaultHoodieRecordPayload": "default",
+    "OverwriteNonDefaultsWithLatestAvroPayload": "overwrite_non_defaults",
+    "EventTimeAvroPayload": "event_time",
+    "EmptyHoodieRecordPayload": "empty",
+    "AWSDmsAvroPayload": "aws_dms",
+    "PostgresDebeziumAvroPayload": "debezium",
+    "MySqlDebeziumAvroPayload": "debezium",
+}
+
+# ``hoodie.datasource.write.keygenerator.class`` → our keygen names
+_KEYGEN_CLASSES = {
+    "SimpleKeyGenerator": "simple",
+    "ComplexKeyGenerator": "complex",
+    "TimestampBasedKeyGenerator": "timestamp",
+    "NonpartitionedKeyGenerator": "nonpartitioned",
+    "UuidKeyGenerator": "uuid",
+}
+
+
+def _bool(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def _fields(v: str) -> str | list[str]:
+    parts = [p.strip() for p in str(v).split(",") if p.strip()]
+    return parts[0] if len(parts) == 1 else parts
+
+
+def options_to_config(options: dict) -> WriteConfig:
+    """Translate reference write options
+    (``ds/DataSourceOptions.scala`` ``DataSourceWriteOptions``, config
+    keys from ``HoodieWriteConfig`` / ``HoodieCompactionConfig`` /
+    ``HoodieStorageConfig`` / ``HoodieIndexConfig``) into a
+    ``WriteConfig``. Unknown ``hoodie.*`` keys are ignored, like the
+    reference ignores options it doesn't own."""
+    o = {str(k): v for k, v in options.items()}
+    kw: dict = {}
+
+    def take(key, field, conv=lambda x: x):
+        if key in o:
+            kw[field] = conv(o[key])
+
+    take("hoodie.table.name", "table_name", str)
+    take("hoodie.datasource.write.recordkey.field", "record_key_field", _fields)
+    take("hoodie.datasource.write.partitionpath.field", "partition_field", _fields)
+    take("hoodie.datasource.write.precombine.field", "precombine_field", str)
+    take(
+        "hoodie.datasource.write.table.type",
+        "table_type",
+        lambda v: TableType(str(v).upper()),
+    )
+    take(
+        "hoodie.datasource.write.payload.class",
+        "payload",
+        lambda v: _PAYLOAD_CLASSES.get(str(v).rsplit(".", 1)[-1], str(v)),
+    )
+    take(
+        "hoodie.datasource.write.keygenerator.class",
+        "keygen",
+        lambda v: _KEYGEN_CLASSES.get(str(v).rsplit(".", 1)[-1], "auto"),
+    )
+    take(
+        "hoodie.datasource.write.hive_style_partitioning",
+        "hive_style_partitioning",
+        _bool,
+    )
+    take("hoodie.datasource.write.insert.drop.duplicates", "insert_drop_dups", _bool)
+    take("hoodie.combine.before.insert", "combine_before_insert", _bool)
+    take("hoodie.combine.before.upsert", "combine_before_upsert", _bool)
+    take("hoodie.parquet.max.file.size", "max_file_size_bytes", int)
+    take("hoodie.parquet.small.file.limit", "small_file_limit_bytes", int)
+    take("hoodie.copyonwrite.record.size.estimate", "record_size_estimate", int)
+    take("hoodie.index.type", "index_type", lambda v: str(v).upper())
+    for k in (
+        "hoodie.bloom.index.update.partition.path",
+        "hoodie.simple.index.update.partition.path",
+        "hoodie.global.simple.index.update.partition.path",
+    ):
+        take(k, "update_partition_path", _bool)
+    take("hoodie.compact.inline", "inline_compact", _bool)
+    take("hoodie.compact.inline.max.delta.commits", "compact_max_delta_commits", int)
+    take("hoodie.compact.inline.trigger.strategy", "compact_trigger", lambda v: str(v).upper())
+    take("hoodie.clean.automatic", "auto_clean", _bool)
+    take("hoodie.cleaner.commits.retained", "cleaner_commits_retained", int)
+    take("hoodie.cleaner.policy", "cleaner_policy", lambda v: str(v).upper())
+    take(
+        "hoodie.cleaner.fileversions.retained", "cleaner_file_versions_retained", int
+    )
+    take("hoodie.keep.min.commits", "keep_min_commits", int)
+    take("hoodie.keep.max.commits", "keep_max_commits", int)
+    take("hoodie.bulkinsert.shuffle.parallelism", "write_parallelism", int)
+    take(
+        "hoodie.write.concurrency.mode",
+        "concurrency_mode",
+        lambda v: str(v).upper(),
+    )
+    take(
+        "hoodie.keygen.timestamp.output.dateformat",
+        "timestamp_output_format",
+        str,
+    )
+    take("hoodie.keygen.timestamp.type", "timestamp_input_type", lambda v: str(v).upper())
+    from .config import BulkInsertSortMode
+
+    take(
+        "hoodie.bulkinsert.sort.mode",
+        "bulk_insert_sort_mode",
+        lambda v: BulkInsertSortMode(str(v).upper()),
+    )
+    return WriteConfig(**kw)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    options: dict | None = None,
+) -> str:
+    """``df.write.format("hudi").options(...).mode(m).save(path)``
+    equivalent (``ds/DefaultSource.createRelation:155-166`` →
+    ``HoodieSparkSqlWriter.write``). Returns the commit instant.
+
+    SaveMode semantics match the reference: ``overwrite`` on an existing
+    table runs ``insert_overwrite_table``; ``append`` (default) runs the
+    configured ``hoodie.datasource.write.operation``; ``error``/
+    ``ignore`` guard table existence."""
+    o = dict(options or {})
+    spark = df.sparkSession
+    operation = str(o.get("hoodie.datasource.write.operation", "upsert")).lower()
+    exists = HudiTable.exists(spark, path)
+    if exists:
+        if mode == "ignore":
+            return ""
+        if mode in ("error", "errorifexists"):
+            raise ValueError(f"table already exists at {path}")
+        t = HudiTable.load(spark, path)
+    else:
+        t = HudiTable.create(spark, path, options_to_config(o))
+
+    if mode == "overwrite" and exists:
+        return t.insert_overwrite_table(df)
+    if operation == "upsert":
+        return t.upsert(df)
+    if operation == "insert":
+        return t.insert(df)
+    if operation == "bulk_insert":
+        return t.bulk_insert(df)
+    if operation == "delete":
+        return t.delete(df)
+    if operation == "insert_overwrite":
+        return t.insert_overwrite(df)
+    if operation == "insert_overwrite_table":
+        return t.insert_overwrite_table(df)
+    if operation == "delete_partition":
+        parts = str(
+            o.get("hoodie.datasource.write.partitions.to.delete", "")
+        ).split(",")
+        return t.delete_partition([p.strip() for p in parts if p.strip()])
+    if operation == "bootstrap":
+        src = o.get("hoodie.bootstrap.base.path", path)
+        bmode = str(o.get("hoodie.bootstrap.mode.selector.rule", "FULL_RECORD"))
+        return t.bootstrap(src, mode=bmode)
+    raise ValueError(f"unknown hoodie.datasource.write.operation: {operation}")
+
+
+def read(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> DataFrame:
+    """``spark.read.format("hudi").options(...).load(path)`` equivalent
+    (``ds/DefaultSource.createRelation:72-131`` dispatch on query
+    type)."""
+    o = dict(options or {})
+    t = HudiTable.load(spark, path)
+    qt = str(o.get("hoodie.datasource.query.type", "snapshot")).lower()
+    as_of = o.get("as.of.instant")
+    if qt == "snapshot":
+        return t.snapshot(as_of=str(as_of) if as_of else None)
+    if qt == "read_optimized":
+        return t.read_optimized()
+    if qt == "incremental":
+        begin = o.get("hoodie.datasource.read.begin.instanttime")
+        end = o.get("hoodie.datasource.read.end.instanttime")
+        return t.incremental(
+            str(begin) if begin is not None else None,
+            str(end) if end is not None else None,
+        )
+    raise ValueError(f"unknown hoodie.datasource.query.type: {qt}")

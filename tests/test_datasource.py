@@ -1,0 +1,103 @@
+"""hoodie.* option-string shim (reference DataSourceOptions.scala)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import TableType, datasource
+from hudi_0_10_0_spark.datasource import options_to_config
+
+
+def test_option_translation():
+    cfg = options_to_config(
+        {
+            "hoodie.table.name": "trips",
+            "hoodie.datasource.write.recordkey.field": "uuid",
+            "hoodie.datasource.write.partitionpath.field": "region,day",
+            "hoodie.datasource.write.precombine.field": "ts",
+            "hoodie.datasource.write.table.type": "MERGE_ON_READ",
+            "hoodie.datasource.write.payload.class": "org.apache.hudi.common.model.OverwriteNonDefaultsWithLatestAvroPayload",
+            "hoodie.datasource.write.hive_style_partitioning": "true",
+            "hoodie.index.type": "GLOBAL_SIMPLE",
+            "hoodie.simple.index.update.partition.path": "true",
+            "hoodie.parquet.max.file.size": "125829120",
+            "hoodie.cleaner.commits.retained": "7",
+            "hoodie.compact.inline": "true",
+            "hoodie.compact.inline.max.delta.commits": "3",
+            "hoodie.some.unknown.key": "ignored",
+        }
+    )
+    assert cfg.table_name == "trips"
+    assert cfg.record_key_field == "uuid"
+    assert cfg.partition_field == ["region", "day"]
+    assert cfg.precombine_field == "ts"
+    assert cfg.table_type == TableType.MERGE_ON_READ
+    assert cfg.payload == "overwrite_non_defaults"
+    assert cfg.hive_style_partitioning is True
+    assert cfg.index_type == "GLOBAL_SIMPLE"
+    assert cfg.update_partition_path is True
+    assert cfg.max_file_size_bytes == 125829120
+    assert cfg.cleaner_commits_retained == 7
+    assert cfg.inline_compact is True
+    assert cfg.compact_max_delta_commits == 3
+
+
+def _opts(**extra):
+    return {
+        "hoodie.table.name": "orders",
+        "hoodie.datasource.write.recordkey.field": "o_orderkey",
+        "hoodie.datasource.write.partitionpath.field": "o_orderpriority",
+        "hoodie.datasource.write.precombine.field": "o_orderdate",
+        "hoodie.clean.automatic": "false",
+        **extra,
+    }
+
+
+def test_write_read_roundtrip(spark, tmp_table_path, orders):
+    p = tmp_table_path + "/t"
+    datasource.write(
+        orders, p, options=_opts(**{"hoodie.datasource.write.operation": "bulk_insert"})
+    )
+    # second write: default operation = upsert, config loaded from table
+    datasource.write(
+        orders.limit(100).withColumn("o_orderstatus", F.lit("X")), p, options=_opts()
+    )
+    snap = datasource.read(spark, p)
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_orderstatus") == "X").count() == 100
+
+    inc = datasource.read(
+        spark, p, options={"hoodie.datasource.query.type": "incremental"}
+    )
+    assert inc.count() == orders.count()  # no begin → everything
+
+
+def test_save_modes(spark, tmp_table_path, orders):
+    p = tmp_table_path + "/t"
+    datasource.write(orders, p, options=_opts())
+    with pytest.raises(ValueError, match="exists"):
+        datasource.write(orders, p, mode="error", options=_opts())
+    assert datasource.write(orders, p, mode="ignore", options=_opts()) == ""
+    # overwrite = insert_overwrite_table
+    datasource.write(orders.limit(10), p, mode="overwrite", options=_opts())
+    assert datasource.read(spark, p).count() == 10
+
+
+def test_incremental_bounds(spark, tmp_table_path, orders):
+    p = tmp_table_path + "/t"
+    c0 = datasource.write(
+        orders, p, options=_opts(**{"hoodie.datasource.write.operation": "bulk_insert"})
+    )
+    c1 = datasource.write(
+        orders.limit(40).withColumn("o_orderstatus", F.lit("Y")), p, options=_opts()
+    )
+    inc = datasource.read(
+        spark,
+        p,
+        options={
+            "hoodie.datasource.query.type": "incremental",
+            "hoodie.datasource.read.begin.instanttime": c0,
+        },
+    )
+    assert inc.count() == 40
+    tt = datasource.read(spark, p, options={"as.of.instant": c0})
+    assert tt.filter(F.col("o_orderstatus") == "Y").count() == 0
