@@ -225,6 +225,14 @@ def q_mor_compaction(spark, sf_dir):
     return t.read_optimized().select(*_ORDER_COLS)
 
 
+def q_mor_incremental(spark, sf_dir):
+    """Incremental over MOR deltacommits: rows whose latest version
+    landed in (c0, c1] — merges delta rows within the instant range
+    (``ds/MergeOnReadIncrementalRelation.scala``)."""
+    t, c = _fixture(spark, sf_dir, "mor")
+    return t.incremental(c["c0"], c["c1"]).select(*_ORDER_COLS)
+
+
 def q_merge_into(spark, sf_dir):
     t, _ = _fixture(spark, sf_dir, "dml")
     return _snap(t)
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mor_snapshot": q_mor_snapshot,
         "mor_read_optimized": q_mor_read_optimized,
         "mor_compaction": q_mor_compaction,
+        "mor_incremental": q_mor_incremental,
         "merge_into_update_delete": q_merge_into,
         "insert_overwrite_delete_partition": q_insert_overwrite,
         "precombine_dedup": q_precombine_dedup,
@@ -915,6 +924,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "mor_compaction": _SQL_MOR_COMPACTED,
+        "mor_incremental": """
+            SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+        """,
         "merge_into_update_delete": _SQL_DML_FINAL,
         "insert_overwrite_delete_partition": _SQL_REPLACE_FINAL,
         "precombine_dedup": _SQL_PRECOMBINE,
