@@ -77,7 +77,6 @@ class WriteConfig:
     # TIME_ELAPSED band — hoodie.compact.inline.max.delta.seconds default
     # (HoodieCompactionConfig.java:97-101)
     compact_max_delta_seconds: int = 3600
-    compact_max_delta_seconds: int = 3600
     cleaner_commits_retained: int = 10
     cleaner_policy: str = "KEEP_LATEST_COMMITS"  # | KEEP_LATEST_FILE_VERSIONS
     cleaner_file_versions_retained: int = 3
