@@ -612,6 +612,37 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup removal (inverted shingle index,
+    no LSH recall loss), threshold 0.7."""
+    from hudi_0_10_0_spark.functions.dedup import ngram_jaccard_dedup
+
+    docs = _pq(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(docs, threshold=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_SQL_DEDUP_NGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+), losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) >= 0.7 * len(list_distinct(list_concat(a.s, b.s)))
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Token count, language ID, quality score per document."""
     from hudi_0_10_0_spark.functions.text import lang_id, quality_features
@@ -892,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_simhash_dedup,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -943,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         # dedup_simhash / similarity_ann_lsh: intentionally no oracle —
         # hash-based approximations (driver records rows-only checks)
         "text_stats": _SQL_TEXT_STATS,

@@ -140,6 +140,67 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def ngram_jaccard_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle: int = 3, threshold: float = 0.7,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup removal via an inverted shingle
+    index: explode distinct shingles, self-join on shingle (one shuffle
+    keyed by shingle), count shared shingles per pair, test
+    ``inter / (|A| + |B| - inter) >= threshold``, drop the larger-id doc.
+
+    Unlike MinHash+LSH there is no recall loss; candidate volume is
+    bounded by shared-shingle pairs rather than n². At 100 TB the
+    hot-key risk is ultra-common shingles — ``max_shingle_doc_freq``
+    drops shingles appearing in more than that many docs from the index
+    (stop-shingles). That is precision-safe (a dropped shingle only
+    lowers the computed intersection) but can miss pairs whose overlap
+    is mostly stop-shingles; leave it None for exact results."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_doc_freq:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_udf(k_bits: int = 64):
     """Vectorized SimHash over Arrow batches: per doc, sum ±1 per bit of
     each token hash (weight 1), sign → bit."""

@@ -112,6 +112,32 @@ def test_lsh_recall_against_exact_jaccard(docs):
     assert lsh == exact
 
 
+def test_ngram_jaccard_dedup_exact(spark):
+    base = "spark table merge query filter join window batch stream value row column"
+    near = base + " extra"
+    far = "entirely unrelated content talking about gardens flowers bees honey sun"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["doc_id", "text"])
+    kept = sorted(
+        r.doc_id
+        for r in D.ngram_jaccard_dedup(df, threshold=0.7).select("doc_id").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_ngram_jaccard_stop_shingle_cap_is_precision_safe(spark):
+    rows = [(i, f"alpha beta gamma unique{i} delta epsilon zeta") for i in range(6)]
+    rows.append((10, "alpha beta gamma delta epsilon zeta eta"))
+    rows.append((11, "alpha beta gamma delta epsilon zeta eta"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = D.ngram_jaccard_dedup(df, threshold=0.9, max_shingle_doc_freq=3)
+    exact = D.ngram_jaccard_dedup(df, threshold=0.9)
+    # capping can only keep MORE docs (dropped shingles lower intersections)
+    kept_capped = {r.doc_id for r in capped.select("doc_id").collect()}
+    kept_exact = {r.doc_id for r in exact.select("doc_id").collect()}
+    assert kept_exact <= kept_capped
+    assert 11 not in kept_exact  # identical pair always caught without cap
+
+
 def test_simhash_dedup_runs_and_keeps_distinct(spark):
     df = spark.createDataFrame(
         [
