@@ -505,12 +505,18 @@ LIMIT 20
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects; read nanos as long and truncate to micros
-    (integer `div` — matches DuckDB's ns→µs truncation)."""
+    """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
+    which Spark's parquet reader rejects; others store plain micros. Read
+    nanos as long when needed and truncate to micros (integer `div` —
+    matches DuckDB's ns→µs truncation); pass real timestamps through."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def q_events_latest_per_user(spark, sf_dir):
