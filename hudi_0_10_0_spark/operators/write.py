@@ -116,18 +116,25 @@ def _align_to_table_schema(
 # --------------------------------------------------------------------------
 
 
-def tag_location(table, view: FileSystemView, incoming: DataFrame) -> DataFrame:
+def tag_location(
+    table, view: FileSystemView, incoming: DataFrame, all_partitions: bool = False
+) -> DataFrame:
     """SIMPLE index (``client/index/simple/HoodieSimpleIndex.java:94-151``):
     left-join incoming keys against (key, partition, file_id) projected
     from the latest base files of affected partitions — Catalyst prunes
     the scan to exactly the 3 meta columns. BLOOM mode adds the
     reference's key-range pruning (``HoodieBloomIndex.java:143-155``):
     files whose [min_key, max_key] cannot contain any incoming key are
-    dropped from the index scan before the join."""
+    dropped from the index scan before the join.
+
+    ``all_partitions=True`` skips the affected-partitions discovery job:
+    for tables with few partitions the driver-side manifest already
+    bounds the index scan, so collecting ``incoming``'s distinct
+    partitions would cost a Spark job to save nothing."""
     cfg = table.cfg
     spark = table.spark
     global_idx = cfg.index_type.upper().startswith("GLOBAL")
-    if global_idx:
+    if global_idx or all_partitions:
         slices = view.latest_file_slices()
     else:
         parts = [
@@ -703,11 +710,19 @@ def run_batch_write(
         elif operation in (WriteOperation.UPSERT, WriteOperation.DELETE) or (
             operation == WriteOperation.INSERT and cfg.insert_drop_dups
         ):
-            # tag_location's affected-partitions collect evaluates the
-            # incoming pipeline (keygen + align + preCombine window);
-            # cache it so that evaluation isn't repeated by the tag join
-            incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
-            tagged = tag_location(table, view, incoming)
+            # A table with few partitions gains nothing from discovering
+            # the incoming batch's affected partitions (a Spark job + a
+            # cache pass over `incoming` to avoid re-evaluating keygen +
+            # preCombine): index over every partition and let only the
+            # `tagged` cache materialize the pipeline, once. Tables with
+            # many partitions (the 100 TB shape) keep the pruning join.
+            few_parts = len(view.partitions()) <= 64
+            if not few_parts:
+                # the affected-partitions collect evaluates the incoming
+                # pipeline (keygen + align + preCombine window); cache it
+                # so that evaluation isn't repeated by the tag join
+                incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
+            tagged = tag_location(table, view, incoming, all_partitions=few_parts)
             if operation == WriteOperation.INSERT and cfg.insert_drop_dups:
                 # INSERT_DROP_DUPS: drop records whose key already exists
                 tagged = tagged.filter(F.col(FILE_ID_COL).isNull())
