@@ -30,6 +30,109 @@ from ..payloads import get_payload
 from .write import collect_write_stats, write_instant_files
 
 
+def pending_clustering_groups(table) -> set[tuple[str, str]]:
+    """(partition, file_id) pairs named by any scheduled-but-incomplete
+    clustering plan — the set a concurrent upsert must not touch
+    (``SparkRejectUpdateStrategy.java``). The reference likewise
+    identifies clustering instants by the plan stored in the requested
+    file (``ClusteringUtils.getAllPendingClusteringPlans``)."""
+    out: set[tuple[str, str]] = set()
+    for inst in table.timeline.pending():
+        if inst.action != REPLACE_COMMIT:
+            continue
+        md = table.timeline.read_requested_metadata(inst.timestamp, inst.action)
+        if md.get("operation") == "cluster":
+            for pp, fid in md.get("plan_groups", []):
+                out.add((pp, fid))
+    return out
+
+
+def schedule_cluster(
+    table,
+    partitions: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    layout: str = "sort",  # sort | zorder | hilbert
+    curve_method: str = "sample",  # raw | map | sample (see functions/zorder.py)
+    curve_bits: int = 16,
+    target_file_size: int | None = None,
+    small_files_only: bool = False,
+    target_file_groups: int | None = None,
+) -> str | None:
+    """Plan-only half of clustering: pick the file groups now, pin them
+    in a ``replacecommit.requested`` plan, execute later (async service
+    pattern — plan strategies in
+    ``spark-client/client/clustering/plan/strategy/``). Returns the
+    scheduled instant, or None if nothing qualifies."""
+    cfg = table.cfg
+    view = table.view()
+    slices = view.latest_file_slices(partitions=partitions)
+    if small_files_only:
+        # SparkSizeBasedClusteringPlanStrategy: only groups below the
+        # small-file limit participate
+        slices = [s for s in slices if s.total_bytes < cfg.small_file_limit_bytes]
+    if not slices:
+        return None
+    instant = table.new_instant()
+    table.timeline.create_requested(
+        instant,
+        REPLACE_COMMIT,
+        {
+            "operation": "cluster",
+            "plan_groups": [[s.partition, s.file_id] for s in slices],
+            "params": {
+                "sort_cols": sort_cols,
+                "layout": layout,
+                "curve_method": curve_method,
+                "curve_bits": curve_bits,
+                "target_file_size": target_file_size,
+                "target_file_groups": target_file_groups,
+            },
+        },
+    )
+    return instant
+
+
+def run_cluster(table, instant: str | None = None) -> str | None:
+    """Execute a scheduled clustering plan (latest pending one when
+    ``instant`` is None). The plan's file groups were frozen at schedule
+    time; groups whose latest slice has since changed identity are
+    re-resolved by (partition, file_id)."""
+    pending = [
+        i
+        for i in table.timeline.pending()
+        if i.action == REPLACE_COMMIT
+        and table.timeline.read_requested_metadata(i.timestamp, i.action).get(
+            "operation"
+        )
+        == "cluster"
+        and (instant is None or i.timestamp == instant)
+    ]
+    if not pending:
+        return None
+    inst = pending[0]
+    md = table.timeline.read_requested_metadata(inst.timestamp, inst.action)
+    params = md.get("params", {})
+    plan = {(pp, fid) for pp, fid in md.get("plan_groups", [])}
+    view = table.view()
+    slices = [
+        s for s in view.latest_file_slices() if (s.partition, s.file_id) in plan
+    ]
+    if not slices:
+        table.timeline.delete_instant_files(inst.timestamp, REPLACE_COMMIT)
+        return None
+    return _execute_cluster(
+        table,
+        slices,
+        instant=inst.timestamp,
+        sort_cols=params.get("sort_cols"),
+        layout=params.get("layout", "sort"),
+        curve_method=params.get("curve_method", "sample"),
+        curve_bits=params.get("curve_bits", 16),
+        target_file_size=params.get("target_file_size"),
+        target_file_groups=params.get("target_file_groups"),
+    )
+
+
 def cluster(
     table,
     partitions: list[str] | None = None,
@@ -41,20 +144,38 @@ def cluster(
     small_files_only: bool = False,
     target_file_groups: int | None = None,
 ) -> str | None:
-    """Returns the replacecommit instant, or None if nothing to do."""
+    """Schedule + execute in one call (inline clustering).
+    Returns the replacecommit instant, or None if nothing to do."""
+    instant = schedule_cluster(
+        table,
+        partitions=partitions,
+        sort_cols=sort_cols,
+        layout=layout,
+        curve_method=curve_method,
+        curve_bits=curve_bits,
+        target_file_size=target_file_size,
+        small_files_only=small_files_only,
+        target_file_groups=target_file_groups,
+    )
+    if instant is None:
+        return None
+    return run_cluster(table, instant)
+
+
+def _execute_cluster(
+    table,
+    slices,
+    instant: str,
+    sort_cols: list[str] | None,
+    layout: str,
+    curve_method: str,
+    curve_bits: int,
+    target_file_size: int | None,
+    target_file_groups: int | None,
+) -> str:
     cfg = table.cfg
     view = table.view()
-    slices = view.latest_file_slices(partitions=partitions)
-    if small_files_only:
-        # SparkSizeBasedClusteringPlanStrategy: only groups below the
-        # small-file limit participate
-        slices = [s for s in slices if s.total_bytes < cfg.small_file_limit_bytes]
-    if not slices:
-        return None
-
     target = target_file_size or cfg.max_file_size_bytes
-    instant = table.new_instant()
-    table.timeline.create_requested(instant, REPLACE_COMMIT, {"operation": "cluster"})
     table.timeline.transition_to_inflight(instant, REPLACE_COMMIT)
     try:
         from ..sources.read import slices_to_df

@@ -327,13 +327,25 @@ def rollback_instant(table, timestamp: str) -> str:
 
 def rollback_pending_writes(table) -> list[str]:
     """Eager failed-write cleanup at write start
-    (``HoodieFailedWritesCleaningPolicy.EAGER``)."""
+    (``HoodieFailedWritesCleaningPolicy.EAGER``). Scheduled clustering
+    plans are pending replacecommits too but are NOT failed writes — the
+    reference skips them the same way (``ClusteringUtils`` identifies
+    clustering instants by the plan in the requested file)."""
     rolled = []
     for inst in table.timeline.pending():
-        if inst.action in WRITE_ACTIONS:
-            table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
-            table.timeline.delete_instant_files(inst.timestamp, inst.action)
-            rolled.append(inst.timestamp)
+        if inst.action not in WRITE_ACTIONS:
+            continue
+        if (
+            inst.action == REPLACE_COMMIT
+            and table.timeline.read_requested_metadata(
+                inst.timestamp, inst.action
+            ).get("operation")
+            == "cluster"
+        ):
+            continue
+        table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
+        table.timeline.delete_instant_files(inst.timestamp, inst.action)
+        rolled.append(inst.timestamp)
     return rolled
 
 

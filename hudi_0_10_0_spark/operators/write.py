@@ -745,6 +745,20 @@ def run_batch_write(
         timer.mark("profile")
         insert_counts = [(r[0], r[2]) for r in profile if r[1] is None]
         update_groups = {(r[0], r[1]) for r in profile if r[1] is not None}
+
+        # Updates aimed at file groups frozen in a pending clustering
+        # plan are rejected (SparkRejectUpdateStrategy — the executed
+        # clustering would silently drop them otherwise;
+        # ``BaseSparkCommitActionExecutor.java:117-143``).
+        if update_groups:
+            from .clustering import pending_clustering_groups
+
+            conflict = update_groups & pending_clustering_groups(table)
+            if conflict:
+                raise ValueError(
+                    "update rejected: file groups are under pending clustering: "
+                    + ", ".join(f"{pp}/{fid}" for pp, fid in sorted(conflict)[:5])
+                )
         if is_delete:
             inserts = inserts.limit(0)  # deleting absent keys is a no-op
             insert_counts = []

@@ -156,6 +156,23 @@ def slices_to_df(table, slices: list[FileSlice]) -> DataFrame:
     return df
 
 
+def _range_unreadable(table, slices: list[FileSlice], touched: set) -> bool:
+    """True when the as-of-end versions of the touched file groups can no
+    longer be read: the cleaner dropped them from the view entirely
+    (empty listing despite touched groups) or some listed file is gone
+    from storage. Driver-side metadata probe, O(files in range)."""
+    if touched and not slices:
+        return True
+    listed = {(s.partition, s.file_id) for s in slices}
+    if touched - listed:
+        return True
+    for s in slices:
+        for p in [p for p in s.base.paths] + [p for l in s.logs for p in l.paths]:
+            if not table.fs.exists(table.abs_path(p)):
+                return True
+    return False
+
+
 def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
     """MOR snapshot view of the given slices: base ∪ delta rows, then
     latest-version-per-key (payload order) and tombstone drop.
@@ -216,12 +233,19 @@ def snapshot(
 
 
 def incremental(
-    table, begin: str | None, end: str | None = None
+    table, begin: str | None, end: str | None = None,
+    fallback_full_scan: bool = False,
 ) -> DataFrame:
     """Rows whose latest version landed in instant range (begin, end]
     (``ds/IncrementalRelation.scala:47-77,101-175``): restrict to file
     groups touched in the range, build the as-of-end view of those
-    groups, filter on ``_hoodie_commit_time``."""
+    groups, filter on ``_hoodie_commit_time``.
+
+    ``fallback_full_scan``: when the as-of-end file versions have been
+    removed by cleaning (or ``begin`` predates the active timeline), scan
+    the LATEST snapshot and filter on commit time instead of failing —
+    ``hoodie.datasource.read.incr.fallback.fulltablescan.enable``
+    (``IncrementalRelation.scala:101-175``)."""
     view = table.view()
     commits = view.commits_in_range(begin, end)
     if not commits:
@@ -233,6 +257,12 @@ def incremental(
         for s in view.latest_file_slices(as_of=end_ts)
         if (s.partition, s.file_id) in touched
     ]
+    if fallback_full_scan and _range_unreadable(table, slices, touched):
+        df = snapshot(table)
+        cond = F.col(COMMIT_TIME_COL) <= F.lit(end_ts)
+        if begin is not None:
+            cond = cond & (F.col(COMMIT_TIME_COL) > F.lit(begin))
+        return df.filter(cond)
     if table.cfg.table_type == TableType.COPY_ON_WRITE:
         df = slices_to_df(table, slices)
         df = df.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))

@@ -157,10 +157,13 @@ class HudiTable:
 
         return snapshot(self, query_type=QUERY_READ_OPTIMIZED)
 
-    def incremental(self, begin: str | None, end: str | None = None) -> DataFrame:
+    def incremental(
+        self, begin: str | None, end: str | None = None,
+        fallback_full_scan: bool = False,
+    ) -> DataFrame:
         from .sources.read import incremental
 
-        return incremental(self, begin, end)
+        return incremental(self, begin, end, fallback_full_scan=fallback_full_scan)
 
     def time_travel(self, as_of: str) -> DataFrame:
         return self.snapshot(as_of=as_of)
@@ -180,6 +183,16 @@ class HudiTable:
         from .operators.clustering import cluster
 
         return cluster(self, **kw)
+
+    def schedule_cluster(self, **kw) -> str | None:
+        from .operators.clustering import schedule_cluster
+
+        return schedule_cluster(self, **kw)
+
+    def run_cluster(self, instant: str | None = None) -> str | None:
+        from .operators.clustering import run_cluster
+
+        return run_cluster(self, instant)
 
     def clean(self) -> str | None:
         from .operators.services import clean

@@ -134,6 +134,17 @@ class Timeline:
     def read_metadata(self, instant: Instant) -> dict:
         return json.loads(self.fs.read_text(f"{self.dir}/{instant.filename()}"))
 
+    def read_requested_metadata(self, timestamp: str, action: str) -> dict:
+        """Metadata written at schedule time (the ``.requested`` file
+        keeps the plan for the instant's whole lifetime — the inflight
+        marker is empty, like the reference's plan-carrying requested
+        instants for compaction/clustering)."""
+        inst = Instant(timestamp, action, REQUESTED)
+        try:
+            return json.loads(self.fs.read_text(f"{self.dir}/{inst.filename()}"))
+        except Exception:
+            return {}
+
     # -- state transitions -------------------------------------------------
     def create_requested(self, timestamp: str, action: str, metadata: dict | None = None):
         inst = Instant(timestamp, action, REQUESTED)

@@ -175,3 +175,67 @@ def test_bootstrap(spark, tmp_table_path):
     t = HudiTable.create(spark, tmp_table_path + "/bs", cfg)
     t.bootstrap("/root/testdata/sf0.001/nation.parquet")
     assert t.snapshot().count() == src.count()
+
+
+def test_schedule_then_run_cluster(cow, orders):
+    """Async clustering: plan freezes groups, a later run executes it;
+    the plan survives other writes' eager pending-rollback."""
+    inst = cow.schedule_cluster(sort_cols=["o_orderkey"])
+    assert inst is not None
+    # a write between schedule and run must not roll the plan back,
+    # and inserts (new keys) are allowed while the plan is pending
+    new_rows = orders.limit(20).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    cow.upsert(new_rows)
+    assert any(
+        i.timestamp == inst for i in cow.timeline.pending()
+    ), "scheduled clustering plan was rolled back by the upsert"
+    done = cow.run_cluster(inst)
+    assert done == inst
+    assert cow.snapshot().count() == orders.count() + 20
+
+
+def test_pending_cluster_rejects_updates(cow, orders):
+    inst = cow.schedule_cluster(sort_cols=["o_orderkey"])
+    assert inst is not None
+    with pytest.raises(ValueError, match="pending clustering"):
+        cow.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(1.0)))
+    # executing the plan clears the freeze; updates flow again
+    cow.run_cluster(inst)
+    cow.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(1.0)))
+    assert cow.snapshot().filter(F.col("o_totalprice") == 1.0).count() == 5
+
+
+def test_incremental_fallback_full_scan(spark, tmp_table_path, orders):
+    """After cleaning removes the as-of-end file versions, the strict
+    incremental read fails but fallback_full_scan recovers the rows
+    from the latest snapshot filtered on commit time."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        cleaner_commits_retained=1,
+        auto_clean=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/t", cfg)
+    t.bulk_insert(orders)
+    c0 = t.commits()[0]
+    t.upsert(orders.limit(30).withColumn("o_comment", F.lit("u1")))
+    c1 = t.commits()[-1]
+    t.upsert(orders.limit(10).withColumn("o_comment", F.lit("u2")))
+    t.clean()  # drops the c1-era file versions (retain 1 commit)
+    from hudi_0_10_0_spark.sources.read import _range_unreadable
+
+    view = t.view()
+    touched = view.file_ids_touched_in_range(c0, c1)
+    end_slices = [
+        s
+        for s in view.latest_file_slices(as_of=c1)
+        if (s.partition, s.file_id) in touched
+    ]
+    assert _range_unreadable(t, end_slices, touched), "clean should break the range"
+    fb = t.incremental(c0, c1, fallback_full_scan=True)
+    # u1 rows later overwritten by u2 carry c2's commit time in the
+    # latest snapshot, so the fallback sees the 20 still-latest u1 rows
+    assert fb.filter(F.col("o_comment") == "u1").count() == 20
