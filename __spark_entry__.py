@@ -731,6 +731,18 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(emb, queries, k=5)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Approximate top-5 via IVF (k-means cells + nprobe rerank; no SQL
+    oracle — approximate by construction; tests assert recall vs exact)."""
+    from hudi_0_10_0_spark.functions.similarity import ivf_topk
+
+    emb = _pq(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup survivors (pandas-UDF hash — no SQL oracle)."""
     from hudi_0_10_0_spark.functions.dedup import simhash_dedup
@@ -933,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
+        "similarity_ann_ivf": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "clustering_zorder": q_clustering_zorder,
         "schema_evolution_add_column": q_schema_evolution,

@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .dedup import _splitmix64
 
@@ -168,6 +171,130 @@ def ann_topk(
         .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
         .drop("__qvec", "__cvec", "bucket", "table")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second classic scale path next to LSH:
+# a small deterministic k-means codebook partitions the corpus into
+# nlist cells; a query exact-reranks only its nprobe nearest cells.
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2048,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Driver-side Lloyd iterations over a deterministic sample (first
+    ``sample_size`` rows by id — stable across runs, no RNG). The
+    codebook is O(nlist × dim) — broadcast-sized at any corpus scale;
+    training cost is bounded by the sample, not the corpus."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    # k-means++ style spread without RNG: start from evenly spaced
+    # sample rows (sample is id-ordered, effectively arbitrary in
+    # embedding space), then Lloyd refine
+    idx = np.linspace(0, len(sample) - 1, nlist).astype(int)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        # cosine assignment == dot after L2 normalization
+        s_norm = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        c_norm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(s_norm @ c_norm.T, axis=1)
+        for j in range(nlist):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Append the nearest-centroid (by cosine) cell id. Arrow-batched
+    pandas UDF: one numpy matmul per batch — the vectorized path for a
+    100 TB assign pass (the codebook rides along as a closure literal,
+    no shuffle, no driver involvement)."""
+    c = np.array(centroids, dtype=np.float64)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def _nearest(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m_norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m_norm @ c_norm.T, axis=1).astype("int32"))
+
+    return df.withColumn(cell_col, _nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: corpus rows live in their
+    nearest-centroid cell; each query exact-reranks only its ``nprobe``
+    nearest cells. The (cell) equi-join replaces the cross join —
+    corpus stored once (vs ×L for multi-table LSH), recall tuned by
+    nprobe. Same output shape as ``brute_force_topk``."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist=nlist, vec_col=vec_col, id_col=id_col
+        )
+    c_cells = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        centroids,
+        vec_col="__cvec",
+        cell_col="cell",
+    )
+    cn = np.array(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    # queries are few: probe cells computed the same vectorized way,
+    # exploded into (query, cell) pairs
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    qb = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+        .withColumn("cell", F.explode(_probes(F.col("__qvec"))))
+    )
+    scored = (
+        c_cells.join(qb, ["cell"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .drop("__qvec", "__cvec", "cell")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

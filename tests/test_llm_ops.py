@@ -234,3 +234,24 @@ def test_attach_media_metadata(docs):
     out = M.attach_media_metadata(media)
     assert {"n_bytes", "checksum"} <= set(out.columns)
     assert out.filter(F.col("n_bytes") <= 0).count() == 0
+
+
+def test_ivf_topk_recall(emb):
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 0).withColumnRenamed("vec_id", "query_id")
+    )
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall  # nprobe=6/16 cells on random data
+
+
+def test_ivf_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") % 100 == 0).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    r1 = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    r2 = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
+    assert r1 == r2
