@@ -504,6 +504,150 @@ LIMIT 20
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """Q4 adapted to the testdata schema (no l_commitdate): priority
+    counts for orders with a line shipped after the order date."""
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    sel = filtered.alias("o").join(
+        li.alias("l"),
+        (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate")),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14 adapted: promo vs total revenue in one ship month (p_type is
+    a flat category here, so PROMO is an exact match)."""
+    li = _pq(spark, sf_dir, "lineitem")
+    part = _pq(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("decimal(30,4)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(30,4)").alias("total_revenue"),
+        )
+    )
+
+
+_SQL_Q14 = """
+SELECT
+  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS promo_revenue,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 adapted: large-volume orders (sum qty > 140 at these SFs)."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("__q"))
+        .filter(F.col("__q") > 140)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 140)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19 adapted: OR-branch (brand, size, quantity) revenue."""
+    li = _pq(spark, sf_dir, "lineitem")
+    part = _pq(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cond = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
+    ) | (
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30)
+    ) | (
+        (F.col("p_brand") == "Brand#22") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+    )
+
+
+_SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+     (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 21)
+  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+  OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
     which Spark's parquet reader rejects; others store plain micros. Read
@@ -936,6 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q10": q_tpch_q10,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "dedup_exact": q_dedup_exact,
@@ -990,6 +1138,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": _SQL_Q5,
         "tpch_q6": _SQL_Q6,
         "tpch_q10": _SQL_Q10,
+        "tpch_q4": _SQL_Q4,
+        "tpch_q14": _SQL_Q14,
+        "tpch_q18": _SQL_Q18,
+        "tpch_q19": _SQL_Q19,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "dedup_exact": _SQL_DEDUP_EXACT,
