@@ -31,6 +31,7 @@ class HudiTable:
         self.meta_path = f"{self.base_path}/{META_DIR}"
         self.timeline = Timeline(self.fs, self.meta_path)
         self._schema_cache: T.StructType | None = None
+        self._view_cache: tuple | None = None
 
     # -- lifecycle ---------------------------------------------------------
     @staticmethod
@@ -72,8 +73,17 @@ class HudiTable:
         return new_instant_time()
 
     def view(self) -> FileSystemView:
+        """Manifest view, cached per timeline state: rebuilding parses
+        every commit's stats JSON on the driver (O(file groups) — real
+        money at 1M groups), so reuse the last build until the timeline's
+        directory listing changes (any writer's commit invalidates)."""
+        fp = self.timeline.fingerprint()
+        if self._view_cache is not None and self._view_cache[0] == fp:
+            return self._view_cache[1]
+        v = FileSystemView(self.timeline)
+        self._view_cache = (fp, v)
         self._schema_cache = None
-        return FileSystemView(self.timeline)
+        return v
 
     def schema(self) -> T.StructType | None:
         """Latest committed write schema (includes meta + delete-marker

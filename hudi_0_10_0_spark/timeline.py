@@ -95,6 +95,15 @@ class Timeline:
         self.archive_dir = self.dir + "/archived"
 
     # -- read --------------------------------------------------------------
+    def fingerprint(self) -> tuple:
+        """Cheap change-detection token: the sorted instant + archive file
+        names (one directory listing each). Any commit, clean, rollback,
+        or archive run — by this writer or a concurrent one — alters it."""
+        return (
+            tuple(sorted(self.fs.list_names(self.dir))),
+            tuple(sorted(self.fs.list_names(self.archive_dir))),
+        )
+
     def instants(self) -> list[Instant]:
         out = []
         for name in self.fs.list_names(self.dir):
