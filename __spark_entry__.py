@@ -160,6 +160,27 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
             .withColumn("o_orderpriority", F.lit("9-MOVED"))
             .withColumn("o_orderstatus", F.lit("G"))
         )
+    elif kind == "record_index":
+        # persisted key index (operators/key_index.py): tag via the
+        # bucketed index instead of scanning base files; global
+        # semantics (delete by key alone), deletes tombstone the index,
+        # re-upsert brings keys back exactly once
+        t = HudiTable.create(
+            spark, path,
+            _orders_cfg(index_type="RECORD_INDEX", key_index_buckets=8),
+        )
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+                "o_orderstatus", F.lit("K")
+            )
+        )
+        t.delete(orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey"))
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+                "o_orderstatus", F.lit("R")
+            )
+        )
     elif kind == "precombine":
         # one upsert batch containing two versions per key; preCombine
         # (max o_orderdate) must keep the bumped copy
@@ -295,6 +316,23 @@ WITH merged AS (
 SELECT * FROM merged
 WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey < 100000000)
 """
+
+def q_record_index(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "record_index")
+    return _snap(t)
+
+
+# upsert %6 -> 'K'; delete %10; re-upsert %20 -> 'R' (back after delete)
+_SQL_RECORD_INDEX = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 20 = 0 THEN 'R'
+            WHEN o_orderkey % 6 = 0 THEN 'K'
+            ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 10 <> 0 OR o_orderkey % 20 = 0
+"""
+
 
 _SQL_GLOBAL_MOVE = """
 SELECT o_orderkey, o_custkey,
@@ -1075,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precombine_dedup": q_precombine_dedup,
         "bootstrap_metadata_only": q_bootstrap_metadata_only,
         "global_index_partition_move": q_global_index_move,
+        "record_index_upsert_delete": q_record_index,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1133,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "precombine_dedup": _SQL_PRECOMBINE,
         "bootstrap_metadata_only": _SQL_BOOTSTRAP_FINAL,
         "global_index_partition_move": _SQL_GLOBAL_MOVE,
+        "record_index_upsert_delete": _SQL_RECORD_INDEX,
         "tpch_q1": _SQL_Q1,
         "tpch_q3": _SQL_Q3,
         "tpch_q5": _SQL_Q5,

@@ -93,8 +93,13 @@ class WriteConfig:
     insert_drop_dups: bool = False
     combine_before_insert: bool = False
     combine_before_upsert: bool = True
-    index_type: str = "SIMPLE"  # SIMPLE | GLOBAL_SIMPLE | BLOOM (range-pruned simple)
+    # SIMPLE | GLOBAL_SIMPLE | BLOOM (range-pruned simple) | INMEMORY
+    # (driver map, testing) | RECORD_INDEX (persisted global key index —
+    # log-structured bucketed parquet under _hoodie_meta/key_index/)
+    index_type: str = "SIMPLE"
     update_partition_path: bool = False  # global index: move record across partitions
+    key_index_buckets: int = 16  # RECORD_INDEX hash buckets (scale: thousands)
+    key_index_compact_deltas: int = 8  # compact a bucket's log past this many deltas
     write_parallelism: int = 0  # 0 = let AQE decide / derive from data size
     # multi-writer — WriteConcurrencyMode.java:30-32; OCC = lock + overlap check
     concurrency_mode: str = "SINGLE_WRITER"  # | OPTIMISTIC_CONCURRENCY_CONTROL

@@ -230,6 +230,10 @@ def _execute_cluster(
             table.instant_data_path(instant)
         )
         stats = collect_write_stats(table, instant)
+        from .key_index import append_from_written, enabled as _ki_enabled
+
+        if _ki_enabled(cfg):
+            append_from_written(table, instant)
         replaced: dict[str, list[str]] = {}
         for s in slices:
             replaced.setdefault(s.partition, []).append(s.file_id)
@@ -244,5 +248,8 @@ def _execute_cluster(
     except Exception:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         table.timeline.delete_instant_files(instant, REPLACE_COMMIT)
+        from .key_index import drop_instant as _ki_drop
+
+        _ki_drop(table, instant)
         raise
     return instant

@@ -317,6 +317,9 @@ def rollback_instant(table, timestamp: str) -> str:
             raise ValueError(f"no such instant {timestamp}")
     table.fs.delete(table.instant_data_path(timestamp), recursive=True)
     table.timeline.delete_instant_files(timestamp, action)
+    from .key_index import drop_instant as _ki_drop
+
+    _ki_drop(table, timestamp)
     inst = table.new_instant()
     table.timeline.create_requested(inst, ROLLBACK, {})
     table.timeline.transition_to_completed(
@@ -345,6 +348,9 @@ def rollback_pending_writes(table) -> list[str]:
             continue
         table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
         table.timeline.delete_instant_files(inst.timestamp, inst.action)
+        from .key_index import drop_instant as _ki_drop
+
+        _ki_drop(table, inst.timestamp)
         rolled.append(inst.timestamp)
     return rolled
 

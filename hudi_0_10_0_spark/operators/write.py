@@ -115,6 +115,28 @@ def _align_to_table_schema(
 # Index: tag incoming rows with the file group that currently holds the key
 # --------------------------------------------------------------------------
 
+_INMEMORY_CACHE: dict[str, tuple] = {}  # base_path -> (fingerprint, entries)
+
+
+def _inmemory_index_entries(table, view: FileSystemView) -> list[tuple[str, str, str]]:
+    from ..sources.read import slices_to_df
+
+    fp = table.timeline.fingerprint()
+    cached = _INMEMORY_CACHE.get(table.base_path)
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+    slices = view.latest_file_slices()
+    entries: list[tuple[str, str, str]] = []
+    if any(s.base.paths for s in slices):
+        entries = [
+            (r[0], r[1], r[2])
+            for r in slices_to_df(table, slices)
+            .select(RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL)
+            .collect()
+        ]
+    _INMEMORY_CACHE[table.base_path] = (fp, entries)
+    return entries
+
 
 def tag_location(
     table, view: FileSystemView, incoming: DataFrame, all_partitions: bool = False
@@ -134,6 +156,63 @@ def tag_location(
     cfg = table.cfg
     spark = table.spark
     global_idx = cfg.index_type.upper().startswith("GLOBAL")
+    from . import key_index
+
+    if key_index.enabled(cfg):
+        # persisted record-level index: tag I/O is bounded by the index's
+        # touched buckets, not the table's base files (key_index.py)
+        idx = key_index.read_index(table, key_index.tag_buckets_of(table, incoming))
+        if idx is None:
+            key_index.build_full(table, view)
+            idx = key_index.read_index(table)
+        if idx is None:
+            return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
+        idx = idx.select(
+            F.col(RECORD_KEY_COL),
+            F.col(PARTITION_PATH_COL).alias("__idx_pp"),
+            F.col(FILE_ID_COL).alias("__idx_fid"),
+        )
+        tagged = _global_tag(incoming, idx, cfg)
+        # entries can point at file groups since REPLACED (clustering /
+        # insert_overwrite / delete_partition): demote those tags to
+        # inserts, matching what a live-file scan would have produced
+        if any(fg.replaced_at is not None for fg in view.groups.values()):
+            live = sorted(
+                {(s.partition, s.file_id) for s in view.latest_file_slices()}
+            )
+            live_df = spark.createDataFrame(
+                live, f"{PARTITION_PATH_COL} string, {FILE_ID_COL} string"
+            ).withColumn("__live", F.lit(True))
+            tagged = (
+                tagged.join(
+                    F.broadcast(live_df),
+                    [PARTITION_PATH_COL, FILE_ID_COL],
+                    "left",
+                )
+                .withColumn(
+                    FILE_ID_COL,
+                    F.when(F.col("__live"), F.col(FILE_ID_COL)).otherwise(
+                        F.lit(None).cast("string")
+                    ),
+                )
+                .drop("__live")
+            )
+        return tagged
+    if cfg.index_type.upper() in ("INMEMORY", "IN_MEMORY"):
+        # HoodieInMemoryHashIndex parity (testing only,
+        # ``client/index/inmemory/HoodieInMemoryHashIndex.java``): the
+        # whole key→location map lives on the driver, rebuilt whenever
+        # the timeline changes, broadcast into the tag join.
+        entries = _inmemory_index_entries(table, view)
+        if not entries:
+            return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
+        index = spark.createDataFrame(
+            entries, f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string, __idx_fid string"
+        )
+        tagged = incoming.join(
+            F.broadcast(index), [RECORD_KEY_COL, PARTITION_PATH_COL], "left"
+        )
+        return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop("__idx_fid")
     if global_idx or all_partitions:
         slices = view.latest_file_slices()
     else:
@@ -169,46 +248,52 @@ def tag_location(
         F.col(FILE_ID_COL).alias("__idx_fid"),
     )
     if global_idx:
-        tagged = incoming.join(index, [RECORD_KEY_COL], "left")
-        if cfg.update_partition_path:
-            # GLOBAL index + updatePartitionPath: a key arriving with a new
-            # partition is deleted from the old file group and inserted
-            # into the new partition (HoodieGlobalBloomIndex semantics).
-            moved = F.col("__idx_fid").isNotNull() & (
-                F.col("__idx_pp") != F.col(PARTITION_PATH_COL)
-            )
-            tombstones = (
-                tagged.filter(moved)
-                .withColumn(PARTITION_PATH_COL, F.col("__idx_pp"))
-                .withColumn(FILE_ID_COL, F.col("__idx_fid"))
-                .withColumn(DELETE_MARKER_COL, F.lit(True))
-            )
-            kept = tagged.withColumn(
-                FILE_ID_COL,
-                F.when(moved, F.lit(None).cast("string")).otherwise(F.col("__idx_fid")),
-            )
-            cols = [c for c in kept.columns if c not in ("__idx_pp", "__idx_fid")]
-            if DELETE_MARKER_COL not in cols:
-                kept = kept.withColumn(DELETE_MARKER_COL, F.lit(False))
-                tombstones = tombstones if DELETE_MARKER_COL in tagged.columns else tombstones
-                cols.append(DELETE_MARKER_COL)
-            return kept.select(*cols).unionByName(
-                tombstones.select(*cols), allowMissingColumns=True
-            )
-        # stay in the original partition (updatePartitionPath=false)
-        tagged = tagged.withColumn(
-            PARTITION_PATH_COL,
-            F.coalesce(F.col("__idx_pp"), F.col(PARTITION_PATH_COL)),
-        )
-        return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop(
-            "__idx_pp", "__idx_fid"
-        )
+        return _global_tag(incoming, index, cfg)
     tagged = incoming.join(
         index.withColumnRenamed("__idx_pp", PARTITION_PATH_COL),
         [RECORD_KEY_COL, PARTITION_PATH_COL],
         "left",
     )
     return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop("__idx_fid")
+
+
+def _global_tag(incoming: DataFrame, index: DataFrame, cfg) -> DataFrame:
+    """Join incoming rows against a global (record_key → partition,
+    file_id) index frame; handle cross-partition moves per
+    ``update_partition_path`` (``HoodieGlobalBloomIndex`` semantics)."""
+    tagged = incoming.join(index, [RECORD_KEY_COL], "left")
+    if cfg.update_partition_path:
+        # GLOBAL index + updatePartitionPath: a key arriving with a new
+        # partition is deleted from the old file group and inserted
+        # into the new partition (HoodieGlobalBloomIndex semantics).
+        moved = F.col("__idx_fid").isNotNull() & (
+            F.col("__idx_pp") != F.col(PARTITION_PATH_COL)
+        )
+        tombstones = (
+            tagged.filter(moved)
+            .withColumn(PARTITION_PATH_COL, F.col("__idx_pp"))
+            .withColumn(FILE_ID_COL, F.col("__idx_fid"))
+            .withColumn(DELETE_MARKER_COL, F.lit(True))
+        )
+        kept = tagged.withColumn(
+            FILE_ID_COL,
+            F.when(moved, F.lit(None).cast("string")).otherwise(F.col("__idx_fid")),
+        )
+        cols = [c for c in kept.columns if c not in ("__idx_pp", "__idx_fid")]
+        if DELETE_MARKER_COL not in cols:
+            kept = kept.withColumn(DELETE_MARKER_COL, F.lit(False))
+            cols.append(DELETE_MARKER_COL)
+        return kept.select(*cols).unionByName(
+            tombstones.select(*cols), allowMissingColumns=True
+        )
+    # stay in the original partition (updatePartitionPath=false)
+    tagged = tagged.withColumn(
+        PARTITION_PATH_COL,
+        F.coalesce(F.col("__idx_pp"), F.col(PARTITION_PATH_COL)),
+    )
+    return tagged.withColumn(FILE_ID_COL, F.col("__idx_fid")).drop(
+        "__idx_pp", "__idx_fid"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -624,7 +709,9 @@ def run_batch_write(
     payload = payload or get_payload(
         "empty" if is_delete else cfg.payload, cfg.precombine_field
     )
-    global_idx = cfg.index_type.upper().startswith("GLOBAL")
+    from . import key_index
+
+    global_idx = cfg.index_type.upper().startswith("GLOBAL") or key_index.enabled(cfg)
 
     timer = _StageTimer(operation.value)
     table.rollback_pending_writes()
@@ -695,6 +782,8 @@ def run_batch_write(
             timer.mark("bulk_write")
             stats = collect_write_stats(table, instant)
             timer.mark("stats")
+            if key_index.enabled(cfg):
+                key_index.append_from_written(table, instant)
             md = make_commit_metadata(
                 operation.value, out.schema.json(), stats, extra=extra
             )
@@ -851,6 +940,8 @@ def run_batch_write(
         timer.mark("write")
         stats = collect_write_stats(table, instant, log_fids)
         timer.mark("stats")
+        if key_index.enabled(cfg) and table.fs.exists(table.instant_data_path(instant)):
+            key_index.append_from_written(table, instant)
         if not mor_delta:
             # a rewritten file group can come out EMPTY (every record
             # deleted): Spark's sink writes no file, but the commit must
@@ -873,6 +964,7 @@ def run_batch_write(
     except Exception:
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
+        key_index.drop_instant(table, instant)
         raise
     finally:
         try:
@@ -1064,6 +1156,10 @@ def run_replace_write(
             out = _finalize(_stamp_meta(assigned, instant), data_cols)
             write_instant_files(table, out, instant, 8)
             stats = collect_write_stats(table, instant)
+            from . import key_index as _ki
+
+            if _ki.enabled(cfg) and table.fs.exists(table.instant_data_path(instant)):
+                _ki.append_from_written(table, instant)
             schema_json = out.schema.json()
         else:
             schema_json = view.latest_schema() or ""
@@ -1074,6 +1170,9 @@ def run_replace_write(
     except Exception:
         table.timeline.delete_instant_files(instant, "replacecommit")
         table.fs.delete(table.instant_data_path(instant), recursive=True)
+        from . import key_index as _ki
+
+        _ki.drop_instant(table, instant)
         raise
     table.run_post_commit_services()
     return instant

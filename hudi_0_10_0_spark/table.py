@@ -254,6 +254,10 @@ class HudiTable:
             clean(self)
         if self.cfg.auto_archive:
             self.archive()
+        from .operators import key_index
+
+        if key_index.enabled(self.cfg):
+            key_index.compact_if_due(self)
 
     # -- schema evolution / DDL ---------------------------------------------
     def add_columns(self, fields) -> str:

@@ -86,3 +86,24 @@ def test_global_delete_without_partition(base, orders):
     t = base(index_type="GLOBAL_SIMPLE")
     t.delete(orders.limit(70).select("o_orderkey"))
     assert t.snapshot().count() == orders.count() - 70
+
+
+def test_inmemory_index_upsert_delete(spark, tmp_table_path, orders):
+    """INMEMORY index (testing parity with HoodieInMemoryHashIndex):
+    same tagging results as SIMPLE, driver-held map."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        index_type="INMEMORY",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/inmem", cfg)
+    t.bulk_insert(orders)
+    t.upsert(orders.limit(40).withColumn("o_comment", F.lit("M")))
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "M").count() == 40
+    t.delete(orders.limit(10).select("o_orderkey", "o_orderstatus"))
+    assert t.snapshot().count() == orders.count() - 10

@@ -1,0 +1,111 @@
+"""Persisted record-level key index (operators/key_index.py): tagging
+parity with SIMPLE, log-structured maintenance, compaction, rollback,
+and staleness handling across the replace family."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.config import TableType
+from hudi_0_10_0_spark.operators import key_index as KI
+
+
+def _cfg(**kw):
+    base = dict(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        index_type="RECORD_INDEX",
+        key_index_buckets=8,
+    )
+    base.update(kw)
+    return WriteConfig(**base)
+
+
+@pytest.fixture()
+def rec(spark, tmp_table_path, orders):
+    t = HudiTable.create(spark, tmp_table_path + "/rec", _cfg())
+    t.bulk_insert(orders)
+    return t
+
+
+def test_upsert_update_delete_with_record_index(rec, orders):
+    rec.upsert(orders.limit(40).withColumn("o_comment", F.lit("RI")))
+    snap = rec.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "RI").count() == 40
+    # global semantics: delete by key alone, no partition column needed
+    rec.delete(orders.limit(10).select("o_orderkey"))
+    assert rec.snapshot().count() == orders.count() - 10
+    # the delete tombstones flow into the index: re-upserting the keys
+    # makes them come back exactly once
+    rec.upsert(orders.limit(10).withColumn("o_comment", F.lit("BACK")))
+    snap = rec.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "BACK").count() == 10
+
+
+def test_index_files_present_and_compacted(rec, orders):
+    # several small writes -> delta dirs accumulate, then compact
+    for i in range(3):
+        rec.upsert(orders.limit(5).withColumn("o_comment", F.lit(f"w{i}")))
+    dirs = KI._index_dirs(rec)
+    assert len(dirs) >= 2
+    assert KI.compact_if_due(rec) is False  # below threshold of 8
+    rec.cfg.key_index_compact_deltas = 2
+    assert KI.compact_if_due(rec) is True
+    dirs2 = KI._index_dirs(rec)
+    assert len(dirs2) == 1 and dirs2[0].endswith(".base")
+    # index still answers correctly after compaction
+    rec.upsert(orders.limit(3).withColumn("o_comment", F.lit("after")))
+    snap = rec.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "after").count() == 3
+
+
+def test_record_index_survives_replace_family(rec, orders):
+    status = orders.select("o_orderstatus").first()[0]
+    # delete_partition leaves stale index entries -> tagger must demote
+    rec.delete_partition([status])
+    n_alive = orders.filter(F.col("o_orderstatus") != status).count()
+    assert rec.snapshot().count() == n_alive
+    # upsert keys that used to live in the dropped partition: stale
+    # entries point at replaced groups; rows must re-insert, not vanish
+    back = orders.filter(F.col("o_orderstatus") == status).limit(20)
+    rec.upsert(back)
+    assert rec.snapshot().count() == n_alive + 20
+    # clustering rewrites groups and refreshes the index
+    rec.cluster(sort_cols=["o_orderkey"])
+    rec.upsert(back.withColumn("o_comment", F.lit("postcluster")))
+    snap = rec.snapshot()
+    assert snap.count() == n_alive + 20
+    assert snap.filter(F.col("o_comment") == "postcluster").count() == 20
+
+
+def test_record_index_rollback_drops_delta(rec, orders):
+    c_last = rec.commits()[-1]
+    rec.upsert(orders.limit(7).withColumn("o_comment", F.lit("oops")))
+    c_bad = rec.commits()[-1]
+    assert any(d == c_bad for d in KI._index_dirs(rec))
+    rec.rollback(c_bad)
+    assert all(d != c_bad for d in KI._index_dirs(rec))
+    # rollback also reverts the add-column evolution the upsert introduced
+    snap = rec.snapshot()
+    assert "o_comment" not in snap.columns
+    assert rec.commits()[-1] == c_last
+
+
+def test_record_index_mor(spark, tmp_table_path, orders):
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/recmor",
+        _cfg(table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    t.bulk_insert(orders)
+    t.upsert(orders.limit(25).withColumn("o_comment", F.lit("D1")))
+    t.delete(orders.limit(5).select("o_orderkey"))
+    snap = t.snapshot()
+    assert snap.count() == orders.count() - 5
+    assert snap.filter(F.col("o_comment") == "D1").count() == 20
+    t.compact()
+    assert t.read_optimized().count() == orders.count() - 5
