@@ -117,3 +117,39 @@ def fingerprint(col: Column | str) -> Column:
     Two docs share a fingerprint iff their canonical forms are equal
     (modulo 64-bit collisions)."""
     return F.xxhash64(normalize_text(col))
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap counterpart to the regexp
+    tokenizer — both are asked of a training-data pipeline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+
+
+def rolling_fingerprints(
+    col: Column | str, k: int = 7, window: int = 4
+) -> Column:
+    """Winnowed rolling-hash fingerprints (the MOSS scheme): hash every
+    k-gram of the normalized text, then keep the minimum hash of each
+    ``window`` consecutive k-grams, deduplicated. Robust to local edits
+    — two documents sharing a long passage share fingerprints even when
+    the surrounding text differs, which plain whole-doc hashing misses.
+
+    Entirely JVM-side: k-grams via sequence+substr, per-gram xxhash64,
+    windowed min via slice+array_min — no UDF, scan-parallel, no
+    shuffle."""
+    norm = normalize_text(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - F.lit(window - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+    )

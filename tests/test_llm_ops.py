@@ -255,3 +255,31 @@ def test_ivf_deterministic(emb):
     r1 = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     r2 = sorted(map(tuple, S.ivf_topk(emb, queries, k=5).collect()))
     assert r1 == r2
+
+
+def test_rolling_fingerprints_shared_passage(spark):
+    from hudi_0_10_0_spark.functions import text as TX
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"PREFIX AAA. {shared}. SUFFIX one."),
+        (2, f"Totally different opening text here! {shared}! And another ending."),
+        (3, "no overlap with the others at all, completely unrelated words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").withColumn(
+        "fp", TX.rolling_fingerprints("text")
+    )
+    got = {r.doc_id: set(r.fp) for r in df.collect()}
+    overlap_12 = len(got[1] & got[2])
+    overlap_13 = len(got[1] & got[3])
+    assert overlap_12 >= 5, overlap_12  # shared passage -> shared fingerprints
+    assert overlap_13 <= 1, overlap_13
+
+
+def test_ws_token_count(spark):
+    from hudi_0_10_0_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], "text string"
+    ).withColumn("n", TX.ws_token_count("text"))
+    assert [r.n for r in df.collect()] == [3, 0, 0, 1]
