@@ -980,6 +980,26 @@ def q_clustering_zorder(spark, sf_dir):
     return _snap(t)
 
 
+def q_clustering_hilbert(spark, sf_dir):
+    """Async clustering on a hilbert curve: schedule_cluster freezes the
+    plan, run_cluster executes it (SparkRejectUpdateStrategy protects
+    the planned groups meanwhile) — layout changes, results don't."""
+    path = f"{_TMP}/cluster_h_{abs(hash(sf_dir))}"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(_pq(spark, sf_dir, "orders"))
+        inst = t.schedule_cluster(
+            sort_cols=["o_custkey", "o_totalprice"],
+            layout="hilbert",
+            curve_method="sample",
+            target_file_groups=8,
+        )
+        t.run_cluster(inst)
+    else:
+        t = HudiTable.load(spark, path)
+    return _snap(t)
+
+
 def q_schema_evolution(spark, sf_dir):
     """ALTER TABLE ADD COLUMNS then upsert rows carrying the new column:
     old files surface typed nulls, new rows carry values
@@ -1135,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "clustering_zorder": q_clustering_zorder,
+        "clustering_hilbert_async": q_clustering_hilbert,
         "schema_evolution_add_column": q_schema_evolution,
         "cdc_aws_dms": q_cdc_dms,
         "dedup_embedding": q_dedup_embedding,
@@ -1193,6 +1214,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
         "clustering_zorder": _SQL_CLUSTERING,
+        "clustering_hilbert_async": _SQL_CLUSTERING,
         "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,
         "cdc_aws_dms": _SQL_CDC_DMS,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,

@@ -1,0 +1,130 @@
+"""Predicate-tree pruning against per-file column stats.
+
+Reference: ``sql/hudi/DataSkippingUtils.scala:49-229`` (filter → stats
+range test, ``col = v`` → ``min <= v <= max``, AND/OR folded) and
+``HoodieFileIndex.scala:178-294`` (candidate-file intersection). Stats
+pruning is an optimization only — the same predicates are re-applied as
+row-level Column filters after the scan/merge, which is what guarantees
+correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Column-stats data skipping (reference: DataSkippingUtils.scala:49-229 +
+# HoodieFileIndex.scala:178-294 — predicate → stats-range test)
+# --------------------------------------------------------------------------
+
+_OPS = {"=", "==", "<", "<=", ">", ">=", "in"}
+
+
+def pred_to_column(pred):
+    """Predicate tuple/tree → Column for the post-scan re-application
+    (stats pruning is an optimization; the row-level filter is what
+    guarantees correctness)."""
+    from pyspark.sql import Column
+
+    if isinstance(pred, Column):
+        return pred
+    if isinstance(pred, tuple) and len(pred) == 2 and pred[0] in ("and", "or"):
+        cols = [pred_to_column(p) for p in pred[1]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if pred[0] == "and" else (out | c)
+        return out
+    col, op, val = pred
+    c = F.col(col)
+    if op in ("=", "=="):
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    if op == "in":
+        return c.isin(list(val))
+    raise ValueError(f"unsupported predicate op: {op!r}")
+
+
+def leaf_possible(col_stats: dict, pred: tuple) -> bool:
+    """True if a slice with these stats might contain a matching row."""
+    col, op, val = pred
+    st = col_stats.get(col)
+    if not st:
+        return True
+    mn, mx, _ = st
+    if mn is None or mx is None:
+        return True
+    if op == "in":
+        return any(
+            (v := _coerce(x, mn)) is not None and mn <= v <= mx for x in val
+        )
+    v = _coerce(val, mn)
+    if v is None:
+        return True
+    if op in ("=", "=="):
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    return True
+
+
+def pred_possible(col_stats: dict, pred) -> bool:
+    """Evaluate a predicate tree against file stats, mirroring the
+    reference's translated-filter evaluation
+    (``DataSkippingUtils.scala:49-229``: ``col = v → min<=v<=max``,
+    AND/OR folded over the per-column range tests). Predicates:
+    ``(col, op, value)`` leaves, ``("and", [preds])``, ``("or", [preds])``.
+    """
+    if isinstance(pred, tuple) and len(pred) == 2 and pred[0] in ("and", "or"):
+        kids = [pred_possible(col_stats, p) for p in pred[1]]
+        return all(kids) if pred[0] == "and" else any(kids)
+    if isinstance(pred, tuple) and len(pred) == 3:
+        return leaf_possible(col_stats, pred)
+    return True  # unknown shape — must read
+
+
+def prune_slices_by_stats(table, slices, filters) -> list:
+    """Drop file slices whose column stats prove the predicate can't
+    match. ``filters`` may be Column objects (kept scan-side only),
+    ``(col, op, value)`` triples, or ``("and"/"or", [preds])`` trees;
+    the listed predicates are ANDed. Slices with delta files or missing
+    stats are always kept (must-read)."""
+    preds = [f for f in filters if isinstance(f, tuple)]
+    if not preds:
+        return slices
+    kept = []
+    for s in slices:
+        if s.logs or not s.base.col_stats:
+            kept.append(s)
+            continue
+        if all(pred_possible(s.base.col_stats, p) for p in preds):
+            kept.append(s)
+    return kept
+
+
+def _coerce(val, template):
+    """Align the literal's type with the JSON-roundtripped stat value."""
+    try:
+        if isinstance(template, bool):
+            return bool(val)
+        if isinstance(template, int) and not isinstance(val, bool):
+            return int(val)
+        if isinstance(template, float):
+            return float(val)
+        if isinstance(template, str):
+            return str(val)
+    except (TypeError, ValueError):
+        return None
+    return val
