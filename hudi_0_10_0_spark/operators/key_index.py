@@ -147,9 +147,14 @@ def read_index(table, buckets: list[int] | None = None) -> DataFrame | None:
         df = part if df is None else df.unionByName(part)
     if buckets is not None:
         df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
-    w = Window.partitionBy(
-        RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL
-    ).orderBy(F.desc(INSTANT_COL))
+    # global semantics: ONE location per key — the newest instant's entry
+    # supersedes everything older (a clustered/rewritten group's fresh
+    # entry replaces the stale one; a tombstone kills the key until a
+    # later re-insert). Tie-break on (partition, file_id) keeps the
+    # winner deterministic if one instant wrote a key twice.
+    w = Window.partitionBy(RECORD_KEY_COL).orderBy(
+        F.desc(INSTANT_COL), F.desc(PARTITION_PATH_COL), F.desc(FILE_ID_COL)
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & ~F.col(DELETED_COL))

@@ -109,3 +109,102 @@ def test_record_index_mor(spark, tmp_table_path, orders):
     assert snap.filter(F.col("o_comment") == "D1").count() == 20
     t.compact()
     assert t.read_optimized().count() == orders.count() - 5
+
+
+def test_record_index_random_sequence(spark, tmp_table_path):
+    """Randomized op chain under the persisted global key index against
+    a key-only model: upserts keep the stored partition (global,
+    update_partition_path=False), deletes are key-only, drop_partition
+    leaves stale index entries the tagger must demote, services must not
+    change results. Fixed seed for reproducibility."""
+    import random
+
+    from pyspark.sql import types as T
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("ts", T.LongType()),
+        ]
+    )
+    PARTS = ["p0", "p1", "p2"]
+    KEYS = list(range(40))
+    rng = random.Random(11)
+
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="ts",
+        index_type="RECORD_INDEX",
+        key_index_buckets=8,
+        key_index_compact_deltas=3,  # force index compactions mid-chain
+        inline_compact=False,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/randrec", cfg)
+    # key -> (row, phys_part): the `part` COLUMN always carries the
+    # incoming value, while the PHYSICAL hoodie partition stays where
+    # the key first landed (updatePartitionPath=false — the reference's
+    # global-index behavior); drop_partition removes by PHYSICAL
+    # partition, which can differ from the column after such updates.
+    model: dict = {}
+
+    def rows(n, ts):
+        out = {}
+        for _ in range(n):
+            k = rng.choice(KEYS)
+            out[k] = (k, rng.choice(PARTS), rng.randrange(1000), ts)
+        return list(out.values())
+
+    def check():
+        got = {
+            r["id"]: (r["id"], r["part"], r["v"], r["ts"])
+            for r in t.snapshot().select("id", "part", "v", "ts").collect()
+        }
+        want = {k: row for k, (row, _pp) in model.items()}
+        assert got == want, (
+            f"drift: extra={set(got) - set(want)} missing={set(want) - set(got)} "
+            f"diff={[ (k, got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k) ][:5]}"
+        )
+
+    init = rows(25, ts=0)
+    t.bulk_insert(spark.createDataFrame(init, SCHEMA))
+    for (k, p, v, ts) in init:
+        model[k] = ((k, p, v, ts), p)
+    check()
+
+    ts = 1
+    for _ in range(10):
+        op = rng.choice(
+            ["upsert", "upsert", "upsert", "delete", "compact_index",
+             "cluster", "drop_partition"]
+        )
+        if op == "upsert":
+            batch = rows(rng.randrange(1, 12), ts)
+            t.upsert(spark.createDataFrame(batch, SCHEMA))
+            for (k, p, v, tts) in batch:
+                phys = model[k][1] if k in model else p
+                model[k] = ((k, p, v, tts), phys)
+        elif op == "delete":
+            live = sorted(model)
+            if not live:
+                continue
+            picked = [live[rng.randrange(len(live))] for _ in range(min(4, len(live)))]
+            df = spark.createDataFrame([(k,) for k in picked], "id long")
+            t.delete(df)
+            for k in picked:
+                model.pop(k, None)
+        elif op == "drop_partition":
+            part = rng.choice(PARTS)
+            t.delete_partition([part])
+            for k in [k for k, (_row, pp) in model.items() if pp == part]:
+                model.pop(k)
+        elif op == "compact_index":
+            KI.compact_if_due(t)
+        elif op == "cluster":
+            t.cluster(sort_cols=["id"])
+        ts += 1
+        check()
