@@ -308,3 +308,56 @@ class HudiTable:
 
     def file_slices(self) -> list:
         return self.view().latest_file_slices()
+
+    def commits_df(self) -> DataFrame:
+        """Per-commit stats as a DataFrame — the hudi-cli ``commits
+        show`` surface (``hudi-cli/.../CommitsCommand.java``): one row
+        per completed write instant with rows/bytes/files written and
+        partitions touched. Driver metadata only."""
+        rows = []
+        for ts, action, md in self.view().commits:
+            stats = md.get("write_stats", [])
+            rows.append(
+                (
+                    ts,
+                    action,
+                    md.get("operation", ""),
+                    sum(s.get("rows", 0) for s in stats),
+                    sum(s.get("bytes", 0) for s in stats),
+                    sum(len(s.get("paths", [])) for s in stats),
+                    len({s.get("partition", "") for s in stats}),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "instant string, action string, operation string, "
+            "total_rows long, total_bytes long, files_written int, "
+            "partitions_touched int",
+        )
+
+    def files_df(self) -> DataFrame:
+        """Latest file slices as a DataFrame — the hudi-cli
+        ``show fsview latest`` / ``stats filesizes`` surface: one row
+        per live file group with its base/delta sizes and key range."""
+        rows = []
+        for s in self.view().latest_file_slices():
+            rows.append(
+                (
+                    s.partition,
+                    s.file_id,
+                    s.base.instant,
+                    len(s.base.paths),
+                    s.base.bytes,
+                    s.base.rows,
+                    len(s.logs),
+                    sum(l.bytes for l in s.logs),
+                    s.base.min_key,
+                    s.base.max_key,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, file_id string, base_instant string, "
+            "base_files int, base_bytes long, base_rows long, "
+            "delta_files int, delta_bytes long, min_key string, max_key string",
+        )

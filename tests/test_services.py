@@ -239,3 +239,14 @@ def test_incremental_fallback_full_scan(spark, tmp_table_path, orders):
     # u1 rows later overwritten by u2 carry c2's commit time in the
     # latest snapshot, so the fallback sees the 20 still-latest u1 rows
     assert fb.filter(F.col("o_comment") == "u1").count() == 20
+
+
+def test_commits_and_files_df(cow, orders):
+    cdf = cow.commits_df()
+    rows = cdf.collect()
+    assert len(rows) == len(cow.commits())
+    assert rows[0]["operation"] == "bulk_insert"
+    assert rows[0]["total_rows"] == orders.count()
+    fdf = cow.files_df().collect()
+    assert len(fdf) == len(cow.file_slices())
+    assert all(r["base_bytes"] > 0 for r in fdf)
