@@ -747,6 +747,61 @@ ORDER BY 1, 2
 """
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → running sum = session id → per-session
+    aggregate. The canonical batch form of a session window; one shuffle
+    keyed by user, everything else stays in the partition."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision end-to-end (second-truncation would disagree
+    # with the oracle on gaps that straddle a whole-second boundary)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn(
+            "__new",
+            F.when(gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_seq", F.sum("__new").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+            .alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+_SQL_EVENTS_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w IS NULL
+                OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS duration_us
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -1145,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
+        "events_sessionize": q_events_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_simhash_dedup,
@@ -1205,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _SQL_Q19,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
+        "events_sessionize": _SQL_EVENTS_SESSIONIZE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
