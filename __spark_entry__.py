@@ -686,6 +686,89 @@ WHERE l_partkey = p_partkey AND (
 """
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Q7 adapted: shipping volume between two nations per ship-year."""
+    supp = _pq(spark, sf_dir, "supplier")
+    li = _pq(spark, sf_dir, "lineitem")
+    orders = _pq(spark, sf_dir, "orders")
+    cust = _pq(spark, sf_dir, "customer")
+    nation = _pq(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Q13: distribution of order counts per customer (left join keeps
+    zero-order customers)."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
     which Spark's parquet reader rejects; others store plain micros. Read
@@ -1198,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "events_sessionize": q_events_sessionize,
@@ -1259,6 +1344,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": _SQL_Q14,
         "tpch_q18": _SQL_Q18,
         "tpch_q19": _SQL_Q19,
+        "tpch_q7": _SQL_Q7,
+        "tpch_q13": _SQL_Q13,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
