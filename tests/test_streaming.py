@@ -301,3 +301,89 @@ def test_delta_streamer_kafka_gated(spark, tmp_table_path, orders):
     )
     with _pytest.raises(NotImplementedError):
         ds.sync_once()
+
+
+def test_streaming_watermark_window_agg_into_table(spark, scratch_dir):
+    """Late-data pipeline: file stream → watermark + 1h tumbling window
+    count → append-mode emission of CLOSED windows → upsert into a
+    results table keyed by (window_start, event_type). Late rows inside
+    the watermark are merged before the window closes; the closed
+    window's row lands exactly once (upsert idempotency)."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    src = f"{scratch_dir}/in"
+    ev_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    import datetime as dt
+
+    H = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(h, m):
+        return H + dt.timedelta(hours=h, minutes=m)
+
+    # hour-0 events + one hour-1 event
+    write_file(
+        [(at(0, 5), "click"), (at(0, 20), "click"), (at(0, 40), "view"),
+         (at(1, 5), "click")],
+        "f1",
+    )
+
+    results = HudiTable.create(
+        spark,
+        f"{scratch_dir}/results",
+        WriteConfig(
+            record_key_field=["window_start", "event_type"],
+            partition_field=None,
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    q = write_stream(
+        agg, results, f"{scratch_dir}/ckpt", operation="upsert",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        # batch 1: hour-0 windows still open (watermark at 10:55) → nothing
+        # late row at 10:50 (inside watermark) + hour-2 row pushes the
+        # watermark past 11:10, closing the hour-0 window WITH the late row
+        _time.sleep(4)
+        write_file([(at(0, 50), "click"), (at(2, 30), "view")], "f2")
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if results.commits() and results.snapshot().count() >= 2:
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in results.snapshot().collect()
+    }
+    assert got.get(("2024-01-01 10:00:00", "click")) == 3, got  # incl. late row
+    assert got.get(("2024-01-01 10:00:00", "view")) == 1, got
