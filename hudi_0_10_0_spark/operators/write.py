@@ -222,7 +222,7 @@ def tag_location(
         ]
         slices = view.latest_file_slices(partitions=parts)
 
-    if cfg.index_type.upper() == "BLOOM" and slices:
+    if cfg.index_type.upper() in ("BLOOM", "GLOBAL_BLOOM") and slices:
         rng = incoming.agg(
             F.min(RECORD_KEY_COL).alias("mn"), F.max(RECORD_KEY_COL).alias("mx")
         ).first()

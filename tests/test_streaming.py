@@ -387,3 +387,73 @@ def test_streaming_watermark_window_agg_into_table(spark, scratch_dir):
     }
     assert got.get(("2024-01-01 10:00:00", "click")) == 3, got  # incl. late row
     assert got.get(("2024-01-01 10:00:00", "view")) == 1, got
+
+
+def test_stateful_sessionize_stream(spark, scratch_dir):
+    """applyInPandasWithState sessionization: sessions emit only when
+    the inactivity gap expires (event-time timeout), then flow into a
+    results table via the sink."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from hudi_0_10_0_spark.streaming.stateful import sessionize_stream
+
+    src = f"{scratch_dir}/in"
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    H = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(m):
+        return H + dt.timedelta(minutes=m)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # user 1: events 10:00-10:10; user 2: one event
+    write_file([(1, at(0)), (1, at(5)), (1, at(10)), (2, at(2))])
+
+    results = HudiTable.create(
+        spark,
+        f"{scratch_dir}/sessions",
+        WriteConfig(
+            record_key_field=["user_id", "session_start"],
+            partition_field=None,
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = write_stream(
+        sessions.withColumn("session_start", F.col("session_start").cast("string")),
+        results,
+        f"{scratch_dir}/ckpt2",
+        operation="upsert",
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        _time.sleep(4)
+        # events far in the future advance the watermark past both users'
+        # gaps -> their first sessions time out and emit
+        write_file([(1, at(180)), (2, at(180))])
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if results.commits() and results.snapshot().count() >= 2:
+                break
+            _time.sleep(2)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"],)
+        for r in results.snapshot().collect()
+    }
+    assert got.get((1, "2024-01-01 10:00:00")) == (3,), got
+    assert got.get((2, "2024-01-01 10:02:00")) == (1,), got
