@@ -1009,6 +1009,88 @@ FROM hits
 """
 
 
+def q_pipeline_training_data(spark, sf_dir):
+    """Composed training-data pipeline over documents: exact near-dup
+    removal (normalized-text identity, keep lowest doc_id) → language
+    gate (en) → quality gate (score ≥ 0.5) → per-source corpus stats.
+    One pass, three shuffles (dedup window, final groupBy), all JVM."""
+    from pyspark.sql import Window
+
+    from hudi_0_10_0_spark.functions.text import (
+        lang_id,
+        normalize_text,
+        quality_features,
+    )
+
+    docs = _pq(spark, sf_dir, "documents").withColumn(
+        "__norm", normalize_text("text")
+    )
+    w = Window.partitionBy("__norm").orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__norm")
+    )
+    feats = quality_features(kept).withColumn("lang_pred", lang_id("text"))
+    sel = feats.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5)
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("quality_score").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("sum_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PIPELINE = r"""
+WITH norm AS (
+  SELECT *, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+), kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nrm ORDER BY doc_id) AS rn FROM norm
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, source, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM kept
+), hits AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
+    len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+    length(text) AS n_chars
+  FROM toks
+), scored AS (
+  SELECT doc_id, source, n_tokens,
+    CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en >= h_de THEN 'en'
+         ELSE 'de' END AS lang_pred,
+    ROUND(
+      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
+      + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
+    , 6) AS quality_score
+  FROM hits
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_quality
+FROM scored
+WHERE lang_pred = 'en' AND quality_score >= 0.5
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_similarity_topk(spark, sf_dir):
     """Exact brute-force cosine top-5 for every 100th vector."""
     from hudi_0_10_0_spark.functions.similarity import brute_force_topk
@@ -1291,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
+        "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
         "similarity_ann_ivf": q_ivf_topk,
@@ -1355,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash / similarity_ann_lsh: intentionally no oracle —
         # hash-based approximations (driver records rows-only checks)
         "text_stats": _SQL_TEXT_STATS,
+        "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
         "clustering_zorder": _SQL_CLUSTERING,
