@@ -250,3 +250,59 @@ def test_commits_and_files_df(cow, orders):
     fdf = cow.files_df().collect()
     assert len(fdf) == len(cow.file_slices())
     assert all(r["base_bytes"] > 0 for r in fdf)
+
+
+def test_clean_keep_latest_file_versions(spark, tmp_table_path, orders):
+    """KEEP_LATEST_FILE_VERSIONS: only the newest K base versions per
+    file group survive a clean (HoodieCleaningPolicy.java:25)."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        cleaner_policy="KEEP_LATEST_FILE_VERSIONS",
+        cleaner_file_versions_retained=1,
+        auto_clean=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/fv", cfg)
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    for i in range(3):
+        t.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    assert t.clean() is not None
+    # every live slice readable, snapshot intact, old versions gone
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_totalprice") == 2.0).count() == 10
+    for s in t.file_slices():
+        for p in s.all_paths():
+            assert t.fs.exists(t.abs_path(p))
+    # each rewritten group now has exactly one surviving base version
+    view = t.view()
+    for fg in view.groups.values():
+        live_bases = [
+            b for b in fg.bases
+            if b.paths and all(t.fs.exists(t.abs_path(p)) for p in b.paths)
+        ]
+        assert len(live_bases) <= 1
+
+
+def test_timestamp_keygen_partitioning(spark, tmp_table_path, orders):
+    """TimestampBasedKeyGenerator: DATE_STRING input partitioned by
+    formatted day (TimestampBasedAvroKeyGenerator.java:48-60)."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderdate",
+        precombine_field="o_totalprice",
+        keygen="timestamp",
+        timestamp_input_type="DATE_STRING",
+        timestamp_output_format="yyyy-MM",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/tk", cfg)
+    t.bulk_insert(orders)
+    parts = t.partitions()
+    assert all(len(p.split("=")[-1]) == 7 for p in parts), parts  # yyyy-MM
+    assert t.snapshot().count() == orders.count()
+    # upserts route by the same derived partition
+    t.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(9.5)))
+    assert t.snapshot().count() == orders.count()
+    assert t.snapshot().filter(F.col("o_totalprice") == 9.5).count() == 10
