@@ -22,6 +22,7 @@ import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 CHECKPOINT_KEY = "deltastreamer.checkpoint.key"
 
@@ -187,3 +188,26 @@ class DeltaStreamer:
             else:
                 time.sleep(poll_seconds)
         return commits
+
+
+def flatten_transformer(df: DataFrame) -> DataFrame:
+    """FlatteningTransformer (``util/transform/FlatteningTransformer``):
+    recursively lift nested struct fields to top-level columns named
+    ``parent_child`` — pure projection, codegen'd, no shuffle."""
+    from pyspark.sql import types as T
+
+    def expand(prefix: str, dtype, path: str):
+        if isinstance(dtype, T.StructType):
+            out = []
+            for f in dtype.fields:
+                out.extend(
+                    expand(f"{prefix}_{f.name}" if prefix else f.name,
+                           f.dataType, f"{path}.{f.name}" if path else f.name)
+                )
+            return out
+        return [F.col(path).alias(prefix)]
+
+    cols = []
+    for f in df.schema.fields:
+        cols.extend(expand(f.name, f.dataType, f.name))
+    return df.select(*cols)

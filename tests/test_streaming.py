@@ -457,3 +457,18 @@ def test_stateful_sessionize_stream(spark, scratch_dir):
     }
     assert got.get((1, "2024-01-01 10:00:00")) == (3,), got
     assert got.get((2, "2024-01-01 10:02:00")) == (1,), got
+
+
+def test_flatten_transformer(spark):
+    from hudi_0_10_0_spark.streaming.delta_streamer import flatten_transformer
+
+    df = spark.createDataFrame(
+        [(1, ("a", (2.5, "x")), 7)],
+        "id int, nest struct<s:string, inner:struct<amount:double, cur:string>>, plain int",
+    )
+    flat = flatten_transformer(df)
+    assert flat.columns == ["id", "nest_s", "nest_inner_amount", "nest_inner_cur", "plain"]
+    row = flat.first()
+    assert (row.id, row.nest_s, row.nest_inner_amount, row.nest_inner_cur, row.plain) == (
+        1, "a", 2.5, "x", 7,
+    )
