@@ -741,6 +741,142 @@ ORDER BY 1, 2, 3
 """
 
 
+def q_tpch_q8(spark, sf_dir):
+    """Q8 adapted: market share of NATION_3 suppliers within ASIA-customer
+    revenue, per order-year."""
+    part = _pq(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _pq(spark, sf_dir, "lineitem")
+    orders = _pq(spark, sf_dir, "orders")
+    cust = _pq(spark, sf_dir, "customer")
+    supp = _pq(spark, sf_dir, "supplier")
+    nation = _pq(spark, sf_dir, "nation")
+    region = _pq(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )).cast("decimal(30,4)").alias("nation_volume"),
+            F.sum(vol).cast("decimal(30,4)").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_Q8 = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS nation_volume,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_volume
+FROM part, lineitem, orders, customer, supplier, nation n1, region, nation n2
+WHERE p_partkey = l_partkey AND p_type = 'PROMO'
+  AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+  AND s_suppkey = l_suppkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15: top suppliers by quarterly revenue (all tied maxima kept)."""
+    li = _pq(spark, sf_dir, "lineitem")
+    supp = _pq(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("decimal(30,4)")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 adapted: revenue from small-quantity lines (< 50% of the
+    part's average quantity) for one brand."""
+    li = _pq(spark, sf_dir, "lineitem")
+    part = _pq(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = joined.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg(dec("l_quantity")).alias("avg_qty")
+    )
+    return (
+        joined.join(avg_q, joined.l_partkey == avg_q.ap_key)
+        .filter(dec("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.sum(dec("l_extendedprice")).cast("decimal(30,4)").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SQL_Q17 = """
+WITH j AS (
+  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem, part
+  WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+), a AS (
+  SELECT l_partkey AS ap_key, AVG(qty) AS avg_qty FROM j GROUP BY l_partkey
+)
+SELECT CAST(SUM(price) AS DECIMAL(30,4)) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM j, a
+WHERE j.l_partkey = a.ap_key AND qty < 0.5 * avg_qty
+"""
+
+
 def q_tpch_q13(spark, sf_dir):
     """Q13: distribution of order counts per customer (left join keeps
     zero-order customers)."""
@@ -1365,6 +1501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "events_sessionize": q_events_sessionize,
@@ -1429,6 +1568,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": _SQL_Q19,
         "tpch_q7": _SQL_Q7,
         "tpch_q13": _SQL_Q13,
+        "tpch_q8": _SQL_Q8,
+        "tpch_q15": _SQL_Q15,
+        "tpch_q17": _SQL_Q17,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
