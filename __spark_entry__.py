@@ -1021,6 +1021,49 @@ ORDER BY user_id, session_seq
 """
 
 
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel: per user, did a `view` precede a `purchase`
+    within one hour? Earliest-view-before-each-purchase via a
+    range-bounded window min — one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    us = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3600 * 1_000_000, -1)
+    )
+    prior_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    conv = (
+        us.withColumn("__pv", prior_view)
+        .filter((F.col("event_type") == "purchase") & F.col("__pv").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("converted_purchases"))
+    )
+    return conv.orderBy("user_id")
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH us AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_type, ts_us,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) AS pv
+  FROM us
+)
+SELECT user_id, COUNT(*) AS converted_purchases
+FROM flagged
+WHERE event_type = 'purchase' AND pv IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -1507,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_simhash_dedup,
@@ -1574,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
