@@ -107,3 +107,23 @@ def test_inmemory_index_upsert_delete(spark, tmp_table_path, orders):
     assert snap.filter(F.col("o_comment") == "M").count() == 40
     t.delete(orders.limit(10).select("o_orderkey", "o_orderstatus"))
     assert t.snapshot().count() == orders.count() - 10
+
+
+def test_global_bloom_range_pruned_upsert(spark, tmp_table_path, orders):
+    """GLOBAL_BLOOM: global tagging with key-range pruning of candidate
+    file groups before the index scan."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        index_type="GLOBAL_BLOOM",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/gbloom", cfg)
+    t.bulk_insert(orders)
+    t.upsert(orders.limit(30).withColumn("o_comment", F.lit("GB")))
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "GB").count() == 30
+    # global: delete by key alone
+    t.delete(orders.limit(10).select("o_orderkey"))
+    assert t.snapshot().count() == orders.count() - 10
