@@ -111,7 +111,8 @@ def test_record_index_mor(spark, tmp_table_path, orders):
     assert t.read_optimized().count() == orders.count() - 5
 
 
-def test_record_index_random_sequence(spark, tmp_table_path):
+@pytest.mark.parametrize("seed", [11, 29])
+def test_record_index_random_sequence(spark, tmp_table_path, seed):
     """Randomized op chain under the persisted global key index against
     a key-only model: upserts keep the stored partition (global,
     update_partition_path=False), deletes are key-only, drop_partition
@@ -131,7 +132,7 @@ def test_record_index_random_sequence(spark, tmp_table_path):
     )
     PARTS = ["p0", "p1", "p2"]
     KEYS = list(range(40))
-    rng = random.Random(11)
+    rng = random.Random(seed)
 
     cfg = WriteConfig(
         record_key_field="id",
@@ -144,7 +145,7 @@ def test_record_index_random_sequence(spark, tmp_table_path):
         auto_clean=False,
         auto_archive=False,
     )
-    t = HudiTable.create(spark, tmp_table_path + "/randrec", cfg)
+    t = HudiTable.create(spark, tmp_table_path + f"/randrec{seed}", cfg)
     # key -> (row, phys_part): the `part` COLUMN always carries the
     # incoming value, while the PHYSICAL hoodie partition stays where
     # the key first landed (updatePartitionPath=false — the reference's
