@@ -335,6 +335,14 @@ class HudiTable:
             "partitions_touched int",
         )
 
+    def key_index_df(self) -> DataFrame | None:
+        """Live (record_key → partition, file_id) mapping of the
+        persisted RECORD_INDEX, or None when the table has no index
+        files — the introspection counterpart to `commits_df`."""
+        from .operators import key_index
+
+        return key_index.read_index(self)
+
     def files_df(self) -> DataFrame:
         """Latest file slices as a DataFrame — the hudi-cli
         ``show fsview latest`` / ``stats filesizes`` surface: one row

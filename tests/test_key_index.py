@@ -209,3 +209,15 @@ def test_record_index_random_sequence(spark, tmp_table_path, seed):
             t.cluster(sort_cols=["id"])
         ts += 1
         check()
+
+
+def test_key_index_df_matches_table(rec, orders):
+    idx = rec.key_index_df()
+    assert idx is not None
+    assert idx.count() == orders.count()
+    # every key maps to a live file group
+    live = {(s.partition, s.file_id) for s in rec.file_slices()}
+    pairs = {
+        (r["_hoodie_partition_path"], r["_hoodie_file_id"]) for r in idx.collect()
+    }
+    assert pairs <= live
