@@ -273,6 +273,17 @@ class HudiSqlSession:
             parts = self._table(m.group(1)).partitions()
             return self.spark.createDataFrame([(p,) for p in parts], "partition string")
 
+        # introspection statements in the custom-grammar style (the
+        # reference exposes these via hudi-cli `commits show` /
+        # `show fsview latest`)
+        m = re.match(rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            return self._table(m.group(1)).commits_df()
+
+        m = re.match(rf"SHOW{_WS}FILES{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            return self._table(m.group(1)).files_df()
+
         m = re.match(
             rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}ADD{_WS}COLUMNS?{_WS}\((.*)\)$",
             s, re.IGNORECASE | re.DOTALL)

@@ -145,3 +145,12 @@ def test_plain_select_delegates_to_spark(hs):
     s, t = hs
     rows = s.sql("SELECT COUNT(*) AS n FROM tgt WHERE part = 'p0'").collect()
     assert rows[0].n == 5
+
+
+def test_show_commits_and_files(hs):
+    s, t = hs
+    cdf = s.sql("SHOW COMMITS ON tgt")
+    assert cdf.count() == len(t.commits())
+    assert "total_rows" in cdf.columns
+    fdf = s.sql("SHOW FILES ON tgt")
+    assert fdf.count() == len(t.file_slices())
