@@ -240,6 +240,14 @@ def clean(table) -> str | None:
             for l in fg.logs:  # logs attached to kept bases
                 if fg.bases[-k:] and l.instant > fg.bases[-k:][0].instant:
                     keep_paths.update(l.paths)
+            # savepoints pin their as-of slice under every policy
+            # (CleanPlanner honors savepointed files in both modes)
+            for sp in savepoints:
+                sl = fg.slice_as_of(sp)
+                if sl is not None:
+                    keep_paths.update(sl.base.paths)
+                    for l in sl.logs:
+                        keep_paths.update(l.paths)
     else:
         if len(commits) <= cfg.cleaner_commits_retained:
             return None

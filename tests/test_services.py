@@ -306,3 +306,30 @@ def test_timestamp_keygen_partitioning(spark, tmp_table_path, orders):
     t.upsert(orders.limit(10).withColumn("o_totalprice", F.lit(9.5)))
     assert t.snapshot().count() == orders.count()
     assert t.snapshot().filter(F.col("o_totalprice") == 9.5).count() == 10
+
+
+def test_savepoint_protects_file_versions_policy(spark, tmp_table_path, orders):
+    """Savepointed slices survive KEEP_LATEST_FILE_VERSIONS cleaning, so
+    restore still works afterwards."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        cleaner_policy="KEEP_LATEST_FILE_VERSIONS",
+        cleaner_file_versions_retained=1,
+        auto_clean=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/spfv", cfg)
+    t.bulk_insert(orders)
+    c0 = t.commits()[0]
+    t.savepoint(c0)
+    ten = orders.limit(10)
+    for i in range(3):
+        t.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    t.clean()
+    # time travel to the savepoint still reads every file
+    tt = t.time_travel(c0)
+    assert tt.count() == orders.count()
+    assert tt.filter(F.col("o_totalprice") == 2.0).count() == 0
+    t.restore(c0)
+    assert t.snapshot().count() == orders.count()
