@@ -383,10 +383,13 @@ def restore(table, savepoint_ts: str) -> str:
     (``AbstractHoodieWriteClient.java:535-592``)."""
     if savepoint_ts not in table.savepoint_instants():
         raise ValueError(f"no savepoint at {savepoint_ts}")
+    from .key_index import drop_instant as _ki_drop
+
     for inst in reversed(table.timeline.completed_write_instants()):
         if inst.timestamp > savepoint_ts:
             table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
             table.timeline.delete_instant_files(inst.timestamp, inst.action)
+            _ki_drop(table, inst.timestamp)
     inst = table.new_instant()
     table.timeline.create_requested(inst, RESTORE, {})
     table.timeline.transition_to_completed(inst, RESTORE, {"restored_to": savepoint_ts})

@@ -221,3 +221,18 @@ def test_key_index_df_matches_table(rec, orders):
         (r["_hoodie_partition_path"], r["_hoodie_file_id"]) for r in idx.collect()
     }
     assert pairs <= live
+
+
+def test_record_index_restore_unwinds_deltas(rec, orders):
+    c0 = rec.commits()[0]
+    rec.savepoint(c0)
+    rec.upsert(orders.limit(15).withColumn("o_totalprice", F.lit(1.0)))
+    c1 = rec.commits()[-1]
+    assert any(d == c1 for d in KI._index_dirs(rec))
+    rec.restore(c0)
+    assert all(d != c1 for d in KI._index_dirs(rec))
+    # index still answers correctly post-restore
+    rec.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(2.0)))
+    snap = rec.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_totalprice") == 2.0).count() == 5
