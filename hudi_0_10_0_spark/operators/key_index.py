@@ -69,11 +69,18 @@ def _bucket_expr(cfg):
 def _index_dirs(table) -> list[str]:
     """Instant-named index dirs whose instant is COMPLETED (plus
     compaction dirs, suffixed ``.base``, keyed by the instant they were
-    built at)."""
+    built at). Archived instants still count — archiving trims the
+    timeline, not the data, and their index deltas stay live until index
+    compaction folds them."""
     names = table.fs.list_names(index_root(table))
     if not names:
         return []
     done = {i.timestamp for i in table.timeline.completed_write_instants()}
+    done.update(
+        a["timestamp"]
+        for a in table.timeline.archived_instants()
+        if a["action"] in ("commit", "deltacommit", "replacecommit")
+    )
     out = []
     for n in names:
         ts = n[: -len(".base")] if n.endswith(".base") else n

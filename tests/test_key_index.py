@@ -236,3 +236,25 @@ def test_record_index_restore_unwinds_deltas(rec, orders):
     snap = rec.snapshot()
     assert snap.count() == orders.count()
     assert snap.filter(F.col("o_totalprice") == 2.0).count() == 5
+
+
+def test_record_index_survives_timeline_archiving(spark, tmp_table_path, orders):
+    """Archiving trims the active timeline but index deltas named by
+    archived instants must stay readable — otherwise tags miss and
+    upserts duplicate keys."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/recarch",
+        _cfg(keep_min_commits=2, keep_max_commits=3, auto_clean=False),
+    )
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    for i in range(4):
+        t.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    t.archive()  # may be a no-op — auto_archive already ran inline
+    assert t.timeline.archived_instants(), "expected archived instants"
+    # the bulk-insert instant is archived now; its index delta must count
+    t.upsert(ten.withColumn("o_totalprice", F.lit(99.0)))
+    snap = t.snapshot()
+    assert snap.count() == orders.count(), "tag misses duplicated keys"
+    assert snap.filter(F.col("o_totalprice") == 99.0).count() == 10
