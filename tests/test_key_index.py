@@ -258,3 +258,11 @@ def test_record_index_survives_timeline_archiving(spark, tmp_table_path, orders)
     snap = t.snapshot()
     assert snap.count() == orders.count(), "tag misses duplicated keys"
     assert snap.filter(F.col("o_totalprice") == 99.0).count() == 10
+
+
+def test_record_index_truncate_then_reinsert(rec, orders):
+    rec.truncate()
+    assert rec.snapshot().count() == 0
+    # stale entries point at replaced groups; re-insert must not vanish
+    rec.upsert(orders.limit(50))
+    assert rec.snapshot().count() == 50
