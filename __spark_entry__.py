@@ -7,9 +7,13 @@ COW table at sf0.001).
 SURVEY.md §2; the driver runs both at sf0.01 and hash-compares.
 
 Determinism notes:
-- Float aggregations are cast to DECIMAL *before* SUM in both engines so
-  results are exact and order-independent (Spark and DuckDB would otherwise
-  disagree in the last ulps of a double sum).
+- Computed numerics are scaled-integer fixed point (``FLOOR(x * scale)`` as
+  BIGINT, see ``_cents``) so every output cell is int64/string/timestamp and
+  aggregation is exact and order-independent.  Per-row double->DECIMAL casts
+  and AVG() proved engine-/version-dependent at the round-1 driver gate;
+  FLOOR of an IEEE product is bit-identical everywhere.  DuckDB aggregates
+  are wrapped in CAST(... AS BIGINT) because SUM(BIGINT) yields HUGEINT,
+  which pandas-converts to float64.
 - Every computed column is aliased identically in the Spark code and the SQL.
 - Table-op queries materialize a hudi_0_10_0_spark table in a per-process
   temp dir from the driver's parquet input, apply writes, and read back; the
@@ -370,32 +374,51 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 
+def _cents(col, scale=100):
+    """Scaled-integer fixed point: ``FLOOR(x * scale)`` as BIGINT.
+
+    FLOOR depends only on the binary value of the IEEE product — identical
+    bits in every engine — never on a rounding mode or a decimal string
+    repr.  Per-row ``double -> DECIMAL(p,s)`` casts proved engine-version-
+    dependent at the round-1 driver gate (VERDICT.md item 1): all computed
+    numerics in the relational demo corpus are therefore BIGINT in scaled
+    units, with the same FLOOR arithmetic on the DuckDB oracle side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(float(scale)))
+
+
+def _rev_u4():
+    """Per-row revenue in 1e-4 currency units: cents * (100 - disc_pct)."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+# Shared SQL fragments mirroring _cents/_rev_u4 exactly.
+_SQL_EPRICE_C = "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+_SQL_DISC_C = "CAST(FLOOR(l_discount * 100) AS BIGINT)"
+_SQL_REV_U4 = f"{_SQL_EPRICE_C} * (100 - {_SQL_DISC_C})"
+
+
 def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary; money/qty as scaled BIGINT (see _cents)."""
     li = _pq(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(
-                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            )
-            .cast("decimal(30,4)")
-            .alias("sum_disc_price"),
+            F.sum(F.floor(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_c"),
+            F.sum(_rev_u4()).alias("sum_disc_price_u4"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-_SQL_Q1 = """
+_SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM({_SQL_EPRICE_C}) AS BIGINT) AS sum_base_price_c,
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS sum_disc_price_u4,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -407,31 +430,25 @@ def q_tpch_q3(spark, sf_dir):
     cust = _pq(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _pq(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = _pq(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(30,4)")
-            .alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .agg(F.sum(_rev_u4()).alias("revenue_u4"))
+        .orderBy(F.desc("revenue_u4"), "l_orderkey")
         .limit(10)
     )
 
 
-_SQL_Q3 = """
+_SQL_Q3 = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS revenue_u4
 FROM lineitem, orders, customer
 WHERE c_mktsegment = 'BUILDING'
   AND c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
+ORDER BY revenue_u4 DESC, l_orderkey
 LIMIT 10
 """
 
@@ -443,7 +460,6 @@ def q_tpch_q5(spark, sf_dir):
     supp = _pq(spark, sf_dir, "supplier")
     orders = _pq(spark, sf_dir, "orders")
     li = _pq(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -451,55 +467,46 @@ def q_tpch_q5(spark, sf_dir):
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(30,4)")
-            .alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(F.sum(_rev_u4()).alias("revenue_u4"))
+        .orderBy(F.desc("revenue_u4"), "n_name")
     )
 
 
-_SQL_Q5 = """
+_SQL_Q5 = f"""
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS revenue_u4
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
   AND r_name = 'ASIA'
 GROUP BY n_name
-ORDER BY revenue DESC, n_name
+ORDER BY revenue_u4 DESC, n_name
 """
 
 
 def q_tpch_q6(spark, sf_dir):
     li = _pq(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc_c = _cents("l_discount")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
-            & (dec("l_discount") >= F.lit("0.05").cast("decimal(18,2)"))
-            & (dec("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+            & (disc_c >= 5)
+            & (disc_c <= 7)
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("decimal(30,4)")
-            .alias("revenue")
+            F.sum(_cents("l_extendedprice") * disc_c).alias("revenue_u4"),
         )
     )
 
 
-_SQL_Q6 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-              * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS revenue
+_SQL_Q6 = f"""
+SELECT CAST(SUM({_SQL_EPRICE_C} * {_SQL_DISC_C}) AS BIGINT) AS revenue_u4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2))
-                                            AND CAST('0.07' AS DECIMAL(18,2))
+  AND {_SQL_DISC_C} BETWEEN 5 AND 7
   AND l_quantity < 24
 """
 
@@ -512,32 +519,26 @@ def q_tpch_q10(spark, sf_dir):
     )
     li = _pq(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _pq(spark, sf_dir, "nation")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
-        .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
-            .cast("decimal(30,4)")
-            .alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .agg(F.sum(_rev_u4()).alias("revenue_u4"))
+        .orderBy(F.desc("revenue_u4"), "c_custkey")
         .limit(20)
     )
 
 
-_SQL_Q10 = """
+_SQL_Q10 = f"""
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS revenue_u4
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
   AND l_returnflag = 'R' AND c_nationkey = n_nationkey
 GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment, n_name
-ORDER BY revenue DESC, c_custkey
+ORDER BY revenue_u4 DESC, c_custkey
 LIMIT 20
 """
 
@@ -580,8 +581,7 @@ def q_tpch_q14(spark, sf_dir):
     a flat category here, so PROMO is an exact match)."""
     li = _pq(spark, sf_dir, "lineitem")
     part = _pq(spark, sf_dir, "part")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    rev = _rev_u4()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(
@@ -589,20 +589,17 @@ def q_tpch_q14(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .agg(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
-            .cast("decimal(30,4)")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(30,4)").alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_revenue_u4"),
+            F.sum(rev).alias("total_revenue_u4"),
         )
     )
 
 
-_SQL_Q14 = """
+_SQL_Q14 = f"""
 SELECT
-  CAST(SUM(CASE WHEN p_type = 'PROMO'
-       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS promo_revenue,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_revenue
+  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_REV_U4} ELSE 0 END) AS BIGINT) AS promo_revenue_u4,
+  CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS total_revenue_u4
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -614,10 +611,10 @@ def q_tpch_q18(spark, sf_dir):
     cust = _pq(spark, sf_dir, "customer")
     orders = _pq(spark, sf_dir, "orders")
     li = _pq(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    qty_i = F.floor(F.col("l_quantity"))
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("__q"))
+        .agg(F.sum(qty_i).alias("__q"))
         .filter(F.col("__q") > 140)
         .select("l_orderkey")
     )
@@ -626,7 +623,7 @@ def q_tpch_q18(spark, sf_dir):
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"))
+        .agg(F.sum(qty_i).alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
@@ -634,11 +631,11 @@ def q_tpch_q18(spark, sf_dir):
 
 _SQL_Q18 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) > 140)
+    HAVING CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) > 140)
   AND c_custkey = o_custkey AND o_orderkey = l_orderkey
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
@@ -650,7 +647,6 @@ def q_tpch_q19(spark, sf_dir):
     """Q19 adapted: OR-branch (brand, size, quantity) revenue."""
     li = _pq(spark, sf_dir, "lineitem")
     part = _pq(spark, sf_dir, "part")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     cond = (
         (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21)
@@ -664,20 +660,12 @@ def q_tpch_q19(spark, sf_dir):
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(
-            F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            )
-            .cast("decimal(30,4)")
-            .alias("revenue")
-        )
+        .agg(F.sum(_rev_u4()).alias("revenue_u4"))
     )
 
 
-_SQL_Q19 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+_SQL_Q19 = f"""
+SELECT CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS revenue_u4
 FROM lineitem, part
 WHERE l_partkey = p_partkey AND (
      (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 21)
@@ -699,7 +687,6 @@ def q_tpch_q7(spark, sf_dir):
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
@@ -713,23 +700,15 @@ def q_tpch_q7(spark, sf_dir):
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(
-            F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            )
-            .cast("decimal(30,4)")
-            .alias("revenue")
-        )
+        .agg(F.sum(_rev_u4()).alias("revenue_u4"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
-_SQL_Q7 = """
+_SQL_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS revenue
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS revenue_u4
 FROM supplier, lineitem, orders, customer, nation n1, nation n2
 WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -757,8 +736,7 @@ def q_tpch_q8(spark, sf_dir):
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    vol = _rev_u4()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -769,21 +747,19 @@ def q_tpch_q8(spark, sf_dir):
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-                F.lit(0).cast("decimal(18,2)")
-            )).cast("decimal(30,4)").alias("nation_volume"),
-            F.sum(vol).cast("decimal(30,4)").alias("total_volume"),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+            ).alias("nation_volume_u4"),
+            F.sum(vol).alias("total_volume_u4"),
         )
         .orderBy("o_year")
     )
 
 
-_SQL_Q8 = """
+_SQL_Q8 = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
-             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(30,4)) AS nation_volume,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_volume
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_REV_U4} ELSE 0 END) AS BIGINT) AS nation_volume_u4,
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS total_volume_u4
 FROM part, lineitem, orders, customer, supplier, nation n1, region, nation n2
 WHERE p_partkey = l_partkey AND p_type = 'PROMO'
   AND o_orderkey = l_orderkey AND c_custkey = o_custkey
@@ -799,81 +775,80 @@ def q_tpch_q15(spark, sf_dir):
     """Q15: top suppliers by quarterly revenue (all tied maxima kept)."""
     li = _pq(spark, sf_dir, "lineitem")
     supp = _pq(spark, sf_dir, "supplier")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     rev = (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
-            )
-            .cast("decimal(30,4)")
-            .alias("total_revenue")
-        )
+        .agg(F.sum(_rev_u4()).alias("total_revenue_u4"))
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    mx = rev.agg(F.max("total_revenue_u4").alias("mx"))
     return (
-        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        rev.join(F.broadcast(mx), rev.total_revenue_u4 == mx.mx)
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_u4")
         .orderBy("s_suppkey")
     )
 
 
-_SQL_Q15 = """
+_SQL_Q15 = f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_revenue
+         CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS total_revenue_u4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, total_revenue_u4
 FROM supplier, revenue
 WHERE s_suppkey = supplier_no
-  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+  AND total_revenue_u4 = (SELECT MAX(total_revenue_u4) FROM revenue)
 ORDER BY s_suppkey
 """
 
 
 def q_tpch_q17(spark, sf_dir):
     """Q17 adapted: revenue from small-quantity lines (< 50% of the
-    part's average quantity) for one brand."""
+    part's average quantity) for one brand.  The average comparison is
+    exact integer arithmetic (``2 * qty * cnt < sum_qty``) — AVG()'s
+    result type/precision differs across engines and versions."""
     li = _pq(spark, sf_dir, "lineitem")
     part = _pq(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    avg_q = joined.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        F.avg(dec("l_quantity")).alias("avg_qty")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+    )
+    a = j.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     return (
-        joined.join(avg_q, joined.l_partkey == avg_q.ap_key)
-        .filter(dec("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        j.join(a, j.l_partkey == a.ap_key)
+        .filter(F.col("qty_c") * 2 * F.col("cnt") < F.col("sum_qty_c"))
         .agg(
-            F.sum(dec("l_extendedprice")).cast("decimal(30,4)").alias("small_qty_revenue"),
+            F.sum("price_c").alias("small_qty_revenue_c"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
-_SQL_Q17 = """
+_SQL_Q17 = f"""
 WITH j AS (
-  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  SELECT l_partkey, CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qty_c,
+         {_SQL_EPRICE_C} AS price_c
   FROM lineitem, part
   WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
 ), a AS (
-  SELECT l_partkey AS ap_key, AVG(qty) AS avg_qty FROM j GROUP BY l_partkey
+  SELECT l_partkey AS ap_key, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+         COUNT(*) AS cnt
+  FROM j GROUP BY l_partkey
 )
-SELECT CAST(SUM(price) AS DECIMAL(30,4)) AS small_qty_revenue,
+SELECT CAST(SUM(price_c) AS BIGINT) AS small_qty_revenue_c,
        COUNT(*) AS n_lines
 FROM j, a
-WHERE j.l_partkey = a.ap_key AND qty < 0.5 * avg_qty
+WHERE j.l_partkey = a.ap_key AND qty_c * 2 * cnt < sum_qty_c
 """
 
 
@@ -950,7 +925,7 @@ def q_events_hourly_agg(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(18,4)").alias("sum_value"),
+            F.sum(_cents("value", 10000)).alias("sum_value_u4"),
         )
         .orderBy("hour", "event_type")
     )
@@ -959,7 +934,7 @@ def q_events_hourly_agg(spark, sf_dir):
 _SQL_EVENTS_HOURLY = """
 SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_u4
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -1007,8 +982,10 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- cast: DuckDB windowed SUM(int) yields HUGEINT, which pandas-
+         -- converts to float64 — BIGINT keeps it int64 like Spark's long
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -1154,7 +1131,11 @@ def q_text_stats(spark, sf_dir):
 
     docs = _pq(spark, sf_dir, "documents")
     return quality_features(docs).withColumn("lang_pred", lang_id("text")).select(
-        "doc_id", "n_tokens", "lang_pred", "stopword_ratio", "quality_score"
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "lang_pred",
+        "stopword_ratio",
+        "quality_score",
     )
 
 
@@ -1219,9 +1200,7 @@ def q_pipeline_training_data(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.sum(F.col("quality_score").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("sum_quality"),
+            F.sum(_cents("quality_score", 1000000)).alias("sum_quality_u6"),
         )
         .orderBy("source")
     )
@@ -1261,8 +1240,9 @@ WITH norm AS (
     , 6) AS quality_score
   FROM hits
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
-       CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_quality
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(FLOOR(quality_score * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_u6
 FROM scored
 WHERE lang_pred = 'en' AND quality_score >= 0.5
 GROUP BY source
@@ -1278,7 +1258,8 @@ def q_similarity_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 _SQL_SIMILARITY_TOPK = """
@@ -1301,35 +1282,99 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def q_ann_topk(spark, sf_dir):
-    """Approximate top-5 via multi-table random-hyperplane LSH (no SQL
-    oracle — approximate by construction; tests assert recall vs exact)."""
+    """Top-5 via the multi-table random-hyperplane-LSH pipeline, run in
+    the exhaustive configuration (probe every bucket) so the result is
+    provably identical to brute force and the brute-force SQL oracle
+    applies.  Approximate configs (own bucket + 1-bit flips) are
+    recall-tested in tests/test_llm_ops.py."""
     from hudi_0_10_0_spark.functions.similarity import ann_topk
 
     emb = _pq(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_topk(emb, queries, k=5)
+    out = ann_topk(emb, queries, k=5, n_tables=1, probe_all=True)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_ivf_topk(spark, sf_dir):
-    """Approximate top-5 via IVF (k-means cells + nprobe rerank; no SQL
-    oracle — approximate by construction; tests assert recall vs exact)."""
+    """Top-5 via the IVF pipeline (k-means cells + nprobe rerank) with
+    ``nprobe = nlist`` — every cell probed, so the result equals brute
+    force and the brute-force SQL oracle applies.  Approximate nprobe
+    configs are recall-tested in tests/test_llm_ops.py."""
     from hudi_0_10_0_spark.functions.similarity import ivf_topk
 
     emb = _pq(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=6)
+    out = ivf_topk(emb, queries, k=5, nlist=16, nprobe=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup survivors (pandas-UDF hash — no SQL oracle)."""
+    """SimHash near-dup survivors.  The FNV-1a + bit-vote simhash and the
+    16-bit-chunk pigeonhole blocking are replicated in pure DuckDB SQL
+    (list_reduce fold over HUGEINT) — see _sql_simhash_dedup()."""
     from hudi_0_10_0_spark.functions.dedup import simhash_dedup
 
     docs = _pq(spark, sf_dir, "documents")
     return simhash_dedup(docs).select("doc_id")
+
+
+def _sql_simhash_dedup() -> str:
+    """DuckDB replica of simhash_dedup: FNV-1a per token (list_reduce in
+    HUGEINT mod 2^64), per-bit majority vote, 4x16-bit-chunk candidate
+    blocking, hamming<=3 losers, survivors = NOT IN losers."""
+    fnv = (
+        "list_reduce("
+        "list_prepend(CAST('14695981039346656037' AS HUGEINT), "
+        "list_transform(range(1, length(t)+1), "
+        "i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))), "
+        "(h, c) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))"
+        " * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, COALESCE(regexp_extract_all(lower(text), '\S+'), []) AS tk
+  FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(tk, t -> {fnv}) AS hs FROM toks
+), sim AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT) ELSE
+      list_sum(list_transform(range(0, 64), i ->
+        CASE WHEN 2 * list_sum(list_transform(hs,
+               h -> CAST((h // CAST(power(2, CAST(i AS INT)) AS HUGEINT)) % 2 AS BIGINT))) >= len(hs)
+             THEN CAST(power(2, CAST(i AS INT)) AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END))
+    END AS u
+  FROM hashes
+), sgn AS (
+  SELECT doc_id, u,
+         CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+              THEN CAST(u - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+              ELSE CAST(u AS BIGINT) END AS sh
+  FROM sim
+), chunks AS (
+  SELECT doc_id,
+         CAST(ci AS BIGINT) AS chunk_idx,
+         CAST((u // CAST(power(2, 16 * CAST(ci AS INT)) AS HUGEINT)) % 65536 AS BIGINT) AS chunk_val
+  FROM sim, range(0, 4) r(ci)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+), losers AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c
+  JOIN sgn sa ON c.id_a = sa.doc_id
+  JOIN sgn sb ON c.id_b = sb.doc_id
+  WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1505,13 +1550,12 @@ def entry(spark: SparkSession) -> DataFrame:
     else:
         t = HudiTable.load(spark, path)
     snap = t.snapshot()
-    dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         snap.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(F.floor(F.col("l_quantity"))).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_c"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1622,11 +1666,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
-        # dedup_simhash / similarity_ann_lsh: intentionally no oracle —
-        # hash-based approximations (driver records rows-only checks)
+        "dedup_simhash": _sql_simhash_dedup(),
         "text_stats": _SQL_TEXT_STATS,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
+        # exhaustive configs (probe-all / nprobe=nlist) provably equal
+        # brute force, so the brute-force SQL is an exact oracle
+        "similarity_ann_lsh": _SQL_SIMILARITY_TOPK,
+        "similarity_ann_ivf": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
         "clustering_zorder": _SQL_CLUSTERING,
         "clustering_hilbert_async": _SQL_CLUSTERING,

@@ -128,13 +128,19 @@ def ann_topk(
     n_planes: int = 6,
     n_tables: int = 4,
     dim: int = 64,
+    probe_all: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH. The corpus
     is indexed into ``n_tables`` independent bucket spaces (the classic
     L-tables LSH index — corpus storage ×L); a query probes, per table,
     its own bucket plus every 1-bit flip, then exact-cosine reranks the
     union of candidates. At 100 TB the (table, bucket) equi-join
-    replaces the cross join and AQE handles bucket skew."""
+    replaces the cross join and AQE handles bucket skew.
+
+    ``probe_all=True`` probes every bucket of every table — the result is
+    then provably identical to ``brute_force_topk`` (every corpus row is a
+    candidate), which makes the same pipeline exactly verifiable against a
+    brute-force SQL oracle while exercising the bucketed join shape."""
     all_planes = _hyperplanes(n_tables * n_planes, dim)
     c_buckets = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -146,18 +152,29 @@ def ann_topk(
             ])
         ).alias("table", "bucket"),
     )
-    # per table: own bucket + 1-bit flips (multi-probe)
     probe_structs = []
-    for t in range(n_tables):
-        b = _rhp_bucket(vec_col, all_planes[t * n_planes : (t + 1) * n_planes])
-        probe_structs.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
-        for i in range(n_planes):
-            probe_structs.append(
-                F.struct(
-                    F.lit(t).alias("table"),
-                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+    if probe_all:
+        # exhaustive: every bucket of every table
+        for t in range(n_tables):
+            for bkt in range(1 << n_planes):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.lit(bkt).cast("long").alias("bucket"),
+                    )
                 )
-            )
+    else:
+        # per table: own bucket + 1-bit flips (multi-probe)
+        for t in range(n_tables):
+            b = _rhp_bucket(vec_col, all_planes[t * n_planes : (t + 1) * n_planes])
+            probe_structs.append(F.struct(F.lit(t).alias("table"), b.alias("bucket")))
+            for i in range(n_planes):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                    )
+                )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),

