@@ -103,18 +103,48 @@ def append_delta(table, instant: str, entries: DataFrame) -> None:
     )
 
 
-def append_from_written(table, instant: str) -> None:
+def append_from_written(table, instant: str, tombstones: DataFrame | None = None) -> None:
     """Derive the delta from the files the write just produced — the
     written meta columns are the (key → location) truth, and reading
     3 narrow columns of the new files costs one small job. MOR delete
-    tombstones arrive as rows with the delete marker set."""
-    df = table.spark.read.parquet(table.instant_data_path(instant))
-    entries = df.select(
-        F.col(RECORD_KEY_COL),
-        F.col(PARTITION_PATH_COL),
-        F.col(FILE_ID_COL),
-        F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)).alias(DELETED_COL),
-    )
+    tombstones arrive as rows with the delete marker set.
+
+    ``tombstones``: extra (record_key, partition, file_id) rows to record
+    as deleted.  The COW rewrite simply OMITS deleted rows from the new
+    base file, so the written files alone carry no trace of a delete —
+    without explicit tombstones the key would stay mapped to its old
+    location forever (the reference's record-level index emits deletion
+    records on this path too)."""
+    entries = None
+    try:
+        df = table.spark.read.parquet(table.instant_data_path(instant))
+        entries = df.select(
+            F.col(RECORD_KEY_COL),
+            F.col(PARTITION_PATH_COL),
+            F.col(FILE_ID_COL),
+            F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)).alias(DELETED_COL),
+        )
+    except Exception:
+        # the instant dir exists but holds no parquet (e.g. every affected
+        # group came out empty) — only tombstones remain to record
+        if tombstones is None:
+            return
+    if entries is None:
+        entries = tombstones.select(
+            F.col(RECORD_KEY_COL),
+            F.col(PARTITION_PATH_COL),
+            F.col(FILE_ID_COL),
+            F.lit(True).alias(DELETED_COL),
+        )
+    elif tombstones is not None:
+        entries = entries.unionByName(
+            tombstones.select(
+                F.col(RECORD_KEY_COL),
+                F.col(PARTITION_PATH_COL),
+                F.col(FILE_ID_COL),
+                F.lit(True).alias(DELETED_COL),
+            )
+        )
     append_delta(table, instant, entries)
 
 
@@ -157,10 +187,18 @@ def read_index(table, buckets: list[int] | None = None) -> DataFrame | None:
     # global semantics: ONE location per key — the newest instant's entry
     # supersedes everything older (a clustered/rewritten group's fresh
     # entry replaces the stale one; a tombstone kills the key until a
-    # later re-insert). Tie-break on (partition, file_id) keeps the
-    # winner deterministic if one instant wrote a key twice.
+    # later re-insert). Within one instant, LIVE entries beat tombstones
+    # (asc on the deleted flag): a GLOBAL update_partition_path move
+    # writes the old partition's tombstone and the new partition's insert
+    # under the SAME instant — whichever partition string sorts higher
+    # must not decide whether the key survives. Tie-break on
+    # (partition, file_id) keeps the winner deterministic if one instant
+    # wrote a key twice.
     w = Window.partitionBy(RECORD_KEY_COL).orderBy(
-        F.desc(INSTANT_COL), F.desc(PARTITION_PATH_COL), F.desc(FILE_ID_COL)
+        F.desc(INSTANT_COL),
+        F.asc(DELETED_COL),
+        F.desc(PARTITION_PATH_COL),
+        F.desc(FILE_ID_COL),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -217,5 +255,18 @@ def compact_if_due(table) -> bool:
 
 
 def drop_instant(table, instant: str) -> None:
-    """Rollback hook: remove the instant's index delta with its data."""
-    table.fs.delete(f"{index_root(table)}/{instant}", recursive=True)
+    """Rollback hook: remove the instant's index delta with its data.
+
+    If compaction has already folded deltas into a ``<ts>.base`` built at
+    an instant >= the one being dropped, the rolled-back entries live
+    INSIDE that base and cannot be carved out — wipe the whole index dir
+    (read_index then returns None and the next tag rebuilds from live
+    slices via build_full). Also clears an orphaned ``.compact_tmp`` from
+    a crashed compaction."""
+    root = index_root(table)
+    for n in table.fs.list_names(root) or []:
+        if n.endswith(".base") and n[: -len(".base")] >= instant:
+            table.fs.delete(root, recursive=True)
+            return
+    table.fs.delete(f"{root}/{instant}", recursive=True)
+    table.fs.delete(f"{root}/.compact_tmp", recursive=True)

@@ -167,37 +167,31 @@ def tag_location(
             idx = key_index.read_index(table)
         if idx is None:
             return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
-        idx = idx.select(
-            F.col(RECORD_KEY_COL),
-            F.col(PARTITION_PATH_COL).alias("__idx_pp"),
-            F.col(FILE_ID_COL).alias("__idx_fid"),
-        )
-        tagged = _global_tag(incoming, idx, cfg)
         # entries can point at file groups since REPLACED (clustering /
-        # insert_overwrite / delete_partition): demote those tags to
-        # inserts, matching what a live-file scan would have produced
+        # insert_overwrite / delete_partition): drop them from the index
+        # frame BEFORE tagging, matching what a live-file scan would have
+        # produced. Demoting after _global_tag is wrong: by then the
+        # index's (stale) partition has already overwritten the incoming
+        # row's partition, so the re-insert would land in the dropped
+        # partition even when the incoming row names another one.
         if any(fg.replaced_at is not None for fg in view.groups.values()):
             live = sorted(
                 {(s.partition, s.file_id) for s in view.latest_file_slices()}
             )
             live_df = spark.createDataFrame(
                 live, f"{PARTITION_PATH_COL} string, {FILE_ID_COL} string"
-            ).withColumn("__live", F.lit(True))
-            tagged = (
-                tagged.join(
-                    F.broadcast(live_df),
-                    [PARTITION_PATH_COL, FILE_ID_COL],
-                    "left",
-                )
-                .withColumn(
-                    FILE_ID_COL,
-                    F.when(F.col("__live"), F.col(FILE_ID_COL)).otherwise(
-                        F.lit(None).cast("string")
-                    ),
-                )
-                .drop("__live")
             )
-        return tagged
+            idx = idx.join(
+                F.broadcast(live_df),
+                [PARTITION_PATH_COL, FILE_ID_COL],
+                "left_semi",
+            )
+        idx = idx.select(
+            F.col(RECORD_KEY_COL),
+            F.col(PARTITION_PATH_COL).alias("__idx_pp"),
+            F.col(FILE_ID_COL).alias("__idx_fid"),
+        )
+        return _global_tag(incoming, idx, cfg)
     if cfg.index_type.upper() in ("INMEMORY", "IN_MEMORY"):
         # HoodieInMemoryHashIndex parity (testing only,
         # ``client/index/inmemory/HoodieInMemoryHashIndex.java``): the
@@ -940,8 +934,27 @@ def run_batch_write(
         timer.mark("write")
         stats = collect_write_stats(table, instant, log_fids)
         timer.mark("stats")
-        if key_index.enabled(cfg) and table.fs.exists(table.instant_data_path(instant)):
-            key_index.append_from_written(table, instant)
+        if key_index.enabled(cfg):
+            # COW rewrites OMIT deleted rows, so the written files carry
+            # no trace of a delete — emit index tombstones from the
+            # tagged delete rows (MOR deltacommits write marker rows that
+            # append_from_written picks up by itself)
+            tomb = None
+            if not mor_delta and DELETE_MARKER_COL in tagged.columns:
+                tomb = tagged.filter(
+                    F.col(FILE_ID_COL).isNotNull()
+                    & F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+                ).select(RECORD_KEY_COL, PARTITION_PATH_COL, FILE_ID_COL)
+            if table.fs.exists(table.instant_data_path(instant)):
+                key_index.append_from_written(table, instant, tombstones=tomb)
+            elif tomb is not None:
+                # every affected group came out empty: no data files were
+                # written, but the deletes must still tombstone the index
+                key_index.append_delta(
+                    table,
+                    instant,
+                    tomb.withColumn(key_index.DELETED_COL, F.lit(True)),
+                )
         if not mor_delta:
             # a rewritten file group can come out EMPTY (every record
             # deleted): Spark's sink writes no file, but the commit must

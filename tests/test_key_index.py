@@ -266,3 +266,143 @@ def test_record_index_truncate_then_reinsert(rec, orders):
     # stale entries point at replaced groups; re-insert must not vanish
     rec.upsert(orders.limit(50))
     assert rec.snapshot().count() == 50
+
+
+def test_cow_delete_tombstones_index(rec, orders):
+    """COW rewrites OMIT deleted rows; the index must still record the
+    delete (explicit tombstones), or deleted keys stay mapped forever."""
+    gone = [r[0] for r in orders.limit(10).select("o_orderkey").collect()]
+    rec.delete(orders.limit(10).select("o_orderkey"))
+    idx = KI.read_index(rec)
+    live_keys = {r[0] for r in idx.select("_hoodie_record_key").collect()}
+    assert not ({str(k) for k in gone} & live_keys), "deleted keys still live in index"
+    assert rec.key_index_df().count() == orders.count() - 10
+
+
+def test_cow_delete_whole_group_tombstones_index(spark, tmp_table_path):
+    """Deleting every row of every affected group writes NO data files —
+    the index delta must still carry the tombstones."""
+    df = spark.createDataFrame(
+        [(i, "pA", i, 0) for i in range(20)], "id long, part string, v long, ts long"
+    )
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/allgone",
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="ts",
+            index_type="RECORD_INDEX", key_index_buckets=8,
+        ),
+    )
+    t.bulk_insert(df)
+    t.delete(df.select("id"))
+    assert t.snapshot().count() == 0
+    idx = KI.read_index(t)
+    assert idx is None or idx.count() == 0
+
+
+def test_cow_reinsert_after_delete_honors_incoming_partition(spark, tmp_table_path):
+    """A key deleted from partition pA and re-inserted with part=pB must
+    land in pB: the tombstone kills the global mapping, so nothing pins
+    the key to the old physical partition."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/reins",
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="ts",
+            index_type="RECORD_INDEX", key_index_buckets=8,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "pA", 10, 0), (2, "pA", 20, 0)], "id long, part string, v long, ts long"
+    ))
+    t.delete(spark.createDataFrame([(1,)], "id long"))
+    t.upsert(spark.createDataFrame([(1, "pB", 11, 1)], "id long, part string, v long, ts long"))
+    row = t.snapshot().filter(F.col("id") == 1).select("_hoodie_partition_path", "part", "v").first()
+    assert row["part"] == "pB" and row["v"] == 11
+    assert row["_hoodie_partition_path"] == "pB", "re-insert pinned to deleted key's old partition"
+
+
+def test_reinsert_after_drop_partition_honors_incoming_partition(spark, tmp_table_path):
+    """Stale index entries pointing at REPLACED groups must be dropped
+    BEFORE tagging: demoting after the global tag keeps the stale
+    partition, sending the re-insert into the dropped partition even
+    when the incoming row names another one."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/dropreins",
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="ts",
+            index_type="RECORD_INDEX", key_index_buckets=8,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "pA", 10, 0), (2, "pB", 20, 0)], "id long, part string, v long, ts long"
+    ))
+    t.delete_partition(["pA"])
+    # key 1 used to live in pA; it arrives naming pB now
+    t.upsert(spark.createDataFrame([(1, "pB", 11, 1)], "id long, part string, v long, ts long"))
+    row = t.snapshot().filter(F.col("id") == 1).select("_hoodie_partition_path", "part").first()
+    assert row["part"] == "pB"
+    assert row["_hoodie_partition_path"] == "pB", "re-insert landed in the dropped partition"
+
+
+@pytest.mark.parametrize("table_type", [TableType.COPY_ON_WRITE, TableType.MERGE_ON_READ])
+def test_update_partition_path_move_same_instant(spark, tmp_table_path, table_type):
+    """GLOBAL move with update_partition_path=True writes the old
+    partition's tombstone and the new partition's insert under the SAME
+    instant. When the old partition sorts ABOVE the new one, the index's
+    latest-wins window must still prefer the live entry — otherwise the
+    key vanishes from the index and the next upsert duplicates it."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + f"/move{table_type.value}",
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="ts",
+            index_type="RECORD_INDEX", key_index_buckets=8,
+            update_partition_path=True, table_type=table_type,
+            inline_compact=False,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "p9", 10, 0), (2, "p9", 20, 0)], "id long, part string, v long, ts long"
+    ))
+    # move key 1 from p9 (sorts high) to p1 (sorts low)
+    t.upsert(spark.createDataFrame([(1, "p1", 11, 1)], "id long, part string, v long, ts long"))
+    snap = t.snapshot()
+    assert snap.count() == 2
+    assert snap.filter(F.col("id") == 1).select("_hoodie_partition_path").first()[0] == "p1"
+    # the key must still be live in the index under the NEW partition
+    idx = KI.read_index(t)
+    entry = idx.filter(F.col("_hoodie_record_key") == "1").collect()
+    assert len(entry) == 1 and entry[0]["_hoodie_partition_path"] == "p1"
+    # and a further upsert updates in place instead of inserting a dup
+    t.upsert(spark.createDataFrame([(1, "p1", 12, 2)], "id long, part string, v long, ts long"))
+    snap = t.snapshot()
+    assert snap.count() == 2
+    assert snap.filter(F.col("id") == 1).select("v").first()[0] == 12
+    # deleting the moved key must not be a no-op
+    t.delete(spark.createDataFrame([(1,)], "id long"))
+    assert t.snapshot().count() == 1
+
+
+def test_rollback_after_index_compaction_rebuilds(rec, orders):
+    """Once deltas are folded into a <ts>.base, a rolled-back instant's
+    entries survive inside the base — rollback must wipe the index so the
+    next tag rebuilds from live slices."""
+    ten = orders.limit(10)
+    for i in range(3):
+        rec.upsert(ten.withColumn("o_totalprice", F.lit(float(i))))
+    rec.cfg.key_index_compact_deltas = 2
+    assert KI.compact_if_due(rec) is True
+    rec.upsert(ten.withColumn("o_totalprice", F.lit(77.0)))
+    c_bad = rec.commits()[-1]
+    rec.rollback(c_bad)
+    # rolled-back values must not be taggable: the next upsert of the
+    # same keys updates (not duplicates), and 77.0 is gone
+    rec.upsert(ten.withColumn("o_totalprice", F.lit(88.0)))
+    snap = rec.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_totalprice") == 77.0).count() == 0
+    assert snap.filter(F.col("o_totalprice") == 88.0).count() == 10
+    names = rec.fs.list_names(KI.index_root(rec)) or []
+    assert not [n for n in names if n.endswith(".compact_tmp")]
