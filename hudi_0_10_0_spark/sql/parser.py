@@ -59,6 +59,10 @@ class HudiSqlSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, object] = {}
+        # the vanilla planner entry point — kept separate so that
+        # install_sql_extension can patch spark.sql to route through
+        # THIS object without recursing back into itself
+        self._raw_sql = spark.sql
 
     def register(self, name: str, table) -> None:
         self.tables[name] = table
@@ -90,7 +94,7 @@ class HudiSqlSession:
         src_spec = m.group("src").strip()
         if src_spec.startswith("("):
             self._refresh_views()
-            source = self.spark.sql(src_spec[1:-1])
+            source = self._raw_sql(src_spec[1:-1])
             salias = salias or "src"
         else:
             if src_spec in self.tables:
@@ -199,7 +203,7 @@ class HudiSqlSession:
             _commit_schema(t, T.StructType(fields), "create_table")
         if m.group("query") and not exists:
             self._refresh_views_except(name)
-            df = self.spark.sql(m.group("query"))
+            df = self._raw_sql(m.group("query"))
             t.bulk_insert(df)
         return t
 
@@ -257,7 +261,7 @@ class HudiSqlSession:
         if m:
             t = self._table(m.group(2))
             self._refresh_views()
-            df = self.spark.sql(m.group(3))
+            df = self._raw_sql(m.group(3))
             df = df.toDF(*[f.name for f in t.read_schema().fields
                            if not f.name.startswith("_hoodie")][: len(df.columns)])
             if m.group(1).upper() == "OVERWRITE":
@@ -326,4 +330,4 @@ class HudiSqlSession:
 
         # plain relational SQL → Spark, with table snapshots as views
         self._refresh_views()
-        return self.spark.sql(s)
+        return self._raw_sql(s)

@@ -51,17 +51,13 @@ def _canon(v):
     return v
 
 
-@pytest.mark.parametrize("table_type", ["cow", "mor"])
-def test_sql_statement_corpus(spark, tmp_table_path, table_type):
-    text = open(CORPUS).read()
-    text = text.replace("${DIR}", f"{tmp_table_path}/{table_type}")
-    text = text.replace("${TYPE}", table_type)
-    sess = HudiSqlSession(spark)
+def _run_corpus(sql_fn, text, df_required):
     for i, (expect, stmt) in enumerate(_statements(text)):
-        result = sess.sql(stmt)
+        result = sql_fn(stmt)
         if expect is None:
             continue
-        assert hasattr(result, "collect"), f"stmt {i} expected rows: {stmt[:80]}"
+        if df_required:
+            assert hasattr(result, "collect"), f"stmt {i} expected rows: {stmt[:80]}"
         rows = [[_canon(v) for v in r] for r in result.collect()]
         if isinstance(expect, int):
             assert len(rows) == expect, f"stmt {i}: {stmt[:80]} -> {rows}"
@@ -69,3 +65,30 @@ def test_sql_statement_corpus(spark, tmp_table_path, table_type):
             want = sorted([[_canon(v) for v in r] for r in expect])
             got = sorted(rows)
             assert got == want, f"stmt {i}: {stmt[:80]}\n got {got}\nwant {want}"
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_sql_statement_corpus(spark, tmp_table_path, table_type):
+    text = open(CORPUS).read()
+    text = text.replace("${DIR}", f"{tmp_table_path}/{table_type}")
+    text = text.replace("${TYPE}", table_type)
+    sess = HudiSqlSession(spark)
+    _run_corpus(sess.sql, text, df_required=True)
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_sql_statement_corpus_through_spark_sql(spark, tmp_table_path, table_type):
+    """Same golden corpus, but every statement goes through the patched
+    ``spark.sql(...)`` front door (install_sql_extension) — the UX of the
+    reference's HoodieSparkSessionExtension."""
+    from hudi_0_10_0_spark.sql import install_sql_extension, uninstall_sql_extension
+
+    text = open(CORPUS).read()
+    text = text.replace("${DIR}", f"{tmp_table_path}/ext_{table_type}")
+    text = text.replace("${TYPE}", table_type)
+    install_sql_extension(spark)
+    try:
+        # every spark.sql return is a DataFrame, command or query alike
+        _run_corpus(spark.sql, text, df_required=True)
+    finally:
+        uninstall_sql_extension(spark)
