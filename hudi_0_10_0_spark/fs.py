@@ -92,9 +92,15 @@ class FS:
         finally:
             stream.close()
 
-    def write_text_atomic(self, p: str, content: str) -> None:
+    def write_text_atomic(self, p: str, content: str, overwrite: bool = False) -> None:
+        """Write-then-rename. ``overwrite=False`` is the create-once
+        timeline contract (rename fails if the target exists);
+        ``overwrite=True`` replaces an existing file (config updates —
+        delete+rename, atomic on HDFS-like stores, best-effort locally)."""
         tmp = p + ".tmp"
         self.write_text(tmp, content)
+        if overwrite and self.exists(p):
+            self.delete(p)
         if not self.rename(tmp, p):
             self.delete(tmp)
             raise IOError(f"atomic rename failed (already exists?): {p}")

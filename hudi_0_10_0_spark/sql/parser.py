@@ -224,6 +224,24 @@ class HudiSqlSession:
             return self._create_table(s)
 
         m = re.match(
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}RENAME{_WS}TO{_WS}({_ID})$",
+            s, re.IGNORECASE)
+        if m:
+            # AlterHoodieTableRenameCommand: rename the catalog entry and
+            # patch the stored table-name property
+            old, new = m.group(1), m.group(2)
+            if new in self.tables:
+                raise ValueError(f"table already registered: {new}")
+            t = self._table(old)
+            t.rename(new)
+            self.tables[new] = self.tables.pop(old)
+            try:
+                self.spark.catalog.dropTempView(old)
+            except Exception:
+                pass
+            return None
+
+        m = re.match(
             rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}PARTITION{_WS}\((.*)\)$",
             s, re.IGNORECASE)
         if m:

@@ -272,6 +272,21 @@ class HudiTable:
 
         return change_column_type(self, name, new_type)
 
+    def rename(self, new_name: str) -> None:
+        """ALTER TABLE RENAME TO — updates the persisted table-name
+        property (the analogue of ``hoodie.table.name`` in
+        hoodie.properties; reference
+        ``sql/hudi/command/AlterHoodieTableRenameCommand.scala`` renames
+        the catalog entry then patches the table config the same way).
+        Data and timeline are untouched; catalog re-registration is the
+        SQL session's job."""
+        import dataclasses as _dc
+
+        self.cfg = _dc.replace(self.cfg, table_name=new_name)
+        self.fs.write_text_atomic(
+            f"{self.meta_path}/table_config.json", self.cfg.to_json(), overwrite=True
+        )
+
     def truncate(self) -> str:
         """TRUNCATE TABLE: logical replace of every file group, schema
         kept (``TruncateHoodieTableCommand``)."""

@@ -69,3 +69,10 @@ TRUNCATE TABLE t2;
 
 -- expect rows=0
 SELECT * FROM t2;
+
+ALTER TABLE t2 RENAME TO t2_renamed;
+
+INSERT INTO t2_renamed VALUES (9, 9.0, 9000);
+
+-- expect [[9, 9.0]]
+SELECT id, price FROM t2_renamed ORDER BY id;

@@ -105,3 +105,31 @@ def test_truncate_keeps_schema_and_history(spark, tmp_table_path):
     # and the table accepts new writes
     t.upsert(_df(spark, [(9, "p0", 9)]))
     assert t.snapshot().count() == 1
+
+
+def test_rename_table_round_trip(spark, tmp_table_path):
+    """ALTER TABLE RENAME TO (AlterHoodieTableRenameCommand.scala;
+    exercised by reference TestAlterTable.scala): rename the table,
+    widen a column, then read files written before AND after — data,
+    schema, and the persisted name property all survive a reload."""
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg(table_name="orig"))
+    t.bulk_insert(
+        spark.createDataFrame([(1, "p0", 10), (2, "p1", 20)], SCHEMA)
+    )
+    s = HudiSqlSession(spark)
+    s.register("orig", t)
+    s.sql("ALTER TABLE orig RENAME TO renamed")
+    assert "orig" not in s.tables and "renamed" in s.tables
+    # persisted: a fresh load sees the new name
+    assert HudiTable.load(spark, tmp_table_path).cfg.table_name == "renamed"
+    # old name no longer resolves as a hudi statement target
+    with pytest.raises(ValueError):
+        s.sql("DELETE FROM orig WHERE id = 1")
+    # widen int -> long under the new name, then write a long-valued row
+    s.sql("ALTER TABLE renamed CHANGE COLUMN v bigint")
+    s.sql("INSERT INTO renamed SELECT 3, 'p0', 5000000000")
+    snap = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
+    assert snap == {1: 10, 2: 20, 3: 5000000000}
+    assert t.read_schema()["v"].dataType.simpleString() == "bigint"
