@@ -20,7 +20,7 @@ import time
 import uuid
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -39,7 +39,7 @@ from ..config import (
     WriteConfig,
     WriteOperation,
 )
-from ..concurrency import guarded_commit
+from ..concurrency import guarded_commit, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
@@ -337,6 +337,7 @@ _BUCKET_SCHEMA = T.StructType(
         T.StructField("__bend", T.LongType()),
         T.StructField("__bfid", T.StringType()),
         T.StructField("__bexisting", T.BooleanType()),
+        T.StructField("__btotal", T.LongType()),
     ]
 )
 
@@ -349,10 +350,13 @@ def assign_inserts(
     insert_counts: list[tuple[str, int]] | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Map each untagged (insert) row to a file group via the bucket
-    plan. Row→bucket assignment is a partition-local ``row_number``
-    (sorted by key, so files end up key-ordered like the reference's
-    partition-sort modes) joined against the broadcast bucket ranges —
-    the same shape as the reference's custom ``Partitioner``.
+    plan. Row→bucket assignment hashes the record key into the
+    partition's cumulative bucket ranges — the same proportional
+    key-hash scheme as the reference's custom ``Partitioner``
+    (``UpsertPartitioner.getPartition``), and fully parallel: every row
+    decides its bucket independently from the broadcast plan, so a
+    single table-partition's inserts never funnel through one task (the
+    earlier ``row_number`` window serialized each table partition).
 
     ``insert_counts`` lets the caller supply per-partition row counts
     from an already-collected workload profile (one Spark job for the
@@ -368,15 +372,19 @@ def assign_inserts(
     buckets = plan_insert_buckets(view, table.cfg, counts, pack_small_files)
     # (partition, fid) — fid alone may name groups in other partitions
     existing_fids = {(b[0], b[3]) for b in buckets if b[4]}
-    bucket_df = table.spark.createDataFrame(buckets, _BUCKET_SCHEMA)
-    w = Window.partitionBy(PARTITION_PATH_COL).orderBy(RECORD_KEY_COL)
+    totals = {pp: n for pp, n in counts}
+    bucket_rows = [(b[0], b[1], b[2], b[3], b[4], totals[b[0]]) for b in buckets]
+    bucket_df = table.spark.createDataFrame(bucket_rows, _BUCKET_SCHEMA)
+    # hash-mod the key into [0, partition_total); bucket ranges partition
+    # that interval proportionally to their planned capacity, so fills
+    # track the plan within hash noise (exactly the reference's behavior)
     assigned = (
         inserts.drop(FILE_ID_COL)
-        .withColumn("__idx", F.row_number().over(w).cast("long") - 1)
         .join(F.broadcast(bucket_df), [PARTITION_PATH_COL], "inner")
+        .withColumn("__idx", F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.col("__btotal")))
         .filter((F.col("__idx") >= F.col("__bstart")) & (F.col("__idx") < F.col("__bend")))
         .withColumn(FILE_ID_COL, F.col("__bfid"))
-        .drop("__idx", "__bstart", "__bend", "__bfid", "__bexisting")
+        .drop("__idx", "__bstart", "__bend", "__bfid", "__bexisting", "__btotal")
     )
     return assigned, existing_fids
 
@@ -762,6 +770,7 @@ def run_batch_write(
         and not payload.requires_stored_merge  # e.g. MERGE INTO (see Payload)
         else "commit"
     )
+    txn_start = txn_start_marker(table)
     instant = instant_time or table.new_instant()
     table.timeline.create_requested(instant, action, {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, action)
@@ -781,7 +790,7 @@ def run_batch_write(
             md = make_commit_metadata(
                 operation.value, out.schema.json(), stats, extra=extra
             )
-            guarded_commit(table, instant, action, md)
+            guarded_commit(table, instant, action, md, txn_start)
             table.run_post_commit_services()
             return instant
 
@@ -973,7 +982,7 @@ def run_batch_write(
             stats,
             extra=extra,
         )
-        guarded_commit(table, instant, action, md)
+        guarded_commit(table, instant, action, md, txn_start)
     except Exception:
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
@@ -1134,6 +1143,7 @@ def run_replace_write(
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()
+    txn_start = txn_start_marker(table)
     instant = table.new_instant()
     table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, "replacecommit")
@@ -1179,7 +1189,7 @@ def run_replace_write(
         md = make_commit_metadata(
             operation.value, schema_json, stats, replaced=replaced, extra=extra
         )
-        guarded_commit(table, instant, "replacecommit", md)
+        guarded_commit(table, instant, "replacecommit", md, txn_start)
     except Exception:
         table.timeline.delete_instant_files(instant, "replacecommit")
         table.fs.delete(table.instant_data_path(instant), recursive=True)

@@ -206,3 +206,35 @@ def test_delete_emptying_whole_file_group(spark, tmp_table_path):
     assert t.snapshot().count() == 0
     t.upsert(spark.createDataFrame([(100, "p0", 1)], schema))
     assert t.snapshot().count() == 1
+
+
+def test_insert_assignment_is_parallel_not_windowed(spark, tmp_table_path, orders):
+    """A single table-partition's inserts must not serialize through one
+    row_number window task: the hash-proportional bucket assignment has
+    no Window in the plan and spreads one partition's rows over several
+    new file groups when they exceed one file's capacity."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field=None,
+        precombine_field="o_totalprice",
+        record_size_estimate=1024,
+        max_file_size_bytes=100 * 1024,  # ~100 rows per file group
+        small_file_limit_bytes=0,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/par", cfg)
+    t.insert(orders.limit(1000))
+    fgs = {s.file_id for s in t.file_slices()}
+    assert len(fgs) > 1, "one partition's inserts should open several groups"
+    assert t.snapshot().count() == 1000
+    # plan check: assignment path contains no Window operator
+    from hudi_0_10_0_spark.config import PARTITION_PATH_COL, RECORD_KEY_COL
+    from hudi_0_10_0_spark.operators.write import assign_inserts
+
+    inserts = (
+        orders.limit(1000)
+        .withColumn(RECORD_KEY_COL, F.col("o_orderkey").cast("string"))
+        .withColumn(PARTITION_PATH_COL, F.lit(""))
+    )
+    assigned, _ = assign_inserts(t, t.view(), inserts, pack_small_files=True)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
