@@ -5,14 +5,24 @@ concurrency control (OCC) guards the commit point with a lock provider
 and rejects commits whose file groups overlap a concurrently-completed
 instant (``client/client/transaction/SimpleConcurrentFileWritesConflict
 ResolutionStrategy.java``; mode enum
-``common/model/WriteConcurrencyMode.java:30-32``). Lock providers in the
-reference are ZK / DynamoDB / HiveMetastore / FileSystem; ours is the
-filesystem one (atomic-create lock file), which is what its tests use.
+``common/model/WriteConcurrencyMode.java:30-32``).
+
+Lock providers are pluggable like the reference's
+``hoodie.write.lock.provider`` (``client/client-common/.../transaction/
+lock/LockManager.java`` loading ``ZookeeperBasedLockProvider`` /
+``DynamoDBBasedLockProvider`` / ``HiveMetastoreBasedLockProvider`` /
+``FileSystemBasedLockProvider`` by class name): ``WriteConfig.
+lock_provider`` names a registry entry or a ``module:Class`` path.
+In-sandbox implementations are FILESYSTEM (atomic-create lock file —
+what the reference's tests use) and IN_PROCESS (shared threading lock
+per table path, for same-JVM multi-writer tests); external-system
+providers plug in through the same interface.
 """
 
 from __future__ import annotations
 
 import json
+import threading
 import time
 
 
@@ -24,7 +34,26 @@ class LockTimeoutError(Exception):
     pass
 
 
-class FileSystemLockProvider:
+class LockProvider:
+    """Provider interface (``lock/LockProvider.java``): exclusive
+    table-level lock. Implement ``try_lock``/``unlock``; ``lock`` is a
+    shared poll-until-deadline on top."""
+
+    def try_lock(self, owner: str) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def unlock(self, owner: str) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def lock(self, owner: str, wait_seconds: float = 60.0, poll: float = 0.1) -> None:
+        deadline = time.time() + wait_seconds
+        while not self.try_lock(owner):
+            if time.time() >= deadline:
+                raise LockTimeoutError(f"{type(self).__name__}: could not acquire lock")
+            time.sleep(poll)
+
+
+class FileSystemLockProvider(LockProvider):
     """Exclusive table lock via atomic create of a lock file
     (``FileSystemBasedLockProvider``): acquisition = atomic rename onto a
     path that must not exist; expiry guards against dead holders."""
@@ -55,13 +84,6 @@ class FileSystemLockProvider:
         except IOError:
             return False  # lost the race
 
-    def lock(self, owner: str, wait_seconds: float = 60.0, poll: float = 0.1) -> None:
-        deadline = time.time() + wait_seconds
-        while not self.try_lock(owner):
-            if time.time() >= deadline:
-                raise LockTimeoutError(f"could not acquire {self.path}")
-            time.sleep(poll)
-
     def unlock(self, owner: str) -> None:
         try:
             held = json.loads(self.fs.read_text(self.path))
@@ -71,17 +93,83 @@ class FileSystemLockProvider:
             pass
 
 
+class InProcessLockProvider(LockProvider):
+    """Same-process multi-writer lock (``InProcessLockProvider`` in the
+    reference): one shared ``threading.Lock`` per table path. The right
+    provider when several writer threads share a driver — no filesystem
+    round-trips, no TTL heuristics."""
+
+    _registry: dict[str, threading.Lock] = {}
+    _owners: dict[str, str] = {}
+    _guard = threading.Lock()
+
+    def __init__(self, table_key: str):
+        self.key = table_key
+        with InProcessLockProvider._guard:
+            self._lock = InProcessLockProvider._registry.setdefault(
+                table_key, threading.Lock()
+            )
+
+    def try_lock(self, owner: str) -> bool:
+        if self._lock.acquire(blocking=False):
+            InProcessLockProvider._owners[self.key] = owner
+            return True
+        return False
+
+    def unlock(self, owner: str) -> None:
+        if InProcessLockProvider._owners.get(self.key) == owner:
+            InProcessLockProvider._owners.pop(self.key, None)
+            self._lock.release()
+
+
+def get_lock_provider(table) -> LockProvider:
+    """Resolve ``WriteConfig.lock_provider``: a registry name
+    (FILESYSTEM | IN_PROCESS) or a ``module:Class`` dotted path whose
+    class takes the table as its only constructor argument — the
+    analogue of the reference loading a provider class from
+    ``hoodie.write.lock.provider``."""
+    name = (getattr(table.cfg, "lock_provider", None) or "FILESYSTEM").strip()
+    up = name.upper()
+    if up in ("FILESYSTEM", "FILE_SYSTEM", "FS"):
+        return FileSystemLockProvider(table.fs, table.meta_path)
+    if up in ("IN_PROCESS", "INPROCESS", "IN_MEMORY", "INMEMORY"):
+        return InProcessLockProvider(table.base_path)
+    if ":" in name:
+        mod_name, cls_name = name.rsplit(":", 1)
+        import importlib
+
+        cls = getattr(importlib.import_module(mod_name), cls_name)
+        return cls(table)
+    raise ValueError(f"unknown lock provider: {name}")
+
+
+def txn_start_marker(table) -> str | None:
+    """Latest completed write instant at transaction start — the
+    reference's ``lastSuccessfulInstant`` captured when the transaction
+    begins (``SimpleConcurrentFileWritesConflictResolutionStrategy.
+    getCandidateInstants:58-62`` filters completed commits AFTER it, not
+    after the writer's own instant timestamp, so a concurrent commit
+    whose pre-allocated timestamp sorts earlier is still a candidate).
+    None in single-writer mode (no OCC check)."""
+    if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
+        return None
+    done = table.timeline.completed_write_instants()
+    return max((i.timestamp for i in done), default="")
+
+
 def find_conflicts(
     view_commits: list[tuple[str, str, dict]],
-    instant: str,
+    after_ts: str,
     written: set[tuple[str, str]],
 ) -> list[str]:
-    """Instants that completed with a timestamp **after** ours began and
-    touched any of our (partition, file_id) groups — the overlap test of
+    """Instants that completed with a timestamp after ``after_ts`` (the
+    last successful instant at transaction start, falling back to the
+    writer's own instant) and touched any of our (partition, file_id)
+    groups — the overlap test of
     ``SimpleConcurrentFileWritesConflictResolutionStrategy``."""
     out = []
     for ts, _, md in view_commits:
-        if ts <= instant:
+        if ts <= after_ts:
             continue
         touched = {
             (s.get("partition", ""), s["file_id"]) for s in md.get("write_stats", [])
@@ -93,14 +181,19 @@ def find_conflicts(
     return out
 
 
-def guarded_commit(table, instant: str, action: str, metadata: dict) -> None:
+def guarded_commit(
+    table, instant: str, action: str, metadata: dict,
+    txn_start: str | None = None,
+) -> None:
     """OCC commit point: under the table lock, re-read the timeline,
-    check overlap against instants completed after ``instant``, then
-    transition to completed. Single-writer mode commits directly."""
+    check overlap against instants completed after the transaction began
+    (``txn_start`` from :func:`txn_start_marker`; falls back to the
+    writer's own instant timestamp), then transition to completed.
+    Single-writer mode commits directly."""
     if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
         table.timeline.transition_to_completed(instant, action, metadata)
         return
-    lock = FileSystemLockProvider(table.fs, table.meta_path)
+    lock = get_lock_provider(table)
     owner = f"writer-{instant}"
     lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
     try:
@@ -113,7 +206,13 @@ def guarded_commit(table, instant: str, action: str, metadata: dict) -> None:
         }
         for pp, fids in metadata.get("replaced", {}).items():
             written.update((pp, f) for f in fids)
-        losers = find_conflicts(fresh.commits, instant, written)
+        # candidates = completed after the txn began (reference rule:
+        # catches a concurrent commit whose pre-allocated timestamp
+        # sorts before ours) UNION completed after our instant (catches
+        # a backdated instant landing under newer commits, which would
+        # corrupt file-slice ordering) → threshold is the min
+        after_ts = instant if txn_start is None else min(txn_start, instant)
+        losers = find_conflicts(fresh.commits, after_ts, written)
         if losers:
             raise ConcurrentWriteConflictError(
                 f"instant {instant} conflicts with concurrent commit(s) "

@@ -104,6 +104,8 @@ class WriteConfig:
     # multi-writer — WriteConcurrencyMode.java:30-32; OCC = lock + overlap check
     concurrency_mode: str = "SINGLE_WRITER"  # | OPTIMISTIC_CONCURRENCY_CONTROL
     lock_wait_seconds: float = 60.0
+    # FILESYSTEM | IN_PROCESS | "module:Class" (concurrency.get_lock_provider)
+    lock_provider: str = "FILESYSTEM"
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
 

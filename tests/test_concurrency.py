@@ -108,3 +108,86 @@ def test_single_writer_mode_skips_occ(spark, tmp_table_path):
     # same-group backdated write commits fine without OCC
     t.upsert(_df(spark, [(1, "p0", 3)]), instant_time=late)
     assert t.snapshot().count() == 1
+
+
+def test_in_process_lock_provider_exclusive():
+    from hudi_0_10_0_spark.concurrency import InProcessLockProvider
+
+    a = InProcessLockProvider("/tbl/x")
+    b = InProcessLockProvider("/tbl/x")  # same table → same underlying lock
+    c = InProcessLockProvider("/tbl/y")  # different table → independent
+    assert a.try_lock("w1")
+    assert not b.try_lock("w2")
+    assert c.try_lock("w3")
+    b.unlock("w2")  # non-owner unlock is a no-op
+    assert not b.try_lock("w2")
+    a.unlock("w1")
+    assert b.try_lock("w2")
+    b.unlock("w2")
+    c.unlock("w3")
+
+
+def test_pluggable_provider_resolution(spark, tmp_table_path):
+    from hudi_0_10_0_spark.concurrency import (
+        FileSystemLockProvider,
+        InProcessLockProvider,
+        get_lock_provider,
+    )
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    assert isinstance(get_lock_provider(t), FileSystemLockProvider)
+    t.cfg.lock_provider = "IN_PROCESS"
+    assert isinstance(get_lock_provider(t), InProcessLockProvider)
+    t.cfg.lock_provider = "tests.test_concurrency:_CustomProvider"
+    # compare by name: pytest may import this module under a different
+    # module object than importlib does
+    assert type(get_lock_provider(t)).__name__ == "_CustomProvider"
+    t.cfg.lock_provider = "NOPE"
+    with pytest.raises(ValueError):
+        get_lock_provider(t)
+
+
+class _CustomProvider:
+    def __init__(self, table):
+        self.table = table
+
+
+def test_occ_true_concurrency_two_threads(spark, tmp_table_path):
+    """Two writer threads upsert the SAME file group at the same time
+    under OCC + the in-process lock provider: exactly one commits, the
+    other gets ConcurrentWriteConflictError and rolls back — the shape
+    of the reference's TestHoodieClientMultiWriter."""
+    import threading
+
+    from hudi_0_10_0_spark.concurrency import ConcurrentWriteConflictError
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/mw", _cfg(lock_provider="IN_PROCESS")
+    )
+    t.bulk_insert(_df(spark, [(i, "p0", i) for i in range(20)]))
+
+    # both writers allocate their instants up front so their windows
+    # overlap regardless of thread scheduling
+    ia, ib = t.new_instant(), t.new_instant()
+    errors, oks = [], []
+    barrier = threading.Barrier(2)
+
+    def writer(instant, val):
+        w = HudiTable.load(spark, tmp_table_path + "/mw")  # own handle
+        barrier.wait()
+        try:
+            w.upsert(_df(spark, [(1, "p0", val)]), instant_time=instant)
+            oks.append(val)
+        except ConcurrentWriteConflictError:
+            errors.append(val)
+
+    th = [threading.Thread(target=writer, args=a) for a in [(ia, 111), (ib, 222)]]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+
+    assert len(oks) == 1 and len(errors) == 1, (oks, errors)
+    assert t.timeline.pending() == []
+    assert t.snapshot().filter("id = 1").first().v == oks[0]
+    assert t.snapshot().count() == 20
