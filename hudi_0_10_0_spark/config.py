@@ -106,6 +106,9 @@ class WriteConfig:
     lock_wait_seconds: float = 60.0
     # FILESYSTEM | IN_PROCESS | "module:Class" (concurrency.get_lock_provider)
     lock_provider: str = "FILESYSTEM"
+    # REJECT (SparkRejectUpdateStrategy) | ALLOW_ROLLBACK
+    # (SparkAllowUpdateStrategy + hoodie.clustering.rollback.pending.replacecommit)
+    clustering_updates_strategy: str = "REJECT"
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
 

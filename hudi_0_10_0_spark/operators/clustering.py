@@ -30,20 +30,30 @@ from ..payloads import get_payload
 from .write import collect_write_stats, write_instant_files
 
 
-def pending_clustering_groups(table) -> set[tuple[str, str]]:
-    """(partition, file_id) pairs named by any scheduled-but-incomplete
-    clustering plan — the set a concurrent upsert must not touch
-    (``SparkRejectUpdateStrategy.java``). The reference likewise
-    identifies clustering instants by the plan stored in the requested
-    file (``ClusteringUtils.getAllPendingClusteringPlans``)."""
-    out: set[tuple[str, str]] = set()
+def pending_clustering_plans(table) -> dict[str, set[tuple[str, str]]]:
+    """instant → {(partition, file_id)} for every
+    scheduled-but-incomplete clustering plan
+    (``ClusteringUtils.getAllPendingClusteringPlans`` reads the plan
+    from the requested file the same way)."""
+    out: dict[str, set[tuple[str, str]]] = {}
     for inst in table.timeline.pending():
         if inst.action != REPLACE_COMMIT:
             continue
         md = table.timeline.read_requested_metadata(inst.timestamp, inst.action)
         if md.get("operation") == "cluster":
-            for pp, fid in md.get("plan_groups", []):
-                out.add((pp, fid))
+            out[inst.timestamp] = {
+                (pp, fid) for pp, fid in md.get("plan_groups", [])
+            }
+    return out
+
+
+def pending_clustering_groups(table) -> set[tuple[str, str]]:
+    """(partition, file_id) pairs named by any scheduled-but-incomplete
+    clustering plan — the set a concurrent upsert must not touch
+    (``SparkRejectUpdateStrategy.java``)."""
+    out: set[tuple[str, str]] = set()
+    for groups in pending_clustering_plans(table).values():
+        out |= groups
     return out
 
 

@@ -839,18 +839,36 @@ def run_batch_write(
         update_groups = {(r[0], r[1]) for r in profile if r[1] is not None}
 
         # Updates aimed at file groups frozen in a pending clustering
-        # plan are rejected (SparkRejectUpdateStrategy — the executed
-        # clustering would silently drop them otherwise;
-        # ``BaseSparkCommitActionExecutor.java:117-143``).
+        # plan (``BaseSparkCommitActionExecutor.clusteringHandleUpdate``,
+        # :117-143): REJECT raises (SparkRejectUpdateStrategy — the
+        # executed clustering would silently drop the update otherwise);
+        # ALLOW_ROLLBACK instead rolls back exactly the pending
+        # clustering plans that name a conflicting group, then proceeds
+        # (SparkAllowUpdateStrategy + isRollbackPendingClustering).
         if update_groups:
-            from .clustering import pending_clustering_groups
+            from .clustering import pending_clustering_plans
 
-            conflict = update_groups & pending_clustering_groups(table)
-            if conflict:
-                raise ValueError(
-                    "update rejected: file groups are under pending clustering: "
-                    + ", ".join(f"{pp}/{fid}" for pp, fid in sorted(conflict)[:5])
-                )
+            plans = pending_clustering_plans(table)
+            conflict_instants = {
+                ts for ts, groups in plans.items() if groups & update_groups
+            }
+            if conflict_instants:
+                strategy = getattr(
+                    table.cfg, "clustering_updates_strategy", "REJECT"
+                ).upper()
+                if strategy in ("ALLOW_ROLLBACK", "ALLOW", "ROLLBACK"):
+                    from .services import rollback_instant
+
+                    for ts in sorted(conflict_instants):
+                        rollback_instant(table, ts)
+                else:
+                    conflict = set().union(
+                        *(plans[ts] for ts in conflict_instants)
+                    ) & update_groups
+                    raise ValueError(
+                        "update rejected: file groups are under pending clustering: "
+                        + ", ".join(f"{pp}/{fid}" for pp, fid in sorted(conflict)[:5])
+                    )
         if is_delete:
             inserts = inserts.limit(0)  # deleting absent keys is a no-op
             insert_counts = []

@@ -207,6 +207,35 @@ def test_pending_cluster_rejects_updates(cow, orders):
     assert cow.snapshot().filter(F.col("o_totalprice") == 1.0).count() == 5
 
 
+def test_pending_cluster_allow_rollback_updates(spark, tmp_table_path, orders):
+    """ALLOW_ROLLBACK strategy (SparkAllowUpdateStrategy +
+    rollback-pending-clustering, BaseSparkCommitActionExecutor:117-143):
+    an update touching a planned group rolls the pending plan back and
+    proceeds; clustering later re-schedules over the new state and no
+    write is lost."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        clustering_updates_strategy="ALLOW_ROLLBACK",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/ar", cfg)
+    t.bulk_insert(orders)
+    inst = t.schedule_cluster(sort_cols=["o_orderkey"])
+    assert inst is not None
+    # update rows in a planned group: plan is rolled back, write lands
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(1.0)))
+    assert all(i.timestamp != inst for i in t.timeline.pending()), (
+        "conflicting pending clustering plan should have been rolled back"
+    )
+    assert t.snapshot().filter(F.col("o_totalprice") == 1.0).count() == 5
+    # re-schedule + run over the post-update state: update survives
+    inst2 = t.schedule_cluster(sort_cols=["o_orderkey"])
+    t.run_cluster(inst2)
+    assert t.snapshot().filter(F.col("o_totalprice") == 1.0).count() == 5
+    assert t.snapshot().count() == orders.count()
+
+
 def test_incremental_fallback_full_scan(spark, tmp_table_path, orders):
     """After cleaning removes the as-of-end file versions, the strict
     incremental read fails but fallback_full_scan recovers the rows
