@@ -1400,6 +1400,31 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-frame sampling plumbing (functions/multimodal.py
+    frame_sample): synthesize a frame table (one row per frame, frame
+    count derived from the doc's byte length) and keep every 5th frame —
+    a pure filter, no shuffle."""
+    from hudi_0_10_0_spark.functions.multimodal import frame_sample
+
+    docs = _pq(spark, sf_dir, "documents")
+    frames = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.pmod(F.octet_length("text"), F.lit(30)))
+        ).alias("frame_idx"),
+    )
+    return frame_sample(frames, every_n=5).select("video_id", "frame_idx")
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT doc_id AS video_id, CAST(f.frame_idx AS INT) AS frame_idx
+FROM documents,
+     unnest(range(0, (octet_length(encode(text)) % 30) + 1)) AS f(frame_idx)
+WHERE f.frame_idx % 5 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1611,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_ann_topk,
         "similarity_ann_ivf": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "clustering_zorder": q_clustering_zorder,
         "clustering_hilbert_async": q_clustering_hilbert,
         "schema_evolution_add_column": q_schema_evolution,
@@ -1681,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_lsh": _SQL_SIMILARITY_TOPK,
         "similarity_ann_ivf": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
+        "multimodal_frame_sample": _SQL_FRAME_SAMPLE,
         "clustering_zorder": _SQL_CLUSTERING,
         "clustering_hilbert_async": _SQL_CLUSTERING,
         "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,
