@@ -66,7 +66,12 @@ class _StageTimer:
         if not self.enabled:
             return
         now = time.perf_counter()
-        print(f"## write[{self.op}] {stage}: {now - self.last:.2f}s", flush=True)
+        import sys
+
+        print(
+            f"## write[{self.op}] {stage}: {now - self.last:.2f}s",
+            file=sys.stderr, flush=True,
+        )
         self.last = now
 
 
