@@ -880,6 +880,184 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q_tpch_q9(spark, sf_dir):
+    """Q9 adapted (no partsupp in the testdata): product-type profit by
+    nation and order year; profit = discounted revenue of lineitems whose
+    part name contains 'green'. Dims (part, supplier, nation) broadcast;
+    one shuffle for the final group-by."""
+    part = _pq(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _pq(spark, sf_dir, "supplier")
+    nation = _pq(spark, sf_dir, "nation")
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev_u4()).alias("sum_profit_u4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_Q9 = f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_SQL_REV_U4}) AS BIGINT) AS sum_profit_u4
+FROM lineitem, part, supplier, nation, orders
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+  AND p_name LIKE '%red%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 adapted (no l_shipmode/l_receiptdate): late-1994 shipments per
+    order priority, split into urgent vs non-urgent order counts."""
+    orders = _pq(spark, sf_dir, "orders")
+    li = _pq(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 adapted (no commit/receipt dates): suppliers with returned
+    lines ('R') in finalized ('F') multi-supplier orders where they are
+    the only supplier with a returned line — the exists / not-exists
+    double correlation of the original, as one aggregate over the order's
+    lineitems followed by semi-join-shaped filters."""
+    supp = _pq(spark, sf_dir, "supplier")
+    nation = _pq(spark, sf_dir, "nation")
+    orders = _pq(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _pq(spark, sf_dir, "lineitem")
+    li_f = li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")).drop(
+        "o_orderkey"
+    )
+    per_order = li_f.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supps"),
+    )
+    target = per_order.filter((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
+    culprits = (
+        li_f.filter(F.col("l_returnflag") == "R")
+        .join(target.select("l_orderkey"), "l_orderkey")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_SQL_Q21 = """
+WITH li_f AS (
+  SELECT l.* FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), target AS (
+  SELECT l_orderkey
+  FROM li_f
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+     AND COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1
+), culprits AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM li_f l JOIN target t ON l.l_orderkey = t.l_orderkey
+  WHERE l.l_returnflag = 'R'
+)
+SELECT s_name, n_name AS nation, COUNT(*) AS numwait
+FROM culprits c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s_name, nation
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 adapted (no phone: country code → nationkey; every testdata
+    customer has orders, so 'no orders' → 'no recent orders'): customers
+    with above-average positive balances and no orders since 2000 —
+    scalar subquery for the average, anti-join against recent orders."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    # threshold in integer cents: sum-of-ints / count divides two exact
+    # integers, so the double result is bit-identical across engines
+    # (a raw AVG(double) differs in the last ulp with sum order)
+    srow = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(_cents("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    avg_c = srow[0] / srow[1]
+    rich = cust.filter(_cents("c_acctbal") > F.lit(avg_c))
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_cents("c_acctbal")).alias("totacctbal_c"),
+        )
+        .orderBy("nation_key")
+    )
+
+
+_SQL_Q22 = """
+SELECT c_nationkey AS nation_key, COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+FROM customer c
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > (
+        SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY nation_key
+ORDER BY nation_key
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
     which Spark's parquet reader rejects; others store plain micros. Read
@@ -1622,6 +1800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": q_tpch_q8,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "events_sessionize": q_events_sessionize,
@@ -1691,6 +1873,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q8": _SQL_Q8,
         "tpch_q15": _SQL_Q15,
         "tpch_q17": _SQL_Q17,
+        "tpch_q9": _SQL_Q9,
+        "tpch_q12": _SQL_Q12,
+        "tpch_q21": _SQL_Q21,
+        "tpch_q22": _SQL_Q22,
         "events_latest_per_user": _SQL_EVENTS_LATEST,
         "events_hourly_agg": _SQL_EVENTS_HOURLY,
         "events_sessionize": _SQL_EVENTS_SESSIONIZE,
