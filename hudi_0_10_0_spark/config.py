@@ -57,6 +57,9 @@ class WriteConfig:
     table_name: str = "hudi_table"
     table_type: TableType = TableType.COPY_ON_WRITE
     payload: str = "overwrite_latest"  # see payloads.PAYLOADS
+    # parquet (default) | orc — HoodieFileFormat.java:30-33 (HFILE is an
+    # index-serving format tied to HBase, out of scope with it)
+    base_file_format: str = "parquet"
 
     # key generation (keygen.py): simple | complex | timestamp | nonpartitioned
     keygen: str = "auto"

@@ -27,6 +27,7 @@ from ..metadata import make_commit_metadata
 from ..timeline import REPLACE_COMMIT
 from .merge import mor_merge_window
 from ..payloads import get_payload
+from ..sources.read import base_format as _base_format
 from .write import collect_write_stats, write_instant_files
 
 
@@ -194,9 +195,9 @@ def _execute_cluster(
         df = slices_to_df(table, slices)
         if log_paths:  # MOR: fold deltas while clustering
             df = df.unionByName(
-                table.spark.read.schema(table.read_schema()).parquet(
-                    *[table.abs_path(p) for p in log_paths]
-                )
+                table.spark.read.schema(table.read_schema())
+                .format(_base_format(table))
+                .load([table.abs_path(p) for p in log_paths])
             )
             df = mor_merge_window(
                 df, get_payload(cfg.payload, cfg.precombine_field)
@@ -236,9 +237,9 @@ def _execute_cluster(
         out = out.sortWithinPartitions(F.col("_pp"), F.col("_fg"), *order_cols)
         if sort_key == "__curve":
             out = out.drop("__curve")
-        out.write.mode("error").partitionBy("_pp", "_fg").parquet(
-            table.instant_data_path(instant)
-        )
+        out.write.mode("error").partitionBy("_pp", "_fg").format(
+            _base_format(table)
+        ).save(table.instant_data_path(instant))
         stats = collect_write_stats(table, instant)
         from .key_index import append_from_written, enabled as _ki_enabled
 

@@ -117,7 +117,11 @@ def append_from_written(table, instant: str, tombstones: DataFrame | None = None
     records on this path too)."""
     entries = None
     try:
-        df = table.spark.read.parquet(table.instant_data_path(instant))
+        from ..sources.read import base_format
+
+        df = table.spark.read.format(base_format(table)).load(
+            table.instant_data_path(instant)
+        )
         entries = df.select(
             F.col(RECORD_KEY_COL),
             F.col(PARTITION_PATH_COL),

@@ -159,15 +159,15 @@ def run_compaction(table, instant: str | None = None) -> str | None:
     timeline.transition_to_inflight(instant, COMPACTION)
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-        from ..sources.read import slices_to_df
+        from ..sources.read import base_format, slices_to_df
 
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
         union = slices_to_df(table, slices)
         if log_paths:
             union = union.unionByName(
-                table.spark.read.schema(table.read_schema()).parquet(
-                    *[table.abs_path(p) for p in log_paths]
-                )
+                table.spark.read.schema(table.read_schema())
+                .format(base_format(table))
+                .load([table.abs_path(p) for p in log_paths])
             )
         # single shuffle keyed by file group: the window merge's
         # ClusteredDistribution((fid, pp, key)) is satisfied by

@@ -433,15 +433,17 @@ def write_instant_files(
         # anyway, so including the record key is free and keeps files
         # key-ordered (footer key ranges stay tight for index pruning)
         out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("error").partitionBy(LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL).parquet(
-        table.instant_data_path(instant)
-    )
+    from ..sources.read import base_format
+
+    out.write.mode("error").partitionBy(
+        LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL
+    ).format(base_format(table)).save(table.instant_data_path(instant))
 
 
 def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] | None:
     """→ (partition_path, file_id, rel_path) from
     ``…/data/<instant>/_pp=<pp>/_fg=<fid>/part-….parquet``."""
-    if not file_uri.endswith(".parquet"):
+    if not (file_uri.endswith(".parquet") or file_uri.endswith(".orc")):
         return None
     rel = file_uri.split("/data/", 1)[1]
     pp, fid = None, None
@@ -463,6 +465,37 @@ def _js(v):
     return str(v)  # datetime/date/Decimal → ISO-ish string, order-preserving
 
 
+def _orc_stats(path: str, stat_cols: list[str]) -> dict:
+    """ORC per-file stats: pyarrow's ORC reader exposes no per-column
+    statistics metadata, so read ONLY the wanted columns (columnar IO —
+    the stripe data for 2-3 columns, not the file) and aggregate. Costs
+    more than a parquet footer but stays per-file and distributed."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+
+    f = po.ORCFile(path)
+    names = set(f.schema.names)
+    wanted = [c for c in [RECORD_KEY_COL, *stat_cols] if c in names]
+    out_cols = {}
+    key_rng = (None, None)
+    if wanted:
+        t = f.read(columns=wanted)
+        for c in wanted:
+            col = t.column(c)
+            try:
+                mm = pc.min_max(col)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            except Exception:
+                continue
+            nulls = col.null_count
+            if c == RECORD_KEY_COL:
+                key_rng = (mn, mx)
+            if c in stat_cols and mn is not None:
+                out_cols[c] = [_js(mn), _js(mx), nulls]
+    return {"rows": f.nrows, "min_key": _js(key_rng[0]),
+            "max_key": _js(key_rng[1]), "col_stats": out_cols}
+
+
 def _footer_stats(uri: str, stat_cols: list[str]) -> dict:
     """Per-file stats straight from the parquet footer — row count and
     per-column min/max/null-count, no data pages read. The reference
@@ -471,6 +504,8 @@ def _footer_stats(uri: str, stat_cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     path = uri[len("file:"):] if uri.startswith("file:") else uri
+    if path.endswith(".orc"):
+        return _orc_stats(path, stat_cols)
     md = pq.ParquetFile(path).metadata
     names = {md.schema.column(i).name: i for i in range(md.num_columns)}
     wanted = [c for c in [RECORD_KEY_COL, *stat_cols] if c in names]

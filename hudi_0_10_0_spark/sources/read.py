@@ -36,13 +36,22 @@ def _empty(table) -> DataFrame:
     return table.spark.createDataFrame([], table.read_schema())
 
 
+def base_format(table) -> str:
+    """Table base-file format: parquet (default) or orc
+    (``HoodieFileFormat.java:30-33``). Spark's native source handles
+    pushdown/pruning for both."""
+    return getattr(table.cfg, "base_file_format", "parquet").lower()
+
+
 def _read_paths(table, paths: list[str]) -> DataFrame:
     """Read with the table's latest schema pinned: stable column set
     across commits and add-column evolution (old files yield nulls)."""
     if not paths:
         return _empty(table)
-    return table.spark.read.schema(table.read_schema()).parquet(
-        *[table.abs_path(p) for p in paths]
+    return (
+        table.spark.read.schema(table.read_schema())
+        .format(base_format(table))
+        .load([table.abs_path(p) for p in paths])
     )
 
 
