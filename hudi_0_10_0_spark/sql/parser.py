@@ -183,6 +183,8 @@ class HudiSqlSession:
                 if props.get("type", "cow").lower() in ("mor", "merge_on_read")
                 else TableType.COPY_ON_WRITE
             ),
+            # hoodie.table.base.file.format analogue
+            base_file_format=props.get("basefileformat", "parquet").lower(),
         )
         exists = HudiTable.exists(self.spark, m.group("loc"))
         t = HudiTable.create(self.spark, m.group("loc"), cfg, exist_ok=True)

@@ -54,3 +54,21 @@ def test_mor_lifecycle_orc(spark, tmp_table_path, orders):
     ro2 = t.read_optimized().agg(F.sum("o_totalprice")).first()[0]
     assert ro2 == pytest.approx(snap_sum)
     assert t.snapshot().count() == orders.count()
+
+
+def test_create_table_orc_via_sql(spark, tmp_table_path):
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"CREATE TABLE ot (id bigint, v double, ts bigint) USING hudi "
+        f"TBLPROPERTIES (primaryKey='id', preCombineField='ts', "
+        f"baseFileFormat='orc') LOCATION '{tmp_table_path}/ot'"
+    )
+    s.sql("INSERT INTO ot VALUES (1, 1.5, 10), (2, 2.5, 10)")
+    t = s.tables["ot"]
+    assert t.cfg.base_file_format == "orc"
+    files = [p for sl in t.file_slices() for p in sl.base.paths]
+    assert files and all(p.endswith(".orc") for p in files)
+    rows = sorted(tuple(r) for r in s.sql("SELECT id, v FROM ot").collect())
+    assert rows == [(1, 1.5), (2, 2.5)]
