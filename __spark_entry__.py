@@ -1058,6 +1058,87 @@ ORDER BY nation_key
 """
 
 
+def q_sampling_stratified(spark, sf_dir):
+    """Deterministic stratified corpus sampling (functions/sampling.py):
+    per-source keep fractions via an engine-portable universal hash of
+    doc_id (no rand(), no engine hash builtins), so the exact subset is
+    reproducible and oracle-checkable."""
+    from hudi_0_10_0_spark.functions.sampling import stratified_sample
+
+    docs = _pq(spark, sf_dir, "documents")
+    picked = stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="source",
+        fractions={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_fraction=0.1,
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("sum_ids"),
+    ).orderBy("source")
+
+
+def _sql_sample_bucket() -> str:
+    from hudi_0_10_0_spark.functions.sampling import _A1, _A2, _B1, _B2, _P
+
+    h1 = f"(((doc_id % {_P}) * {_A1} + {_B1}) % {_P})"
+    h2 = f"(({h1} * {_A2} + {_B2}) % {_P})"
+    return f"({h2} % 10000)"
+
+
+def _sql_sampling_stratified() -> str:
+    b = _sql_sample_bucket()
+    return f"""
+SELECT source, COUNT(*) AS kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents
+WHERE {b} < CASE source
+    WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+    WHEN 'src2' THEN 2500 ELSE 1000 END
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_pipeline_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (functions/sampling.py
+    pack_sequences): per-source running n_chars total in doc_id order,
+    bin = cumulative // capacity — the single-pass distributed packing
+    shape. Output: per (source, bin) doc count and char load."""
+    from hudi_0_10_0_spark.functions.sampling import pack_sequences
+
+    docs = _pq(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs,
+        token_col="n_chars",
+        max_tokens=2048,
+        order_col="doc_id",
+        partition_col="source",
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    ).orderBy("source", "bin_id")
+
+
+_SQL_PACK_SEQUENCES = """
+WITH packed AS (
+  SELECT source, doc_id, n_chars,
+         CAST(FLOOR(
+           COALESCE(SUM(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 2048.0
+         ) AS BIGINT) AS bin_id
+  FROM documents
+)
+SELECT source, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM packed
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
     which Spark's parquet reader rejects; others store plain micros. Read
@@ -1819,6 +1900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "sampling_stratified": q_sampling_stratified,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
         "clustering_zorder": q_clustering_zorder,
         "clustering_hilbert_async": q_clustering_hilbert,
         "schema_evolution_add_column": q_schema_evolution,
@@ -1894,6 +1977,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ann_ivf": _SQL_SIMILARITY_TOPK,
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_frame_sample": _SQL_FRAME_SAMPLE,
+        "sampling_stratified": _sql_sampling_stratified(),
+        "pipeline_pack_sequences": _SQL_PACK_SEQUENCES,
         "clustering_zorder": _SQL_CLUSTERING,
         "clustering_hilbert_async": _SQL_CLUSTERING,
         "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,

@@ -317,3 +317,56 @@ def test_ws_token_count(spark):
         [("a b  c",), ("",), ("  ",), ("one",)], "text string"
     ).withColumn("n", TX.ws_token_count("text"))
     assert [r.n for r in df.collect()] == [3, 0, 0, 1]
+
+
+# -- sampling / packing -------------------------------------------------------
+
+
+def test_deterministic_sample_reproducible(docs):
+    from hudi_0_10_0_spark.functions import sampling as SMP
+
+    a = {r[0] for r in SMP.deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r[0] for r in SMP.deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b  # same subset every run
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # roughly the asked fraction
+    # nested property: a smaller fraction selects a subset of a larger one
+    c = {r[0] for r in SMP.deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_stratified_sample_fractions(docs):
+    from hudi_0_10_0_spark.functions import sampling as SMP
+
+    out = SMP.stratified_sample(
+        docs, "doc_id", "source", {"src0": 1.0, "src1": 0.0}, default_fraction=0.5
+    )
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    full = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    assert by_src["src0"] == full["src0"]  # keep-all stratum intact
+    assert "src1" not in by_src  # dropped stratum gone
+    others = sum(v for k, v in by_src.items() if k not in ("src0", "src1"))
+    total_others = sum(v for k, v in full.items() if k not in ("src0", "src1"))
+    assert 0.25 * total_others < others < 0.75 * total_others
+
+
+def test_pack_sequences_capacity(docs):
+    from hudi_0_10_0_spark.functions import sampling as SMP
+
+    packed = SMP.pack_sequences(
+        docs, token_col="n_chars", max_tokens=1024,
+        order_col="doc_id", partition_col="source",
+    )
+    rows = packed.select("source", "doc_id", "n_chars", "bin_id").collect()
+    # bins are contiguous from 0 per source and respect the running quota
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append((r.doc_id, r.n_chars, r.bin_id))
+    for src, items in per_src.items():
+        items.sort()
+        cum = 0
+        for _, n, b in items:
+            assert b == cum // 1024, (src, b, cum)
+            cum += n
