@@ -59,18 +59,26 @@ def _check(t, model):
     )
 
 
-@pytest.mark.parametrize("seed", [7, 23])
 @pytest.mark.parametrize(
-    "table_type", [TableType.COPY_ON_WRITE, TableType.MERGE_ON_READ],
-    ids=["cow", "mor"],
+    "seed, table_type, file_format",
+    [
+        (7, TableType.COPY_ON_WRITE, "parquet"),
+        (23, TableType.COPY_ON_WRITE, "parquet"),
+        (7, TableType.MERGE_ON_READ, "parquet"),
+        (23, TableType.MERGE_ON_READ, "parquet"),
+        (11, TableType.COPY_ON_WRITE, "orc"),
+        (11, TableType.MERGE_ON_READ, "orc"),
+    ],
+    ids=["cow-7", "cow-23", "mor-7", "mor-23", "cow-orc-11", "mor-orc-11"],
 )
-def test_random_op_sequences(spark, tmp_table_path, seed, table_type):
+def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_format):
     rng = random.Random(seed)
     cfg = WriteConfig(
         record_key_field="id",
         partition_field="part",
         precombine_field="ts",
         table_type=table_type,
+        base_file_format=file_format,
         inline_compact=False,
         auto_clean=False,
         auto_archive=False,
