@@ -161,3 +161,96 @@ def test_event_time_guard_payload(spark, tmp_table_path, orders):
     t.upsert(ten.withColumn("o_totalprice", F.lit(10**9).cast("double")))
     got = t.snapshot().filter(F.col("o_orderkey").isin(keys))
     assert got.filter(F.col("o_totalprice") == float(10**9)).count() == 10
+
+
+# -- reference TestMergeIntoTable scenarios through the SQL front door -------
+
+
+def _sql_sess(spark, *tables):
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    for name, t in tables:
+        s.register(name, t)
+    return s
+
+
+def test_merge_hudi_to_hudi(spark, tmp_table_path):
+    """'Merge Hudi to Hudi': the USING source is another registered hudi
+    table (TestMergeIntoTable.scala:430)."""
+    cfg = lambda: WriteConfig(record_key_field="id", precombine_field="ts")
+    t1 = HudiTable.create(spark, tmp_table_path + "/h1", cfg())
+    t2 = HudiTable.create(spark, tmp_table_path + "/h2", cfg())
+    t1.bulk_insert(spark.createDataFrame([(1, 10, 100), (2, 20, 100)], "id long, v long, ts long"))
+    t2.bulk_insert(spark.createDataFrame([(2, 99, 200), (3, 30, 200)], "id long, v long, ts long"))
+    s = _sql_sess(spark, ("h1", t1), ("h2", t2))
+    s.sql(
+        "MERGE INTO h1 USING h2 ON h1.id = h2.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.v for r in t1.snapshot().select("id", "v").collect()}
+    assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_merge_insert_only(spark, tmp_table_path):
+    """'MergeInto with insert only' (TestMergeIntoTable.scala:304): no
+    matched clause — existing rows untouched, only new keys land."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/io",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 10, 1)], "id long, v long, ts long"))
+    s = _sql_sess(spark, ("tio", t))
+    s.sql(
+        "MERGE INTO tio USING (SELECT 1 AS id, 999 AS v, 2 AS ts "
+        "UNION ALL SELECT 2, 20, 2) src ON tio.id = src.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
+    assert got == {1: 10, 2: 20}  # id=1 not updated (no matched clause)
+
+
+def test_merge_null_fields(spark, tmp_table_path):
+    """'MereInto With Null Fields' (TestMergeIntoTable.scala:645): null
+    source values propagate into the target row."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/nf",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id long, name string, ts long")
+    )
+    s = _sql_sess(spark, ("tnf", t))
+    s.sql(
+        "MERGE INTO tnf USING (SELECT 1 AS id, CAST(NULL AS STRING) AS name, 2 AS ts) src "
+        "ON tnf.id = src.id WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {r.id: r.name for r in t.snapshot().select("id", "name").collect()}
+    assert got == {1: None, 2: "b"}
+
+
+def test_merge_mor_with_compaction(spark, tmp_table_path):
+    """'MergeInto For MOR With Compaction On' (TestMergeIntoTable.scala:
+    595): merge results survive compaction and read-optimized converges."""
+    from hudi_0_10_0_spark.config import TableType
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/mc",
+        WriteConfig(
+            record_key_field="id", precombine_field="ts",
+            table_type=TableType.MERGE_ON_READ, inline_compact=False,
+        ),
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(i, i * 10, 1) for i in range(10)], "id long, v long, ts long")
+    )
+    s = _sql_sess(spark, ("tmc", t))
+    for ts in (2, 3, 4):
+        s.sql(
+            f"MERGE INTO tmc USING (SELECT 1 AS id, {ts * 111} AS v, {ts} AS ts) src "
+            "ON tmc.id = src.id WHEN MATCHED THEN UPDATE SET *"
+        )
+    assert t.snapshot().filter("id = 1").first().v == 444
+    t.compact()
+    assert t.read_optimized().filter("id = 1").first().v == 444
+    assert t.snapshot().count() == 10
