@@ -92,27 +92,32 @@ def _align_to_table_schema(
     schema', ``ds/HoodieSparkSqlWriter.scala:168``)."""
     if table_schema is None:
         return incoming
-    in_types = {f.name: f.dataType for f in incoming.schema.fields}
+    # match by lowercase name: Spark SQL resolution is case-insensitive
+    # by default, and the reference accepts batches whose column names
+    # differ in case only (TestMergeIntoTable2 "Test ignoring case")
+    in_types = {f.name.lower(): (f.name, f.dataType) for f in incoming.schema.fields}
     cols = []
     for f in table_schema.fields:
         if f.name in (LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL):
             continue
-        if f.name in in_types:
+        hit = in_types.get(f.name.lower())
+        if hit is not None:
+            src_name, src_type = hit
             # cast to the table's declared type (reference:
             # InsertIntoHoodieTableCommand aligns query output fields) so
             # every file of a group carries an identical parquet schema
-            if in_types[f.name] != f.dataType:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-            else:
-                cols.append(F.col(f.name))
+            c = F.col(f"`{src_name}`")
+            if src_type != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
         elif f.name in META_COLS:
             continue  # meta columns are restamped
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    table_names = {f.name for f in table_schema.fields}
+    table_names = {f.name.lower() for f in table_schema.fields}
     for f in incoming.schema.fields:
-        if f.name not in table_names:
-            cols.append(F.col(f.name))
+        if f.name.lower() not in table_names:
+            cols.append(F.col(f"`{f.name}`"))
     return incoming.select(*cols)
 
 

@@ -104,11 +104,37 @@ class HudiSqlSession:
                 source = self.spark.table(src_spec)
             salias = salias or src_spec
 
+        # SQL identifiers are case-insensitive: canonicalize the source's
+        # column names to the target schema's spelling so differently-
+        # cased source columns (TestMergeIntoTable2 "Test ignoring case",
+        # "...Differ In Case Only") match instead of duplicating columns
+        canon = {f.name.lower(): f.name for f in t.read_schema().fields}
+        source = source.select(
+            *[
+                F.col(f"`{c}`").alias(canon.get(c.lower(), c))
+                for c in source.columns
+            ]
+        )
+
+        def _col(name: str) -> str:
+            return canon.get(name.lower(), name)
+
         def rewrite(expr: str) -> str:
             # alias.col → merge-frame prefixed columns (ExpressionPayload
-            # evaluates against the joined old/new frame)
-            expr = re.sub(rf"\b{re.escape(talias)}\.({_ID})", rf"`{OLD}\1`", expr)
-            expr = re.sub(rf"\b{re.escape(salias)}\.({_ID})", rf"`{NEW}\1`", expr)
+            # evaluates against the joined old/new frame); alias and
+            # column matching are case-insensitive like SQL itself
+            expr = re.sub(
+                rf"\b{re.escape(talias)}\.({_ID})",
+                lambda mm: f"`{OLD}{_col(mm.group(1))}`",
+                expr,
+                flags=re.IGNORECASE,
+            )
+            expr = re.sub(
+                rf"\b{re.escape(salias)}\.({_ID})",
+                lambda mm: f"`{NEW}{_col(mm.group(1))}`",
+                expr,
+                flags=re.IGNORECASE,
+            )
             return expr
 
         kw: dict = {"matched_update": None, "not_matched_insert": False}
@@ -135,7 +161,7 @@ class HudiSqlSession:
                     assignments = {}
                     for a in _split_top_level(sets):
                         col, expr = a.split("=", 1)
-                        col = col.strip().split(".")[-1]
+                        col = _col(col.strip().split(".")[-1])
                         assignments[col] = F.expr(rewrite(expr.strip()))
                     kw["matched_update"] = assignments
                 kw["matched_condition"] = cond

@@ -254,3 +254,23 @@ def test_merge_mor_with_compaction(spark, tmp_table_path):
     t.compact()
     assert t.read_optimized().filter("id = 1").first().v == 444
     assert t.snapshot().count() == 10
+
+
+def test_merge_ignoring_case(spark, tmp_table_path):
+    """'Test ignoring case' / '...Differ In Case Only'
+    (TestMergeIntoTable2.scala:366,435): source columns and references
+    spelled in a different case must resolve, not duplicate columns."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/ic",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, 5, 1)], "id long, v long, ts long"))
+    s = _sql_sess(spark, ("tic", t))
+    s.sql(
+        "MERGE INTO tic USING (SELECT 1 AS ID, 9 AS V, 2 AS TS "
+        "UNION ALL SELECT 2, 22, 2) SRC ON tic.ID = SRC.ID "
+        "WHEN MATCHED THEN UPDATE SET V = SRC.V + 1 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
+    assert got == {1: 10, 2: 22}
