@@ -302,14 +302,32 @@ class HudiSqlSession:
             t = self._table(m.group(1))
             return t.delete_where(F.expr(m.group(2)) if m.group(2) else F.lit(True))
 
-        m = re.match(rf"INSERT{_WS}(INTO|OVERWRITE){_WS}({_ID}){_WS}(SELECT.*|VALUES.*|TABLE.*)$",
-                     s, re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            rf"INSERT{_WS}(INTO|OVERWRITE){_WS}({_ID})"
+            rf"(?:{_WS}PARTITION\s*\(([^)]*)\))?"
+            rf"{_WS}(SELECT.*|VALUES.*|TABLE.*)$",
+            s, re.IGNORECASE | re.DOTALL)
         if m:
             t = self._table(m.group(2))
             self._refresh_views()
-            df = self._raw_sql(m.group(3))
-            df = df.toDF(*[f.name for f in t.read_schema().fields
-                           if not f.name.startswith("_hoodie")][: len(df.columns)])
+            df = self._raw_sql(m.group(4))
+            data_cols = [f.name for f in t.read_schema().fields
+                         if not f.name.startswith("_hoodie")]
+            if m.group(3):
+                # static partition spec (InsertIntoHoodieTableCommand):
+                # the query supplies the remaining columns in order, the
+                # PARTITION values ride along as literals (align casts
+                # them to the declared types)
+                static = {}
+                for kv in _split_top_level(m.group(3)):
+                    k, v = kv.split("=", 1)
+                    static[k.strip()] = v.strip().strip("'\"")
+                non_part = [c for c in data_cols if c not in static]
+                df = df.toDF(*non_part[: len(df.columns)])
+                for k, v in static.items():
+                    df = df.withColumn(k, F.lit(v))
+            else:
+                df = df.toDF(*data_cols[: len(df.columns)])
             if m.group(1).upper() == "OVERWRITE":
                 return t.insert_overwrite(df)
             return t.insert(df)

@@ -154,3 +154,23 @@ def test_show_commits_and_files(hs):
     assert "total_rows" in cdf.columns
     fdf = s.sql("SHOW FILES ON tgt")
     assert fdf.count() == len(t.file_slices())
+
+
+def test_insert_static_partition_clause(spark, tmp_table_path):
+    """INSERT INTO/OVERWRITE t PARTITION(col='v') SELECT ... (reference
+    TestInsertTable static-partition scenarios)."""
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"CREATE TABLE tsp (id bigint, name string, dt string) USING hudi "
+        f"PARTITIONED BY (dt) TBLPROPERTIES (primaryKey='id') LOCATION '{tmp_table_path}/tsp'"
+    )
+    s.sql("INSERT INTO tsp PARTITION(dt='2021-01-01') SELECT 1, 'a'")
+    s.sql("INSERT INTO tsp PARTITION(dt='2021-01-02') VALUES (2, 'b')")
+    got = sorted(tuple(r) for r in s.sql("SELECT id, name, dt FROM tsp").collect())
+    assert got == [(1, "a", "2021-01-01"), (2, "b", "2021-01-02")]
+    # overwrite one static partition; the other is untouched
+    s.sql("INSERT OVERWRITE tsp PARTITION(dt='2021-01-01') SELECT 9, 'z'")
+    got = sorted(tuple(r) for r in s.sql("SELECT id, name, dt FROM tsp").collect())
+    assert got == [(2, "b", "2021-01-02"), (9, "z", "2021-01-01")]
