@@ -120,6 +120,11 @@ class WriteConfig:
         return list(k) if isinstance(k, (list, tuple)) else [k]
 
     def partition_fields(self) -> list[str]:
+        """Bare partition COLUMN names ("f:type" CustomKeyGenerator specs
+        are stripped to "f" — keygen.py reads raw_partition_specs)."""
+        return [f.split(":", 1)[0] for f in self.raw_partition_specs()]
+
+    def raw_partition_specs(self) -> list[str]:
         p = self.partition_field
         if p is None:
             return []

@@ -32,13 +32,22 @@ def _record_key_expr(cfg: WriteConfig) -> Column:
 
 
 def _partition_path_expr(cfg: WriteConfig) -> Column:
-    fields = cfg.partition_fields()
+    fields = cfg.raw_partition_specs()
     if not fields:
         # NonpartitionedKeyGenerator → empty partition path
         return F.lit("")
     pieces = []
     for fld in fields:
-        if cfg.keygen == "timestamp" and fld == fields[-1]:
+        # CustomKeyGenerator (spark-client/keygen/CustomKeyGenerator.java):
+        # each partition field carries its own generator as "field:simple"
+        # or "field:timestamp"
+        per_field = None
+        if cfg.keygen == "custom" and ":" in fld:
+            fld, per_field = fld.split(":", 1)
+            per_field = per_field.strip().lower()
+        if per_field == "timestamp" or (
+            cfg.keygen == "timestamp" and fld == fields[-1]
+        ):
             val = _timestamp_partition_expr(cfg, fld)
         else:
             val = F.coalesce(F.col(fld).cast("string"), F.lit(DEFAULT_PARTITION))

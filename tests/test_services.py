@@ -362,3 +362,24 @@ def test_savepoint_protects_file_versions_policy(spark, tmp_table_path, orders):
     assert tt.filter(F.col("o_totalprice") == 2.0).count() == 0
     t.restore(c0)
     assert t.snapshot().count() == orders.count()
+
+
+def test_custom_keygen_per_field_types(spark, tmp_table_path, orders):
+    """CustomKeyGenerator (spark-client/keygen/CustomKeyGenerator.java):
+    each partition field names its own generator, e.g. simple + timestamp."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field=["o_orderstatus:simple", "o_orderdate:timestamp"],
+        precombine_field="o_totalprice",
+        keygen="custom",
+        timestamp_output_format="yyyy",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/ck", cfg)
+    t.bulk_insert(orders.limit(200))
+    parts = t.partitions()
+    assert all("/" in p for p in parts)
+    years = {p.split("/")[1] for p in parts}
+    assert years <= {str(y) for y in range(1992, 2003)}, years
+    assert t.snapshot().count() == 200
+    # column names resolve bare (no ":type" suffix) in reads
+    assert "o_orderstatus" in t.snapshot().columns
