@@ -182,7 +182,9 @@ def _range_unreadable(table, slices: list[FileSlice], touched: set) -> bool:
     return False
 
 
-def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
+def _merge_slices(
+    table, slices: list[FileSlice], merge_type: str = "payload_combine"
+) -> DataFrame:
     """MOR snapshot view of the given slices: base ∪ delta rows, then
     latest-version-per-key (payload order) and tombstone drop.
 
@@ -191,21 +193,30 @@ def _merge_slices(table, slices: list[FileSlice]) -> DataFrame:
     parquet scan — the reference's two-reader split in
     ``MergeOnReadSnapshotRelation.buildScan`` (:104-139). At scale the
     uncompacted fraction is small (compaction every 5 delta commits), so
-    the merge shuffle never covers the whole table."""
+    the merge shuffle never covers the whole table.
+
+    ``merge_type="skip_merge"`` (``hoodie.datasource.merge.type``,
+    ``HoodieMergeOnReadRDD.scala`` unMergedReader): concatenate base and
+    delta rows without per-key resolution — every version of a key
+    surfaces, no shuffle at all."""
     with_logs = [s for s in slices if s.logs]
     log_free = [s for s in slices if not s.logs]
     plain = None
     if log_free or not with_logs:
         plain = slices_to_df(table, log_free)
-        plain = plain.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
+        if merge_type != "skip_merge":
+            plain = plain.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
     if not with_logs:
         return plain
-    payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
     base = slices_to_df(table, with_logs)
     logs = _read_paths(
         table, [p for s in with_logs for l in s.logs for p in l.paths]
     )
-    merged = mor_merge_window(base.unionByName(logs), payload)
+    both = base.unionByName(logs)
+    if merge_type == "skip_merge":
+        return both.unionByName(plain) if plain is not None else both
+    payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
+    merged = mor_merge_window(both, payload)
     return merged.unionByName(plain) if plain is not None else merged
 
 
@@ -214,6 +225,7 @@ def snapshot(
     as_of: str | None = None,
     query_type: str = QUERY_SNAPSHOT,
     filters: list | None = None,
+    merge_type: str = "payload_combine",
 ) -> DataFrame:
     """Latest (or as-of, for time travel — ``DataSourceOptions
     as.of.instant``) view. ``filters`` are optional Column predicates
@@ -234,7 +246,7 @@ def snapshot(
                 FileSlice(s.partition, s.file_id, s.base, [l for l in s.logs if l.instant <= as_of])
                 for s in slices
             ]
-        df = _merge_slices(table, slices)
+        df = _merge_slices(table, slices, merge_type=merge_type)
     if filters:
         for f in filters:
             df = df.filter(_pred_to_column(f))

@@ -157,10 +157,18 @@ class HudiTable:
         return self.bulk_insert(df, extra={"bootstrap_from": parquet_path}, **kw)
 
     # -- read operators ----------------------------------------------------
-    def snapshot(self, as_of: str | None = None, filters: list | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        as_of: str | None = None,
+        filters: list | None = None,
+        merge_type: str = "payload_combine",
+    ) -> DataFrame:
+        """``merge_type`` (MOR only — ``hoodie.datasource.merge.type``):
+        payload_combine (default, per-key resolution) or skip_merge
+        (raw base ∪ delta concat, every version surfaces, no shuffle)."""
         from .sources.read import snapshot
 
-        return snapshot(self, as_of=as_of, filters=filters)
+        return snapshot(self, as_of=as_of, filters=filters, merge_type=merge_type)
 
     def read_optimized(self) -> DataFrame:
         from .sources.read import QUERY_READ_OPTIMIZED, snapshot

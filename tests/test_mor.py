@@ -131,3 +131,16 @@ def test_mor_incremental(mor, orders):
     inc = mor.incremental(c1)
     assert inc.count() == 25
     assert set(r[0] for r in inc.select("o_totalprice").collect()) == {7.0}
+
+
+def test_skip_merge_read(mor, orders):
+    """hoodie.datasource.merge.type=skip_merge
+    (HoodieMergeOnReadRDD unMergedReader): base ∪ delta concat without
+    per-key resolution — every row version surfaces."""
+    mor.upsert(orders.limit(100).withColumn("o_totalprice", F.lit(-1.0)))
+    merged = mor.snapshot()
+    raw = mor.snapshot(merge_type="skip_merge")
+    assert merged.count() == orders.count()
+    # updated keys appear twice in the unmerged view (base + delta)
+    assert raw.count() == orders.count() + 100
+    assert raw.filter("o_totalprice = -1.0").count() == 100
