@@ -210,7 +210,12 @@ def read(
     qt = str(o.get("hoodie.datasource.query.type", "snapshot")).lower()
     as_of = o.get("as.of.instant")
     if qt == "snapshot":
-        return t.snapshot(as_of=str(as_of) if as_of else None)
+        merge_type = str(
+            o.get("hoodie.datasource.merge.type", "payload_combine")
+        ).lower()
+        return t.snapshot(
+            as_of=str(as_of) if as_of else None, merge_type=merge_type
+        )
     if qt == "read_optimized":
         return t.read_optimized()
     if qt == "incremental":
