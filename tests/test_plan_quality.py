@@ -1,0 +1,55 @@
+"""Plan-quality gate over the driver's relational/LLM queries: no
+cartesian products, no broadcast nested-loop joins, and no row-at-a-time
+Python UDFs (BatchEvalPython) anywhere in the physical plans. Arrow
+pandas UDFs (ArrowEvalPython / MapInPandas) are the allowed Python path.
+
+This pins the 100 TB posture mechanically: a refactor that silently
+turns a bucketed join back into an all-pairs product, or a vectorized
+UDF into a per-row one, fails here rather than in a cluster."""
+
+import pytest
+
+import __spark_entry__ as mod
+
+# read-path queries only: table-format fixture queries build whole
+# tables (minutes each) and their write plans are covered by the
+# operator tests
+READ_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    "events_latest_per_user", "events_hourly_agg", "events_sessionize",
+    "events_funnel",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding",
+    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+    "text_stats", "multimodal_features", "multimodal_frame_sample",
+    "sampling_stratified", "pipeline_pack_sequences",
+    "pipeline_training_data",
+]
+
+SF = "/root/testdata/sf0.001"
+
+FORBIDDEN = [
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "BatchEvalPython",  # row-at-a-time Python UDF
+]
+
+
+# similarity_topk is the documented exact brute-force baseline: a
+# BROADCAST of the (small) query set against a linear corpus scan —
+# linear in corpus size, the right exact shape when queries << corpus.
+# The nested-loop there is deliberate, not an accident.
+ALLOWED_NESTED_LOOP = {"similarity_topk"}
+
+
+@pytest.mark.parametrize("name", READ_QUERIES)
+def test_plan_has_no_scale_killers(spark, name):
+    qs = mod.queries()
+    df = qs[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in FORBIDDEN:
+        if bad == "BroadcastNestedLoopJoin" and name in ALLOWED_NESTED_LOOP:
+            continue
+        assert bad not in plan, f"{name}: {bad} in physical plan\n{plan[:2000]}"
