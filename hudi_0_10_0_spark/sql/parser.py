@@ -270,20 +270,28 @@ class HudiSqlSession:
             return None
 
         m = re.match(
-            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}PARTITION{_WS}\((.*)\)$",
+            rf"ALTER{_WS}TABLE{_WS}({_ID}){_WS}DROP{_WS}PARTITION{_WS}(\(.*\))$",
             s, re.IGNORECASE)
         if m:
-            # ALTER TABLE ... DROP PARTITION (col='v'[, ...]) → the
-            # partition-path string, hive-style or plain per table config
+            # ALTER TABLE ... DROP PARTITION (col='v'[, ...])
+            #   [, PARTITION (col='v'[, ...])]* — one replacecommit
+            # covering every named partition (AlterHoodieTableDropPartition
+            # Command accepts multiple specs the same way)
             t = self._table(m.group(1))
-            pieces = []
-            for kv in _split_top_level(m.group(2)):
-                k, v = kv.split("=", 1)
-                v = v.strip().strip("'\"")
-                pieces.append(
-                    f"{k.strip()}={v}" if t.cfg.hive_style_partitioning else v
-                )
-            return t.delete_partition(["/".join(pieces)])
+            paths = []
+            for spec in re.split(
+                rf"\)\s*,\s*PARTITION\s*\(", m.group(2).strip()[1:-1],
+                flags=re.IGNORECASE,
+            ):
+                pieces = []
+                for kv in _split_top_level(spec):
+                    k, v = kv.split("=", 1)
+                    v = v.strip().strip("'\"")
+                    pieces.append(
+                        f"{k.strip()}={v}" if t.cfg.hive_style_partitioning else v
+                    )
+                paths.append("/".join(pieces))
+            return t.delete_partition(paths)
 
         m = re.match(rf"UPDATE{_WS}({_ID}){_WS}SET{_WS}(.*?)(?:{_WS}WHERE{_WS}(.*))?$",
                      s, re.IGNORECASE | re.DOTALL)

@@ -174,3 +174,17 @@ def test_insert_static_partition_clause(spark, tmp_table_path):
     s.sql("INSERT OVERWRITE tsp PARTITION(dt='2021-01-01') SELECT 9, 'z'")
     got = sorted(tuple(r) for r in s.sql("SELECT id, name, dt FROM tsp").collect())
     assert got == [(2, "b", "2021-01-02"), (9, "z", "2021-01-01")]
+
+
+def test_drop_multiple_partitions(spark, tmp_table_path):
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"CREATE TABLE tdp (id bigint, dt string) USING hudi PARTITIONED BY (dt) "
+        f"TBLPROPERTIES (primaryKey='id') LOCATION '{tmp_table_path}/tdp'"
+    )
+    s.sql("INSERT INTO tdp VALUES (1,'a'), (2,'b'), (3,'c')")
+    s.sql("ALTER TABLE tdp DROP PARTITION (dt='a'), PARTITION (dt='c')")
+    got = sorted(tuple(r) for r in s.sql("SELECT id, dt FROM tdp").collect())
+    assert got == [(2, "b")]
