@@ -39,6 +39,7 @@ _HUDI_SHAPES = [
     rf"DELETE{_WS}FROM{_WS}(?P<t>{_ID})\b",
     rf"INSERT{_WS}(?:INTO|OVERWRITE){_WS}(?P<t>{_ID})\b",
     rf"TRUNCATE{_WS}TABLE{_WS}(?P<t>{_ID})\b",
+    rf"DROP{_WS}TABLE{_WS}(?:IF{_WS}EXISTS{_WS})?(?P<t>{_ID})\b",
     rf"ALTER{_WS}TABLE{_WS}(?P<t>{_ID})\b",
     rf"SHOW{_WS}PARTITIONS{_WS}(?P<t>{_ID})\b",
     rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",

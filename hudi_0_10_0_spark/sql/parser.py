@@ -344,6 +344,22 @@ class HudiSqlSession:
         if m:
             return self._table(m.group(1)).truncate()
 
+        m = re.match(
+            rf"DROP{_WS}TABLE{_WS}(?P<ife>IF{_WS}EXISTS{_WS})?({_ID})"
+            rf"(?:{_WS}(PURGE))?$",
+            s, re.IGNORECASE)
+        if m and (m.group(2) in self.tables or m.group("ife")):
+            # DropHoodieTableCommand: unregister; PURGE also deletes the
+            # table directory
+            t = self.tables.pop(m.group(2), None)
+            try:
+                self.spark.catalog.dropTempView(m.group(2))
+            except Exception:
+                pass
+            if t is not None and m.group(3):
+                t.fs.delete(t.base_path, recursive=True)
+            return None
+
         m = re.match(rf"SHOW{_WS}PARTITIONS{_WS}({_ID})$", s, re.IGNORECASE)
         if m:
             parts = self._table(m.group(1)).partitions()

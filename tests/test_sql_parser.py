@@ -188,3 +188,27 @@ def test_drop_multiple_partitions(spark, tmp_table_path):
     s.sql("ALTER TABLE tdp DROP PARTITION (dt='a'), PARTITION (dt='c')")
     got = sorted(tuple(r) for r in s.sql("SELECT id, dt FROM tdp").collect())
     assert got == [(2, "b")]
+
+
+def test_drop_table_and_purge(spark, tmp_table_path):
+    from hudi_0_10_0_spark import HudiTable
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"CREATE TABLE td (id bigint) USING hudi TBLPROPERTIES (primaryKey='id') "
+        f"LOCATION '{tmp_table_path}/td'"
+    )
+    s.sql("INSERT INTO td VALUES (1)")
+    s.sql("DROP TABLE td")
+    assert "td" not in s.tables
+    # without PURGE the data survives on disk
+    assert HudiTable.exists(spark, f"{tmp_table_path}/td")
+    s.sql("DROP TABLE IF EXISTS td")  # unregistered + IF EXISTS → no-op
+
+    s.sql(
+        f"CREATE TABLE tp2 (id bigint) USING hudi TBLPROPERTIES (primaryKey='id') "
+        f"LOCATION '{tmp_table_path}/tp2'"
+    )
+    s.sql("DROP TABLE tp2 PURGE")
+    assert not HudiTable.exists(spark, f"{tmp_table_path}/tp2")
