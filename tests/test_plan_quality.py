@@ -53,3 +53,30 @@ def test_plan_has_no_scale_killers(spark, name):
         if bad == "BroadcastNestedLoopJoin" and name in ALLOWED_NESTED_LOOP:
             continue
         assert bad not in plan, f"{name}: {bad} in physical plan\n{plan[:2000]}"
+
+
+def test_cow_snapshot_pushdown_and_pruning(spark, tmp_table_path):
+    """User predicates and projections must reach the parquet scan of a
+    COW snapshot (PushedFilters + pruned ReadSchema) — Catalyst sees our
+    snapshot as a plain file scan, so pushdown survives the view."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path + "/pd",
+        WriteConfig(record_key_field="o_orderkey", partition_field=None,
+                    precombine_field="o_orderdate"),
+    )
+    t.bulk_insert(orders)
+    q = (
+        t.snapshot()
+        .filter(F.col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters", 1)[1][:200], plan[:1500]
+    # projection pruning: the scan should not read all 6 columns
+    read_schema = plan.split("ReadSchema", 1)[1][:300]
+    assert "o_orderpriority" not in read_schema, read_schema
