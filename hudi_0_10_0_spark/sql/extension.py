@@ -42,7 +42,7 @@ _HUDI_SHAPES = [
     rf"DROP{_WS}TABLE{_WS}(?:IF{_WS}EXISTS{_WS})?(?P<t>{_ID})\b",
     rf"ALTER{_WS}TABLE{_WS}(?P<t>{_ID})\b",
     rf"SHOW{_WS}PARTITIONS{_WS}(?P<t>{_ID})\b",
-    rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
+    rf"SHOW{_WS}(?:ARCHIVED{_WS})?COMMITS{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
     rf"SHOW{_WS}FILES{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
     rf"(?:RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}ON{_WS}(?P<t>{_ID})\b",
 ]

@@ -368,6 +368,20 @@ class HudiSqlSession:
         # introspection statements in the custom-grammar style (the
         # reference exposes these via hudi-cli `commits show` /
         # `show fsview latest`)
+        m = re.match(
+            rf"SHOW{_WS}ARCHIVED{_WS}COMMITS{_WS}(?:ON{_WS})?({_ID})$",
+            s, re.IGNORECASE)
+        if m:
+            # hudi-cli `show archived commits`
+            t = self._table(m.group(1))
+            rows = [
+                (a.get("timestamp", ""), a.get("action", ""))
+                for a in t.timeline.archived_instants()
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "instant string, action string"
+            )
+
         m = re.match(rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
         if m:
             return self._table(m.group(1)).commits_df()

@@ -212,3 +212,21 @@ def test_drop_table_and_purge(spark, tmp_table_path):
     )
     s.sql("DROP TABLE tp2 PURGE")
     assert not HudiTable.exists(spark, f"{tmp_table_path}/tp2")
+
+
+def test_show_archived_commits(spark, tmp_table_path):
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/arc",
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    keep_min_commits=3, keep_max_commits=5, auto_clean=False),
+    )
+    for i in range(8):
+        t.upsert(spark.createDataFrame([(1, i, i)], "id long, v long, ts long"))
+    s = HudiSqlSession(spark)
+    s.register("arc", t)
+    rows = s.sql("SHOW ARCHIVED COMMITS arc").collect()
+    assert len(rows) >= 1
+    assert all(r.action for r in rows)
