@@ -144,3 +144,28 @@ def test_skip_merge_read(mor, orders):
     # updated keys appear twice in the unmerged view (base + delta)
     assert raw.count() == orders.count() + 100
     assert raw.filter("o_totalprice = -1.0").count() == 100
+
+
+def test_incremental_across_compaction_preserves_commit_times(spark, tmp_table_path, orders):
+    """Compaction rewrites base files but must preserve each row's
+    original _hoodie_commit_time (MergeOnReadIncrementalRelation +
+    InstantRange semantics): an incremental read spanning a compaction
+    returns only genuinely-changed rows."""
+    from hudi_0_10_0_spark.config import TableType
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/ic",
+        WriteConfig(record_key_field="o_orderkey", partition_field=None,
+                    precombine_field="o_totalprice",
+                    table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    t.bulk_insert(orders.limit(100))
+    c1 = t.commits()[-1]
+    t.upsert(orders.limit(5).withColumn("o_totalprice", F.lit(7.0)))
+    t.compact()
+    inc = t.incremental(c1)
+    assert inc.count() == 5
+    assert inc.filter("o_totalprice = 7.0").count() == 5
+    # untouched rows keep their bulk-insert commit time post-compaction
+    ct = t.snapshot().filter("o_totalprice != 7.0").select("_hoodie_commit_time").distinct().collect()
+    assert [r[0] for r in ct] == [c1]
