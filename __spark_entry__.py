@@ -194,6 +194,51 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
             "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")
         ).withColumn("o_orderstatus", F.lit("Z"))
         t.upsert(orders.unionByName(bumped))
+    elif kind == "bloom":
+        # BLOOM index: tag join pre-pruned by per-file key ranges read
+        # from commit stats (operators/write.py _bloom-range filter);
+        # same upsert/delete semantics as SIMPLE — the index only
+        # changes which base files the tag join scans
+        t = HudiTable.create(spark, path, _orders_cfg(index_type="BLOOM"))
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+                "o_orderstatus", F.lit("P")
+            )
+        )
+        t.delete(
+            orders.filter(F.col("o_orderkey") % 9 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            )
+        )
+    elif kind == "global_bloom_move":
+        # GLOBAL_BLOOM + update-partition-path: global key-range-pruned
+        # tag; keys arriving with a new partition value move
+        t = HudiTable.create(
+            spark, path,
+            _orders_cfg(index_type="GLOBAL_BLOOM", update_partition_path=True),
+        )
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 40 == 0)
+            .withColumn("o_orderpriority", F.lit("8-GMOVED"))
+            .withColumn("o_orderstatus", F.lit("H"))
+        )
+    elif kind == "inmemory":
+        # INMEMORY index (testing index): driver-cached key map keyed by
+        # table fingerprint; global delete-by-key semantics
+        t = HudiTable.create(spark, path, _orders_cfg(index_type="INMEMORY"))
+        t.bulk_insert(orders)
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderstatus", F.lit("I")
+            )
+        )
+        t.delete(
+            orders.filter(F.col("o_orderkey") % 21 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            )
+        )
     else:
         raise ValueError(kind)
     out = (t, commits)
@@ -365,6 +410,48 @@ _SQL_PRECOMBINE = """
 SELECT o_orderkey, o_custkey, 'Z' AS o_orderstatus, o_totalprice,
        o_orderdate + INTERVAL 1 DAY AS o_orderdate, o_orderpriority
 FROM orders
+"""
+
+
+def q_bloom_index(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "bloom")
+    return _snap(t)
+
+
+# upsert %8 -> 'P'; delete %9
+_SQL_BLOOM_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 8 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 9 <> 0
+"""
+
+
+def q_global_bloom_move(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "global_bloom_move")
+    return _snap(t)
+
+
+_SQL_GLOBAL_BLOOM_MOVE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 40 = 0 THEN 'H' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate,
+       CASE WHEN o_orderkey % 40 = 0 THEN '8-GMOVED' ELSE o_orderpriority END AS o_orderpriority
+FROM orders
+"""
+
+
+def q_inmemory_index(spark, sf_dir):
+    t, _ = _fixture(spark, sf_dir, "inmemory")
+    return _snap(t)
+
+
+# upsert %13 -> 'I'; delete %21
+_SQL_INMEMORY_FINAL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 13 = 0 THEN 'I' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 21 <> 0
 """
 
 
@@ -1428,6 +1515,38 @@ FROM hits
 """
 
 
+def q_fingerprint_groups(spark, sf_dir):
+    """Whole-document fingerprint dedup groups: 64-bit fingerprint =
+    xxhash64(normalized text) (functions/text.py fingerprint); emit one
+    row per fingerprint group with the representative (min doc_id) and
+    group size.  The oracle groups by the normalized text itself — the
+    same partition of documents modulo 64-bit hash collisions, so a
+    collision would surface as a hash mismatch."""
+    from hudi_0_10_0_spark.functions.text import fingerprint
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("rep_doc_id", "n_docs")
+    )
+
+
+_SQL_FINGERPRINT_GROUPS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+  FROM documents
+)
+SELECT MIN(doc_id) AS rep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM norm GROUP BY nrm
+"""
+
+
 def q_pipeline_training_data(spark, sf_dir):
     """Composed training-data pipeline over documents: exact near-dup
     removal (normalized-text identity, keep lowest doc_id) → language
@@ -1866,6 +1985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precombine_dedup": q_precombine_dedup,
         "bootstrap_metadata_only": q_bootstrap_metadata_only,
         "global_index_partition_move": q_global_index_move,
+        "bloom_index_upsert_delete": q_bloom_index,
+        "global_bloom_partition_move": q_global_bloom_move,
+        "inmemory_index_upsert_delete": q_inmemory_index,
         "record_index_upsert_delete": q_record_index,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1894,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash_dedup,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
+        "text_fingerprint_groups": q_fingerprint_groups,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -1941,6 +2064,9 @@ def oracle_sql() -> dict[str, str]:
         "precombine_dedup": _SQL_PRECOMBINE,
         "bootstrap_metadata_only": _SQL_BOOTSTRAP_FINAL,
         "global_index_partition_move": _SQL_GLOBAL_MOVE,
+        "bloom_index_upsert_delete": _SQL_BLOOM_FINAL,
+        "global_bloom_partition_move": _SQL_GLOBAL_BLOOM_MOVE,
+        "inmemory_index_upsert_delete": _SQL_INMEMORY_FINAL,
         "record_index_upsert_delete": _SQL_RECORD_INDEX,
         "tpch_q1": _SQL_Q1,
         "tpch_q3": _SQL_Q3,
@@ -1969,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM,
         "dedup_simhash": _sql_simhash_dedup(),
         "text_stats": _SQL_TEXT_STATS,
+        "text_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         # exhaustive configs (probe-all / nprobe=nlist) provably equal
