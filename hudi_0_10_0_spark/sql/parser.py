@@ -167,6 +167,21 @@ class HudiSqlSession:
                 kw["matched_condition"] = cond
             else:  # DELETE
                 kw["matched_delete"] = cond if cond is not None else F.lit(True)
+        # Reference parity (TestPartialUpdateForMergeInto.scala "Test
+        # MergeInto Exception"): a partial UPDATE SET on a table with a
+        # preCombine field must assign it, otherwise the merged row would
+        # carry the OLD ordering value and lose future conflict resolution.
+        pc = t.cfg.precombine_field
+        if (
+            pc
+            and isinstance(kw.get("matched_update"), dict)
+            and _col(pc) not in kw["matched_update"]
+        ):
+            raise ValueError(
+                f"Missing specify value for the preCombineField: {_col(pc)} in "
+                f"merge-into update action. You should add '... update set "
+                f"{_col(pc)} = xx....' to the when-matched clause."
+            )
         return t.merge_into(source, **kw)
 
     # -- CREATE TABLE [AS SELECT] -------------------------------------------

@@ -269,8 +269,63 @@ def test_merge_ignoring_case(spark, tmp_table_path):
     s.sql(
         "MERGE INTO tic USING (SELECT 1 AS ID, 9 AS V, 2 AS TS "
         "UNION ALL SELECT 2, 22, 2) SRC ON tic.ID = SRC.ID "
-        "WHEN MATCHED THEN UPDATE SET V = SRC.V + 1 "
+        "WHEN MATCHED THEN UPDATE SET V = SRC.V + 1, TS = SRC.TS "
         "WHEN NOT MATCHED THEN INSERT *"
     )
     got = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
     assert got == {1: 10, 2: 22}
+
+
+def test_merge_partial_update_sets_precombine(spark, tmp_table_path):
+    """'Test Partial Update' (TestPartialUpdateForMergeInto.scala:22):
+    UPDATE SET of a column subset keeps unassigned columns, provided the
+    preCombine field is assigned; on a table WITHOUT a preCombine field a
+    partial SET needs no such assignment."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/pu",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a1", 10.0, 1000)], "id int, name string, price double, ts long")
+    )
+    s = _sql_sess(spark, ("tpu", t))
+    s.sql(
+        "MERGE INTO tpu USING (SELECT 1 AS id, 'a1' AS name, 12.0 AS price, 1001 AS ts) s0 "
+        "ON tpu.id = s0.id WHEN MATCHED THEN UPDATE SET price = s0.price, ts = s0.ts"
+    )
+    row = t.snapshot().select("id", "name", "price", "ts").first()
+    assert (row.id, row.name, row.price, row.ts) == (1, "a1", 12.0, 1001)
+
+    # no preCombine field: partial SET without ts is legal
+    t2 = HudiTable.create(
+        spark, tmp_table_path + "/pu2", WriteConfig(record_key_field="id")
+    )
+    t2.bulk_insert(
+        spark.createDataFrame([(1, "a1", 10.0)], "id int, name string, price double")
+    )
+    s2 = _sql_sess(spark, ("tpu2", t2))
+    s2.sql(
+        "MERGE INTO tpu2 USING (SELECT 1 AS id, 'a1' AS name, 12.0 AS price) s0 "
+        "ON tpu2.id = s0.id WHEN MATCHED THEN UPDATE SET price = s0.price"
+    )
+    row2 = t2.snapshot().select("id", "name", "price").first()
+    assert (row2.id, row2.name, row2.price) == (1, "a1", 12.0)
+
+
+def test_merge_partial_update_missing_precombine_raises(spark, tmp_table_path):
+    """'Test MergeInto Exception' (TestPartialUpdateForMergeInto.scala:85):
+    a partial UPDATE SET that omits the preCombine field must fail with
+    the reference's guidance message."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/pex",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(
+        spark.createDataFrame([(1, "a1", 10.0, 1000)], "id int, name string, price double, ts long")
+    )
+    s = _sql_sess(spark, ("tpex", t))
+    with pytest.raises(ValueError, match="Missing specify value for the preCombineField: ts"):
+        s.sql(
+            "MERGE INTO tpex USING (SELECT 1 AS id, 'a1' AS name, 12.0 AS price) s0 "
+            "ON tpex.id = s0.id WHEN MATCHED THEN UPDATE SET price = s0.price"
+        )
