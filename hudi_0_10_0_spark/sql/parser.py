@@ -250,6 +250,68 @@ class HudiSqlSession:
             t.bulk_insert(df)
         return t
 
+    def _run_insert(self, t, df: DataFrame, overwrite: bool) -> str:
+        """The reference's insert decision table
+        (``InsertIntoHoodieTableCommand.scala:224-260``): session confs
+        ``hoodie.sql.insert.mode`` (upsert|strict|non-strict, default
+        upsert) and ``hoodie.sql.bulk.insert.enable`` pick the write
+        operation; strict mode on a COW table validates against existing
+        keys (``ValidateDuplicateKeyPayload``)."""
+        from ..config import TableType
+
+        conf = self.spark.conf
+        mode = conf.get("hoodie.sql.insert.mode", "upsert").lower()
+        enable_bulk = conf.get(
+            "hoodie.sql.bulk.insert.enable", "false"
+        ).lower() == "true"
+        drop_dup = conf.get(
+            "hoodie.datasource.write.insert.drop.duplicates", "false"
+        ).lower() == "true"
+        partitioned = bool(t.cfg.partition_field)
+        has_pc = bool(t.cfg.precombine_field)
+
+        if enable_bulk:
+            if mode != "non-strict":
+                raise ValueError(
+                    f"Table with primaryKey can not use bulk insert in {mode} mode."
+                )
+            if overwrite and partitioned:
+                raise ValueError("Insert Overwrite Partition can not use bulk insert.")
+            if drop_dup:
+                raise ValueError(
+                    "Bulk insert cannot support drop duplication. Please disable "
+                    "hoodie.datasource.write.insert.drop.duplicates and try again."
+                )
+        if overwrite:
+            if not partitioned:
+                return t.insert_overwrite_table(df)
+            return t.insert_overwrite(df)
+        if enable_bulk:
+            return t.bulk_insert(df)
+        if not drop_dup and mode in ("upsert", "strict") and has_pc:
+            if mode == "strict" and t.cfg.table_type == TableType.COPY_ON_WRITE:
+                key = t.cfg.record_key_field.split(",")[0]
+                hit = (
+                    df.select(F.col(key).alias("__k"))
+                    .join(t.snapshot().select(F.col(key).alias("__k")), "__k")
+                    .first()
+                )
+                if hit is not None:
+                    raise ValueError(
+                        f"Duplicate key found for insert statement, key is: {hit[0]}"
+                    )
+            return t.upsert(df)
+        if drop_dup:
+            import dataclasses as _dc
+
+            prev = t.cfg
+            t.cfg = _dc.replace(t.cfg, insert_drop_dups=True)
+            try:
+                return t.insert(df)
+            finally:
+                t.cfg = prev
+        return t.insert(df)
+
     def _refresh_views_except(self, skip: str) -> None:
         for n, t in self.tables.items():
             if n != skip:
@@ -326,7 +388,7 @@ class HudiSqlSession:
             return t.delete_where(F.expr(m.group(2)) if m.group(2) else F.lit(True))
 
         m = re.match(
-            rf"INSERT{_WS}(INTO|OVERWRITE){_WS}({_ID})"
+            rf"INSERT{_WS}(INTO|OVERWRITE){_WS}(?:TABLE{_WS})?({_ID})"
             rf"(?:{_WS}PARTITION\s*\(([^)]*)\))?"
             rf"{_WS}(SELECT.*|VALUES.*|TABLE.*)$",
             s, re.IGNORECASE | re.DOTALL)
@@ -336,24 +398,42 @@ class HudiSqlSession:
             df = self._raw_sql(m.group(4))
             data_cols = [f.name for f in t.read_schema().fields
                          if not f.name.startswith("_hoodie")]
+            static = {}
             if m.group(3):
+                for kv in _split_top_level(m.group(3)):
+                    k, v = kv.split("=", 1)
+                    static[k.strip()] = v.strip().strip("'\"")
+            # Reference parity (InsertIntoHoodieTableCommand.alignOutputFields,
+            # "Test Insert Exception"): the SELECT list plus static PARTITION
+            # values must supply exactly the table's data columns
+            required = len(data_cols)
+            provided = len(df.columns) + len(static)
+            if provided != required:
+                raise ValueError(
+                    f"Required select columns count: {required}, Current select "
+                    f"columns(including static partition column) count: "
+                    f"{provided}, columns: "
+                    f"({','.join(list(df.columns) + list(static))})"
+                )
+            if static:
                 # static partition spec (InsertIntoHoodieTableCommand):
                 # the query supplies the remaining columns in order, the
                 # PARTITION values ride along as literals (align casts
                 # them to the declared types)
-                static = {}
-                for kv in _split_top_level(m.group(3)):
-                    k, v = kv.split("=", 1)
-                    static[k.strip()] = v.strip().strip("'\"")
                 non_part = [c for c in data_cols if c not in static]
                 df = df.toDF(*non_part[: len(df.columns)])
                 for k, v in static.items():
                     df = df.withColumn(k, F.lit(v))
             else:
                 df = df.toDF(*data_cols[: len(df.columns)])
-            if m.group(1).upper() == "OVERWRITE":
-                return t.insert_overwrite(df)
-            return t.insert(df)
+            return self._run_insert(t, df, m.group(1).upper() == "OVERWRITE")
+
+        m = re.match(rf"SET{_WS}([\w.]+)\s*=\s*(.+)$", s, re.IGNORECASE)
+        if m:
+            # session conf (reference: spark.sql("set hoodie.sql.insert.mode
+            # = strict") steers the insert decision table)
+            self.spark.conf.set(m.group(1), m.group(2).strip().strip("'\""))
+            return None
 
         m = re.match(rf"TRUNCATE{_WS}TABLE{_WS}({_ID})$", s, re.IGNORECASE)
         if m:

@@ -329,3 +329,86 @@ def test_merge_partial_update_missing_precombine_raises(spark, tmp_table_path):
             "MERGE INTO tpex USING (SELECT 1 AS id, 'a1' AS name, 12.0 AS price) s0 "
             "ON tpex.id = s0.id WHEN MATCHED THEN UPDATE SET price = s0.price"
         )
+
+
+def _reset_insert_confs(spark):
+    spark.conf.set("hoodie.sql.insert.mode", "upsert")
+    spark.conf.set("hoodie.sql.bulk.insert.enable", "false")
+
+
+def test_insert_pk_table_upsert_mode(spark, tmp_table_path):
+    """'Test insert pk-table' (TestInsertTable.scala:511): in the default
+    upsert insert mode, INSERT INTO a pk table with an existing key
+    updates it instead of duplicating."""
+    _reset_insert_confs(spark)
+    t = HudiTable.create(
+        spark, tmp_table_path + "/pk",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(0, "x", 0.0, 1)], "id int, name string, price double, ts long").limit(0))
+    s = _sql_sess(spark, ("tpk", t))
+    s.sql("INSERT INTO tpk VALUES (1, 'a1', 10.0, 1000)")
+    s.sql("INSERT INTO tpk VALUES (1, 'a1', 11.0, 1000)")
+    rows = t.snapshot().select("id", "name", "price", "ts").collect()
+    assert [tuple(r) for r in rows] == [(1, "a1", 11.0, 1000)]
+
+
+def test_insert_strict_mode_duplicate_key_raises(spark, tmp_table_path):
+    """strict insert mode on a COW pk table validates duplicate keys
+    (ValidateDuplicateKeyPayload, InsertIntoHoodieTableCommand.scala:253)."""
+    _reset_insert_confs(spark)
+    t = HudiTable.create(
+        spark, tmp_table_path + "/st",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "a1", 10.0, 1000)], "id int, name string, price double, ts long"))
+    s = _sql_sess(spark, ("tst", t))
+    s.sql("SET hoodie.sql.insert.mode = strict")
+    try:
+        with pytest.raises(ValueError, match="Duplicate key found for insert statement"):
+            s.sql("INSERT INTO tst VALUES (1, 'a1', 11.0, 1001)")
+        # a brand-new key is fine in strict mode
+        s.sql("INSERT INTO tst VALUES (2, 'a2', 12.0, 1001)")
+        assert t.snapshot().count() == 2
+    finally:
+        _reset_insert_confs(spark)
+
+
+def test_insert_bulk_mode_rules(spark, tmp_table_path):
+    """'Test Insert Exception' (TestInsertTable.scala:291): bulk insert
+    enabled is rejected outside non-strict mode and for partitioned
+    insert overwrite; allowed for non-strict plain inserts."""
+    _reset_insert_confs(spark)
+    t = HudiTable.create(
+        spark, tmp_table_path + "/bk",
+        WriteConfig(record_key_field="id", partition_field="dt", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "a", 1.0, 100, "d1")], "id int, name string, price double, ts long, dt string"))
+    s = _sql_sess(spark, ("tbk", t))
+    s.sql("SET hoodie.sql.bulk.insert.enable = true")
+    try:
+        with pytest.raises(ValueError, match="can not use bulk insert in upsert mode"):
+            s.sql("INSERT INTO tbk VALUES (2, 'b', 2.0, 100, 'd1')")
+        s.sql("SET hoodie.sql.insert.mode = non-strict")
+        with pytest.raises(ValueError, match="Insert Overwrite Partition can not use bulk insert"):
+            s.sql("INSERT OVERWRITE tbk VALUES (2, 'b', 2.0, 100, 'd1')")
+        s.sql("INSERT INTO tbk VALUES (2, 'b', 2.0, 100, 'd1')")
+        assert t.snapshot().count() == 2
+    finally:
+        _reset_insert_confs(spark)
+
+
+def test_insert_column_count_validation(spark, tmp_table_path):
+    """'Test Insert Exception' column-count assertions: too many / too few
+    select columns (including static partition values) fail up front."""
+    _reset_insert_confs(spark)
+    t = HudiTable.create(
+        spark, tmp_table_path + "/cc",
+        WriteConfig(record_key_field="id", partition_field="dt"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "a1", 10.0, "2021-06-20")], "id int, name string, price double, dt string"))
+    s = _sql_sess(spark, ("tcc", t))
+    with pytest.raises(ValueError, match="Required select columns count: 4"):
+        s.sql("INSERT INTO tcc PARTITION(dt='2021-06-20') SELECT 1, 'a1', 10, '2021-06-20'")
+    with pytest.raises(ValueError, match="Required select columns count: 4"):
+        s.sql("INSERT INTO tcc SELECT 1, 'a1', 10")
