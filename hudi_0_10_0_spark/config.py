@@ -117,7 +117,11 @@ class WriteConfig:
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field
-        return list(k) if isinstance(k, (list, tuple)) else [k]
+        fields = (
+            list(k) if isinstance(k, (list, tuple))
+            else [f.strip() for f in k.split(",")]
+        )
+        return [f for f in fields if f]
 
     def partition_fields(self) -> list[str]:
         """Bare partition COLUMN names ("f:type" CustomKeyGenerator specs
@@ -128,7 +132,10 @@ class WriteConfig:
         p = self.partition_field
         if p is None:
             return []
-        fields = list(p) if isinstance(p, (list, tuple)) else [p]
+        fields = (
+            list(p) if isinstance(p, (list, tuple))
+            else [f.strip() for f in p.split(",")]
+        )
         return [f for f in fields if f]  # "" → unpartitioned
 
     def to_json(self) -> str:
@@ -163,4 +170,12 @@ LAYOUT_FILEGROUP_COL = "_fg"
 # (common/model/OverwriteWithLatestAvroPayload.java checks _hoodie_is_deleted).
 DELETE_MARKER_COL = "_hoodie_is_deleted"
 
-DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+# Null/empty partition field values land in the "default" partition
+# (common/util/PartitionPathEncodeUtils.java:28 DEFAULT_PARTITION_PATH).
+DEFAULT_PARTITION = "default"
+
+# Internal directory name standing in for the EMPTY partition path of a
+# non-partitioned table (our layout always needs one _pp=... level;
+# distinct from DEFAULT_PARTITION so a null-valued partition of a
+# partitioned table round-trips as "default", not "").
+EMPTY_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"

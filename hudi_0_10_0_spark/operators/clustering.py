@@ -17,6 +17,7 @@ import uuid
 from pyspark.sql import functions as F
 
 from ..config import (
+    EMPTY_PARTITION_DIR,
     FILE_ID_COL,
     PARTITION_PATH_COL,
     RECORD_KEY_COL,
@@ -233,7 +234,7 @@ def _execute_cluster(
         # by (_pp, _fg) alone, which both duplicates the work and
         # scrambles the curve/sort-key order inside each file — the
         # entire point of clustering.
-        out = df.withColumn("_pp", F.when(F.col(PARTITION_PATH_COL) == "", F.lit("__HIVE_DEFAULT_PARTITION__")).otherwise(F.col(PARTITION_PATH_COL))).withColumn("_fg", F.col(FILE_ID_COL))
+        out = df.withColumn("_pp", F.when(F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)).otherwise(F.col(PARTITION_PATH_COL))).withColumn("_fg", F.col(FILE_ID_COL))
         out = out.sortWithinPartitions(F.col("_pp"), F.col("_fg"), *order_cols)
         if sort_key == "__curve":
             out = out.drop("__curve")

@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 from ..config import (
     COMMIT_TIME_COL,
     DEFAULT_PARTITION,
+    EMPTY_PARTITION_DIR,
     DELETE_MARKER_COL,
     FILE_ID_COL,
     LAYOUT_FILEGROUP_COL,
@@ -424,7 +425,7 @@ def write_instant_files(
     re-sort can't destroy the key order inside each file."""
     out = df.withColumn(
         LAYOUT_PARTITION_COL,
-        F.when(F.col(PARTITION_PATH_COL) == "", F.lit(DEFAULT_PARTITION)).otherwise(
+        F.when(F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)).otherwise(
             F.col(PARTITION_PATH_COL)
         ),
     ).withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
@@ -459,7 +460,7 @@ def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] |
             fid = unquote(seg.split("=", 1)[1])
     if pp is None or fid is None:
         return None
-    if pp == DEFAULT_PARTITION:
+    if pp == EMPTY_PARTITION_DIR:
         pp = ""
     return pp, fid, "data/" + rel
 

@@ -194,9 +194,14 @@ class HudiSqlSession:
             rf"CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?(?P<name>{_ID})"
             rf"(?:\s*\((?P<cols>[^)]*)\))?"
             rf"{_WS}USING{_WS}(?:hudi|HUDI|Hudi)"
-            rf"(?:{_WS}PARTITIONED{_WS}BY{_WS}\((?P<parts>[^)]*)\))?"
-            rf"(?:{_WS}(?:TBLPROPERTIES|OPTIONS){_WS}\((?P<props>[^)]*)\))?"
-            rf"(?:{_WS}LOCATION{_WS}'(?P<loc>[^']+)')?"
+            # PARTITIONED BY / TBLPROPERTIES / LOCATION appear in any
+            # order (Spark's grammar allows it; reference tests use both
+            # "tblproperties ... partitioned by" and the reverse)
+            rf"(?:{_WS}(?:"
+            rf"PARTITIONED{_WS}BY\s*\((?P<parts>[^)]*)\)"
+            rf"|(?:TBLPROPERTIES|OPTIONS)\s*\((?P<props>[^)]*)\)"
+            rf"|LOCATION\s+'(?P<loc>[^']+)'"
+            rf"))*"
             rf"(?:{_WS}AS{_WS}(?P<query>SELECT.*|VALUES.*))?$",
             s,
             re.IGNORECASE | re.DOTALL,
@@ -226,6 +231,13 @@ class HudiSqlSession:
             ),
             # hoodie.table.base.file.format analogue
             base_file_format=props.get("basefileformat", "parquet").lower(),
+            # SQL-created tables default to hive-style partition paths
+            # (InsertIntoHoodieTableCommand.scala:214
+            #  hiveStylePartitioningEnable getOrElse "true")
+            hive_style_partitioning=props.get(
+                "hoodie.datasource.write.hive_style_partitioning",
+                props.get("hivestylepartitioning", "true"),
+            ).lower() == "true",
         )
         exists = HudiTable.exists(self.spark, m.group("loc"))
         t = HudiTable.create(self.spark, m.group("loc"), cfg, exist_ok=True)
@@ -455,10 +467,40 @@ class HudiSqlSession:
                 t.fs.delete(t.base_path, recursive=True)
             return None
 
-        m = re.match(rf"SHOW{_WS}PARTITIONS{_WS}({_ID})$", s, re.IGNORECASE)
+        m = re.match(
+            rf"SHOW{_WS}PARTITIONS{_WS}({_ID})"
+            rf"(?:{_WS}PARTITION\s*\(([^)]*)\))?$",
+            s, re.IGNORECASE)
         if m:
-            parts = self._table(m.group(1)).partitions()
-            return self.spark.createDataFrame([(p,) for p in parts], "partition string")
+            t = self._table(m.group(1))
+            parts = t.partitions()
+            if m.group(2):
+                # partial spec (ShowHoodieTablePartitionsCommand /
+                # TestShowPartitions.scala "check partial partitions"):
+                # keep partitions whose named segments match the given
+                # values, compared on the value part of field=value
+                spec = {}
+                for kv in _split_top_level(m.group(2)):
+                    k, v = kv.split("=", 1)
+                    spec[k.strip().lower()] = v.strip().strip("'\"")
+                pfields = [f.lower() for f in t.cfg.partition_fields()]
+
+                def _match(p: str) -> bool:
+                    segs = p.split("/")
+                    vals = {}
+                    for i, seg in enumerate(segs):
+                        fld = (
+                            seg.split("=", 1)[0].lower()
+                            if "=" in seg
+                            else (pfields[i] if i < len(pfields) else str(i))
+                        )
+                        vals[fld] = seg.split("=", 1)[1] if "=" in seg else seg
+                    return all(vals.get(k) == v for k, v in spec.items())
+
+                parts = [p for p in parts if _match(p)]
+            return self.spark.createDataFrame(
+                [(p,) for p in parts], "partition string"
+            )
 
         # introspection statements in the custom-grammar style (the
         # reference exposes these via hudi-cli `commits show` /
@@ -502,13 +544,26 @@ class HudiSqlSession:
         if m:
             return self._table(m.group(1)).change_column_type(m.group(2), m.group(3).strip())
 
-        # custom compaction grammar — HoodieSqlCommon.g4:23-33
-        m = re.match(rf"(RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}ON{_WS}({_ID})$",
-                     s, re.IGNORECASE)
+        # custom compaction grammar — HoodieSqlCommon.g4:23-33:
+        #   (RUN|SCHEDULE|SHOW) COMPACTION ON (<table>|'<path>')
+        #     [AT <instant>] [LIMIT <n>]
+        m = re.match(
+            rf"(RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}(?:ON{_WS})?"
+            rf"({_ID}|'[^']+')(?:{_WS}AT{_WS}(\d+))?(?:{_WS}LIMIT{_WS}(\d+))?$",
+            s, re.IGNORECASE)
         if m:
-            t = self._table(m.group(2))
+            target = m.group(2)
+            if target.startswith("'"):
+                # CompactionHoodiePathCommand: target a table by location
+                from ..table import HudiTable
+
+                t = HudiTable.load(self.spark, target.strip("'"))
+            else:
+                t = self._table(target)
             verb = m.group(1).upper()
             if verb == "RUN":
+                if m.group(3):
+                    return t.compact(m.group(3))
                 pend = [
                     i.timestamp for i in t.timeline.pending()
                     if i.action == "compaction"
@@ -521,6 +576,8 @@ class HudiSqlSession:
                 for i in t.timeline.pending()
                 if i.action == "compaction"
             ]
+            if m.group(4):
+                pend = pend[: int(m.group(4))]
             return self.spark.createDataFrame(
                 pend or [], "timestamp string, state string"
             )

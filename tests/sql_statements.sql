@@ -44,7 +44,7 @@ SELECT id FROM t1;
 
 -- partitions persist until cleaned (reference semantics: files of the
 -- deleted rows' partitions remain listed until clean)
--- expect [["a1"], ["a2"], ["a3"], ["a4"]]
+-- expect [["name=a1"], ["name=a2"], ["name=a3"], ["name=a4"]]
 SHOW PARTITIONS t1;
 
 ALTER TABLE t1 ADD COLUMNS (flag string);

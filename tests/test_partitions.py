@@ -1,0 +1,103 @@
+"""Partition-path semantics through the SQL surface (model: reference
+TestShowPartitions.scala, TestInsertTable.scala "Test Different Type of
+Partition Column")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+
+@pytest.fixture()
+def sess(spark):
+    return HudiSqlSession(spark)
+
+
+def test_show_partitions_multilevel_with_nulls(sess, spark, tmp_table_path):
+    """'Test Show Table's Partitions with MultiLevel Partitions'
+    (TestShowPartitions.scala:97): null partition values land in the
+    "default" partition (PartitionPathEncodeUtils.DEFAULT_PARTITION_PATH)
+    and SQL tables default to hive-style paths."""
+    sess.sql(
+        f"""CREATE TABLE mlp (id int, name string, price double, ts long,
+        year string, month string, day string) USING hudi
+        PARTITIONED BY (year, month, day)
+        TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')
+        LOCATION '{tmp_table_path}/mlp'"""
+    )
+    assert sess.sql("SHOW PARTITIONS mlp").collect() == []
+    sess.sql(
+        """INSERT INTO mlp VALUES
+        (1,'a1',10.0,1000,'2021','01','01'), (2,'a2',10.0,1000,'2021','01','02'),
+        (3,'a3',10.0,1000,'2021','02','01'), (4,'a4',10.0,1000,'2021','02',null),
+        (5,'a5',10.0,1000,'2021',null,'01'), (6,'a6',10.0,1000,null,'01','02'),
+        (7,'a6',10.0,1000,'2022',null,null), (8,'a6',10.0,1000,null,'01',null),
+        (9,'a6',10.0,1000,null,null,'01')"""
+    )
+    got = sorted(r[0] for r in sess.sql("SHOW PARTITIONS mlp").collect())
+    assert got == sorted(
+        [
+            "year=2021/month=01/day=01",
+            "year=2021/month=01/day=02",
+            "year=2021/month=02/day=01",
+            "year=2021/month=02/day=default",
+            "year=2021/month=default/day=01",
+            "year=default/month=01/day=default",
+            "year=default/month=01/day=02",
+            "year=default/month=default/day=01",
+            "year=2022/month=default/day=default",
+        ]
+    )
+    # partial specs
+    assert sorted(
+        r[0]
+        for r in sess.sql(
+            "SHOW PARTITIONS mlp PARTITION(year='2021', month='02')"
+        ).collect()
+    ) == ["year=2021/month=02/day=01", "year=2021/month=02/day=default"]
+    assert sorted(
+        r[0] for r in sess.sql("SHOW PARTITIONS mlp PARTITION(day=01)").collect()
+    ) == [
+        "year=2021/month=01/day=01",
+        "year=2021/month=02/day=01",
+        "year=2021/month=default/day=01",
+        "year=default/month=default/day=01",
+    ]
+    # all nine rows are readable back across every partition shape
+    assert sess.tables["mlp"].snapshot().count() == 9
+
+
+@pytest.mark.parametrize(
+    "ptype,pval",
+    [
+        ("string", "'1000'"),
+        ("int", "1000"),
+        ("bigint", "10000"),
+        ("timestamp", "'2021-05-20 00:00:00'"),
+        ("date", "'2021-05-20'"),
+    ],
+)
+def test_partition_column_types(sess, spark, tmp_table_path, ptype, pval):
+    """'Test Different Type of Partition Column' (TestInsertTable.scala:230):
+    static and dynamic inserts into non-string partition columns round-trip."""
+    name = f"tp_{ptype}"
+    sess.sql(
+        f"""CREATE TABLE {name} (id int, name string, price double, dt {ptype})
+        USING hudi TBLPROPERTIES (primaryKey = 'id') PARTITIONED BY (dt)
+        LOCATION '{tmp_table_path}/{name}'"""
+    )
+    sess.sql(f"INSERT INTO {name} PARTITION(dt = {pval}) SELECT 1, 'a1', 10.0")
+    sess.sql(f"INSERT INTO {name} SELECT 2, 'a2', 10.0, {pval}")
+    rows = sorted(
+        (r.id, r.name, r.price, str(r.dt))
+        for r in sess.tables[name]
+        .snapshot()
+        .select("id", "name", "price", F.col("dt").cast("string").alias("dt"))
+        .collect()
+    )
+    want_dt = pval.strip("'")
+    if ptype == "timestamp":
+        # Spark renders timestamps back as 'yyyy-MM-dd HH:mm:ss'
+        assert rows == [(1, "a1", 10.0, want_dt), (2, "a2", 10.0, want_dt)]
+    else:
+        assert rows == [(1, "a1", 10.0, want_dt), (2, "a2", 10.0, want_dt)]

@@ -412,3 +412,37 @@ def test_insert_column_count_validation(spark, tmp_table_path):
         s.sql("INSERT INTO tcc PARTITION(dt='2021-06-20') SELECT 1, 'a1', 10, '2021-06-20'")
     with pytest.raises(ValueError, match="Required select columns count: 4"):
         s.sql("INSERT INTO tcc SELECT 1, 'a1', 10")
+
+
+def test_compaction_statements_at_and_limit(spark, tmp_table_path):
+    """'Test compaction table' (TestCompactionTable.scala:22): schedule
+    two compactions, SHOW with LIMIT, RUN AT the later then the earlier
+    timestamp; results stay merged and pending list drains."""
+    s = _sql_sess(spark)
+    s.sql(
+        f"""CREATE TABLE tcmp (id int, name string, price double, ts long)
+        USING hudi TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts',
+        type = 'mor') LOCATION '{tmp_table_path}/cmp'"""
+    )
+    t = s.tables["tcmp"]
+    for i in range(1, 5):
+        s.sql(f"INSERT INTO tcmp VALUES ({i}, 'a{i}', 10.0, 1000)")
+    s.sql("UPDATE tcmp SET price = 11.0 WHERE id = 1")
+    s.sql("SCHEDULE COMPACTION ON tcmp")
+    s.sql("UPDATE tcmp SET price = 12.0 WHERE id = 2")
+    s.sql("SCHEDULE COMPACTION ON tcmp")
+    rows = s.sql("SHOW COMPACTION ON tcmp LIMIT 10").collect()
+    timestamps = [r[0] for r in rows]
+    assert len(timestamps) == 2
+    exp = [(1, "a1", 11.0, 1000), (2, "a2", 12.0, 1000),
+           (3, "a3", 10.0, 1000), (4, "a4", 10.0, 1000)]
+
+    s.sql(f"RUN COMPACTION ON tcmp AT {timestamps[1]}")
+    got = sorted(tuple(r) for r in t.snapshot().select("id", "name", "price", "ts").collect())
+    assert got == exp
+    assert len(s.sql("SHOW COMPACTION ON tcmp").collect()) == 1
+
+    s.sql(f"RUN COMPACTION ON tcmp AT {timestamps[0]}")
+    got = sorted(tuple(r) for r in t.snapshot().select("id", "name", "price", "ts").collect())
+    assert got == exp
+    assert len(s.sql("SHOW COMPACTION ON tcmp").collect()) == 0
