@@ -446,3 +446,22 @@ def test_compaction_statements_at_and_limit(spark, tmp_table_path):
     got = sorted(tuple(r) for r in t.snapshot().select("id", "name", "price", "ts").collect())
     assert got == exp
     assert len(s.sql("SHOW COMPACTION ON tcmp").collect()) == 0
+
+
+def test_complex_primary_key_via_sql(spark, tmp_table_path):
+    """Composite primaryKey 'id,name' uses the ComplexKeyGenerator format
+    ("id:1,name:a" — spark-client/keygen/ComplexKeyGenerator.java); upsert
+    identity is the full tuple."""
+    s = _sql_sess(spark)
+    s.sql(
+        f"""CREATE TABLE cpk (id int, name string, price double, ts long)
+        USING hudi TBLPROPERTIES (primaryKey = 'id,name',
+        preCombineField = 'ts') LOCATION '{tmp_table_path}/cpk'"""
+    )
+    s.sql("INSERT INTO cpk VALUES (1,'a',10.0,1000), (1,'b',20.0,1000)")
+    s.sql("INSERT INTO cpk VALUES (1,'a',11.0,1001)")
+    t = s.tables["cpk"]
+    rows = sorted(tuple(r) for r in t.snapshot().select("id", "name", "price").collect())
+    assert rows == [(1, "a", 11.0), (1, "b", 20.0)]
+    key = t.snapshot().filter("name = 'a'").select("_hoodie_record_key").first()[0]
+    assert key == "id:1,name:a"
