@@ -68,6 +68,9 @@ class WriteConfig:
     timestamp_output_format: str = "yyyy/MM/dd"
     timestamp_input_type: str = "TIMESTAMP"  # TIMESTAMP | EPOCHMS | EPOCHSECONDS | DATE_STRING | SCALAR
     hive_style_partitioning: bool = False
+    # hoodie.datasource.write.partitionpath.urlencode — escape special
+    # chars in partition values to %XX (PartitionPathEncodeUtils)
+    url_encode_partitioning: bool = False
 
     # sizing — HoodieStorageConfig.java:42-46, HoodieCompactionConfig.java:154-158,245-249
     max_file_size_bytes: int = 120 * MB

@@ -100,6 +100,11 @@ def options_to_config(options: dict) -> WriteConfig:
         "hive_style_partitioning",
         _bool,
     )
+    take(
+        "hoodie.datasource.write.partitionpath.urlencode",
+        "url_encode_partitioning",
+        _bool,
+    )
     take("hoodie.datasource.write.insert.drop.duplicates", "insert_drop_dups", _bool)
     take("hoodie.combine.before.insert", "combine_before_insert", _bool)
     take("hoodie.combine.before.upsert", "combine_before_upsert", _bool)

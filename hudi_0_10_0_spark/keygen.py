@@ -50,11 +50,38 @@ def _partition_path_expr(cfg: WriteConfig) -> Column:
         ):
             val = _timestamp_partition_expr(cfg, fld)
         else:
-            val = F.coalesce(F.col(fld).cast("string"), F.lit(DEFAULT_PARTITION))
+            base = F.col(fld).cast("string")
+            if cfg.url_encode_partitioning:
+                base = _escape_path_expr(base)
+            # null OR empty → "default"
+            # (PartitionPathEncodeUtils.escapePathName:68-75, KeyGenUtils)
+            val = F.when(
+                F.col(fld).cast("string").isNull()
+                | (F.col(fld).cast("string") == ""),
+                F.lit(DEFAULT_PARTITION),
+            ).otherwise(base)
         if cfg.hive_style_partitioning:
             val = F.concat_ws("=", F.lit(fld), val)
         pieces.append(val)
     return F.concat_ws("/", *pieces)
+
+
+# The escapable set of PartitionPathEncodeUtils.escapePathName:30-50 —
+# '%' first so already-escaped output isn't double-escaped.
+_ESCAPE_CHARS = ["%"] + [chr(i) for i in range(1, 32)] + [
+    '"', "#", "'", "*", "/", ":", "=", "?", "\\", "\x7f", "{", "[", "]", "^",
+]
+
+
+def _escape_path_expr(c: Column) -> Column:
+    """URL_ENCODE_PARTITIONING=true: escape each special character to
+    %XX (PartitionPathEncodeUtils.escapePathName) so a value like
+    "2016/03/15" becomes ONE path segment "2016%2F03%2F15". A chain of
+    literal replaces stays inside whole-stage codegen — no UDF."""
+    out = c
+    for ch in _ESCAPE_CHARS:
+        out = F.replace(out, F.lit(ch), F.lit("%%%02X" % ord(ch)))
+    return out
 
 
 def _timestamp_partition_expr(cfg: WriteConfig, fld: str) -> Column:

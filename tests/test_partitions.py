@@ -101,3 +101,33 @@ def test_partition_column_types(sess, spark, tmp_table_path, ptype, pval):
         assert rows == [(1, "a1", 10.0, want_dt), (2, "a2", 10.0, want_dt)]
     else:
         assert rows == [(1, "a1", 10.0, want_dt), (2, "a2", 10.0, want_dt)]
+
+
+def test_url_encode_partitioning(spark, tmp_table_path):
+    """URL_ENCODE_PARTITIONING=true (TestCOWDataSource.scala:552-582):
+    '2016/03/15' becomes ONE escaped segment '2016%2F03%2F15'
+    (PartitionPathEncodeUtils.escapePathName); empty and null values land
+    in 'default'; column values round-trip unescaped."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    df = spark.createDataFrame(
+        [(1, "2016/03/15", 10), (2, "2016/03/16", 20), (3, "", 30),
+         (4, None, 40), (5, "a:b=c", 50)],
+        "id int, dt string, v int",
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path + "/enc",
+        WriteConfig(record_key_field="id", partition_field="dt",
+                    url_encode_partitioning=True),
+    )
+    t.bulk_insert(df)
+    assert sorted(t.partitions()) == [
+        "2016%2F03%2F15", "2016%2F03%2F16", "a%3Ab%3Dc", "default",
+    ]
+    snap = t.snapshot()
+    assert snap.count() == 5
+    assert snap.filter("dt = '2016/03/15'").count() == 1
+    # upsert rewrites in place — the escaped path is a stable identity
+    t.upsert(df.withColumn("v", F.col("v") * 10))
+    assert t.snapshot().count() == 5
+    assert t.snapshot().agg(F.sum("v")).first()[0] == 1500
