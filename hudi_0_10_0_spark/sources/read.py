@@ -232,6 +232,10 @@ def snapshot(
     additionally used for stats-based file skipping before the scan;
     they are re-applied post-merge, so they are an optimization only.
     """
+    if as_of is not None:
+        from ..timeline import format_query_instant
+
+        as_of = format_query_instant(as_of)
     view = table.view()
     slices = view.latest_file_slices(as_of=as_of)
     if filters:

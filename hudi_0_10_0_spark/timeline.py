@@ -49,6 +49,31 @@ _lock = threading.Lock()
 _last_ts = ""
 
 
+def format_query_instant(q: str) -> str:
+    """Normalize a user-facing time-travel instant to the timeline format
+    (``HoodieSqlUtils.formatQueryInstant``): accepts
+    'yyyy-MM-dd HH:mm:ss[.SSS]', 'yyyy-MM-dd', or a raw
+    'yyyyMMddHHmmss[SSS]' instant."""
+    from datetime import datetime
+
+    s = q.strip()
+    n = len(s)
+    if n in (19, 23):  # yyyy-MM-dd HH:mm:ss[.SSS]
+        d = datetime.strptime(s[:19], "%Y-%m-%d %H:%M:%S")
+        ms = s[20:23] if n == 23 else "000"
+        return d.strftime("%Y%m%d%H%M%S") + ms
+    if n in (14, 17) and s.isdigit():  # yyyyMMddHHmmss[SSS]
+        datetime.strptime(s[:14], "%Y%m%d%H%M%S")  # validate
+        return s
+    if n == 10:  # yyyy-MM-dd -> start of day
+        return datetime.strptime(s, "%Y-%m-%d").strftime("%Y%m%d") + "000000"
+    raise ValueError(
+        f"Unsupported query instant time format: {s}, supported formats "
+        "are: 'yyyy-MM-dd HH:mm:ss[.SSS]' or 'yyyy-MM-dd' or "
+        "'yyyyMMddHHmmss[SSS]'"
+    )
+
+
 def new_instant_time() -> str:
     """Monotonic millisecond timestamp string (driver-side, like the
     reference's ``HoodieActiveTimeline.createNewInstantTime``)."""

@@ -50,3 +50,23 @@ def test_archive_moves_old_instants(spark, tmp_table_path):
     archived = tl.archived_instants()
     assert len(archived) == 7
     assert archived[0]["metadata"]["t"] == archived[0]["timestamp"]
+
+
+def test_format_query_instant():
+    """HoodieSqlUtils.formatQueryInstant: the three user-facing time
+    travel formats normalize to timeline instants; garbage rejected."""
+    import pytest
+
+    from hudi_0_10_0_spark.timeline import format_query_instant as f
+
+    assert f("2021-07-18 12:30:05") == "20210718123005000"
+    assert f("2021-07-18 12:30:05.123") == "20210718123005123"
+    assert f("2021-07-18") == "20210718000000"
+    assert f("20210718123005") == "20210718123005"
+    assert f("20210718123005123") == "20210718123005123"
+    with pytest.raises(ValueError, match="Unsupported query instant"):
+        f("not-an-instant")
+    with pytest.raises(ValueError):
+        f("18/07/2021")
+    with pytest.raises(ValueError):
+        f("2021071812300x123")
