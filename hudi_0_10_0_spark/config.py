@@ -71,6 +71,10 @@ class WriteConfig:
     # hoodie.datasource.write.partitionpath.urlencode — escape special
     # chars in partition values to %XX (PartitionPathEncodeUtils)
     url_encode_partitioning: bool = False
+    # hoodie.datasource.write.drop.partition.columns
+    # (DataSourceOptions.scala:553): omit partition field columns from
+    # data files; readers rebuild them from _hoodie_partition_path
+    drop_partition_columns: bool = False
 
     # sizing — HoodieStorageConfig.java:42-46, HoodieCompactionConfig.java:154-158,245-249
     max_file_size_bytes: int = 120 * MB

@@ -105,6 +105,11 @@ def options_to_config(options: dict) -> WriteConfig:
         "url_encode_partitioning",
         _bool,
     )
+    take(
+        "hoodie.datasource.write.drop.partition.columns",
+        "drop_partition_columns",
+        _bool,
+    )
     take("hoodie.datasource.write.insert.drop.duplicates", "insert_drop_dups", _bool)
     take("hoodie.combine.before.insert", "combine_before_insert", _bool)
     take("hoodie.combine.before.upsert", "combine_before_upsert", _bool)

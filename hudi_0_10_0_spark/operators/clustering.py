@@ -238,6 +238,10 @@ def _execute_cluster(
         out = out.sortWithinPartitions(F.col("_pp"), F.col("_fg"), *order_cols)
         if sort_key == "__curve":
             out = out.drop("__curve")
+        if table.cfg.drop_partition_columns:
+            out = out.drop(
+                *[f for f in table.cfg.partition_fields() if f in out.columns]
+            )
         out.write.mode("error").partitionBy("_pp", "_fg").format(
             _base_format(table)
         ).save(table.instant_data_path(instant))

@@ -441,6 +441,13 @@ def write_instant_files(
         out = out.sortWithinPartitions(*sort_cols)
     from ..sources.read import base_format
 
+    if table.cfg.drop_partition_columns:
+        # hoodie.datasource.write.drop.partition.columns: the partition
+        # values live in _hoodie_partition_path; readers rebuild the
+        # columns from it (sources/read.py _restore_partition_columns)
+        out = out.drop(
+            *[f for f in table.cfg.partition_fields() if f in out.columns]
+        )
     out.write.mode("error").partitionBy(
         LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL
     ).format(base_format(table)).save(table.instant_data_path(instant))

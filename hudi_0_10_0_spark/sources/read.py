@@ -48,11 +48,40 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
     across commits and add-column evolution (old files yield nulls)."""
     if not paths:
         return _empty(table)
-    return (
+    df = (
         table.spark.read.schema(table.read_schema())
         .format(base_format(table))
         .load([table.abs_path(p) for p in paths])
     )
+    if table.cfg.drop_partition_columns and table.cfg.partition_fields():
+        df = _restore_partition_columns(table, df)
+    return df
+
+
+def _restore_partition_columns(table, df: DataFrame) -> DataFrame:
+    """``hoodie.datasource.write.drop.partition.columns=true``: data
+    files omit the partition field columns, so rebuild them from the
+    stored ``_hoodie_partition_path`` — split per level, strip the
+    hive-style ``field=`` prefix, map ``default`` back to null, unescape
+    URL-encoded values, cast to the declared type. Pure expressions over
+    the scan (no join); Catalyst folds them into codegen."""
+    from ..config import DEFAULT_PARTITION
+
+    cfg = table.cfg
+    dtypes = {f.name: f.dataType for f in table.read_schema().fields}
+    segs = F.split(F.col(PARTITION_PATH_COL), "/")
+    for i, fld in enumerate(cfg.partition_fields()):
+        if fld not in df.columns or fld not in dtypes:
+            continue
+        seg = F.element_at(segs, i + 1)
+        val = F.substring_index(seg, "=", -1) if cfg.hive_style_partitioning else seg
+        val = F.when(val == DEFAULT_PARTITION, F.lit(None)).otherwise(val)
+        if cfg.url_encode_partitioning:
+            # escapePathName escaping is %XX; url_decode also maps '+'
+            # to space, so shield literal '+' first
+            val = F.url_decode(F.regexp_replace(val, r"\+", "%2B"))
+        df = df.withColumn(fld, F.coalesce(F.col(fld), val.cast(dtypes[fld])))
+    return df
 
 
 def _strip_file_scheme(c):

@@ -131,3 +131,46 @@ def test_url_encode_partitioning(spark, tmp_table_path):
     t.upsert(df.withColumn("v", F.col("v") * 10))
     assert t.snapshot().count() == 5
     assert t.snapshot().agg(F.sum("v")).first()[0] == 1500
+
+
+def test_drop_partition_columns(spark, tmp_table_path):
+    """hoodie.datasource.write.drop.partition.columns
+    (DataSourceOptions.scala:553): data files omit partition field
+    columns; readers rebuild them from _hoodie_partition_path — across
+    upsert, MOR merge, and compaction."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path + "/dpc",
+        WriteConfig(record_key_field="o_orderkey", partition_field="o_orderpriority",
+                    precombine_field="o_orderdate", drop_partition_columns=True,
+                    hive_style_partitioning=True),
+    )
+    t.bulk_insert(orders)
+    f = glob.glob(tmp_table_path + "/dpc/data/*/*/*/*.parquet")[0]
+    assert "o_orderpriority" not in pq.read_schema(f).names
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert sorted(r[0] for r in snap.select("o_orderpriority").distinct().collect()) == [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    t.upsert(orders.limit(50).withColumn("o_orderstatus", F.lit("D")))
+    assert t.snapshot().count() == orders.count()
+    assert t.snapshot().filter("o_orderstatus = 'D'").count() == 50
+
+    t2 = HudiTable.create(
+        spark, tmp_table_path + "/dpcm",
+        WriteConfig(record_key_field="o_orderkey", partition_field="o_orderpriority",
+                    precombine_field="o_orderdate", drop_partition_columns=True,
+                    table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    t2.bulk_insert(orders)
+    t2.upsert(orders.limit(30).withColumn("o_orderstatus", F.lit("E")))
+    assert t2.snapshot().filter("o_orderstatus = 'E'").count() == 30
+    t2.compact()
+    assert t2.read_optimized().filter("o_orderstatus = 'E'").count() == 30
