@@ -582,6 +582,23 @@ class HudiSqlSession:
                 pend or [], "timestamp string, state string"
             )
 
+        # SELECT ... FROM <hudi table> TIMESTAMP AS OF '<instant>': swap
+        # in a time-travel view (Spark's native syntax needs a V2 catalog;
+        # instant formats per HoodieSqlUtils.formatQueryInstant)
+        def _tt_view(mm):
+            name = mm.group(1)
+            if name not in self.tables:
+                return mm.group(0)
+            view = f"__tt_{name}_{abs(hash(mm.group(2)))}"
+            self.tables[name].snapshot(
+                as_of=mm.group(2)
+            ).createOrReplaceTempView(view)
+            return f" {view}"
+        s = re.sub(
+            rf"\s({_ID}){_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'([^']+)'",
+            _tt_view, s, flags=re.IGNORECASE,
+        )
+
         # plain relational SQL → Spark, with table snapshots as views
         self._refresh_views()
         return self._raw_sql(s)

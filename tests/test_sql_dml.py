@@ -465,3 +465,23 @@ def test_complex_primary_key_via_sql(spark, tmp_table_path):
     assert rows == [(1, "a", 11.0), (1, "b", 20.0)]
     key = t.snapshot().filter("name = 'a'").select("_hoodie_record_key").first()[0]
     assert key == "id:1,name:a"
+
+
+def test_select_timestamp_as_of(spark, tmp_table_path):
+    """SELECT ... FROM t TIMESTAMP AS OF '<instant>' resolves against the
+    time-travel snapshot; the instant accepts formatQueryInstant's three
+    formats."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/tt",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    c0 = t.bulk_insert(spark.createDataFrame([(1, 10, 1)], "id long, v long, ts long"))
+    t.upsert(spark.createDataFrame([(1, 99, 2), (2, 20, 2)], "id long, v long, ts long"))
+    s = _sql_sess(spark, ("ttt", t))
+    now = sorted(tuple(r) for r in s.sql("SELECT id, v FROM ttt ORDER BY id").collect())
+    assert now == [(1, 99), (2, 20)]
+    old = s.sql(f"SELECT id, v FROM ttt TIMESTAMP AS OF '{c0}' ORDER BY id").collect()
+    assert [tuple(r) for r in old] == [(1, 10)]
+    human = f"{c0[0:4]}-{c0[4:6]}-{c0[6:8]} {c0[8:10]}:{c0[10:12]}:{c0[12:14]}.{c0[14:17]}"
+    old2 = s.sql(f"SELECT id, v FROM ttt TIMESTAMP AS OF '{human}'").collect()
+    assert [tuple(r) for r in old2] == [(1, 10)]
