@@ -95,21 +95,65 @@ def pred_possible(col_stats: dict, pred) -> bool:
     return True  # unknown shape — must read
 
 
+def _partition_pseudo_stats(table, partition: str) -> dict:
+    """Exact (min=max) stats for the partition field columns derived
+    from the slice's partition path — partition pruning that works even
+    when the columns aren't in the data files (drop.partition.columns)
+    and for slices with delta logs (the partition is slice identity).
+    Values are coerced to the declared column type so range predicates
+    compare numerically, not lexicographically."""
+    from urllib.parse import unquote
+
+    from ..config import DEFAULT_PARTITION
+
+    cfg = table.cfg
+    pfields = cfg.partition_fields()
+    if not pfields:
+        return {}
+    try:
+        dtypes = {f.name: f.dataType.simpleString() for f in table.read_schema().fields}
+    except Exception:
+        dtypes = {}
+    segs = partition.split("/") if partition else []
+    out = {}
+    for i, fld in enumerate(pfields):
+        if i >= len(segs):
+            continue
+        v = segs[i].split("=", 1)[1] if "=" in segs[i] else segs[i]
+        if cfg.url_encode_partitioning:
+            v = unquote(v)
+        if v == DEFAULT_PARTITION:
+            out[fld] = (None, None, 1)
+            continue
+        t = dtypes.get(fld, "string")
+        try:
+            if t in ("int", "bigint", "smallint", "tinyint", "long"):
+                v = int(v)
+            elif t in ("float", "double"):
+                v = float(v)
+        except (TypeError, ValueError):
+            pass  # keep the string; _coerce will align literals
+        out[fld] = (v, v, 0)
+    return out
+
+
 def prune_slices_by_stats(table, slices, filters) -> list:
     """Drop file slices whose column stats prove the predicate can't
     match. ``filters`` may be Column objects (kept scan-side only),
     ``(col, op, value)`` triples, or ``("and"/"or", [preds])`` trees;
-    the listed predicates are ANDed. Slices with delta files or missing
-    stats are always kept (must-read)."""
+    the listed predicates are ANDed. Partition-path pseudo-stats apply
+    to every slice; footer stats additionally apply to log-free slices
+    (delta rows aren't covered by base-file stats)."""
     preds = [f for f in filters if isinstance(f, tuple)]
     if not preds:
         return slices
     kept = []
     for s in slices:
-        if s.logs or not s.base.col_stats:
-            kept.append(s)
-            continue
-        if all(pred_possible(s.base.col_stats, p) for p in preds):
+        stats = _partition_pseudo_stats(table, s.partition)
+        if not s.logs and s.base.col_stats:
+            # partition value is exact — it wins over footer ranges
+            stats = {**s.base.col_stats, **stats}
+        if all(pred_possible(stats, p) for p in preds):
             kept.append(s)
     return kept
 

@@ -124,3 +124,44 @@ def test_linear_sort_skips_leading_column(spark, tmp_table_path):
     assert t.snapshot(filters=[("c1_int", "=", 50_000)]).count() == t.snapshot().filter(
         F.col("c1_int") == 50_000
     ).count()
+
+
+def test_partition_path_pruning(spark, tmp_path):
+    """Partition predicates prune file slices from the partition path
+    itself — with drop_partition_columns (no footer stats for the
+    column), for delta-bearing slices, and with numeric partition types
+    compared numerically."""
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+    from hudi_0_10_0_spark.plans.pruning import prune_slices_by_stats
+
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 1.0) for i in range(100)], "id int, bucket int, v double"
+    )
+    t = HudiTable.create(
+        spark, str(tmp_path) + "/p",
+        WriteConfig(record_key_field="id", partition_field="bucket",
+                    drop_partition_columns=True),
+    )
+    t.bulk_insert(df)
+    slices = t.view().latest_file_slices()
+    assert len(slices) >= 4
+    kept = prune_slices_by_stats(t, slices, [("bucket", "=", 2)])
+    assert {s.partition for s in kept} == {"2"}
+    # numeric comparison, not lexicographic: bucket > 1 keeps {2, 3}
+    kept = prune_slices_by_stats(t, slices, [("bucket", ">", 1)])
+    assert {s.partition for s in kept} == {"2", "3"}
+
+    # MOR: slices with deltas still prune by partition
+    m = HudiTable.create(
+        spark, str(tmp_path) + "/m",
+        WriteConfig(record_key_field="id", partition_field="bucket",
+                    table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    m.bulk_insert(df)
+    m.upsert(df.withColumn("v", df.v * 2))  # every group gains a delta
+    slices = m.view().latest_file_slices()
+    assert any(s.logs for s in slices)
+    kept = prune_slices_by_stats(m, slices, [("bucket", "=", 0)])
+    assert {s.partition for s in kept} == {"0"}
+    # snapshot with the filter returns exactly the partition's rows
+    assert m.snapshot(filters=[("bucket", "=", 0)]).filter("bucket = 0").count() == 25
