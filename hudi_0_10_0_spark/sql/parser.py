@@ -367,17 +367,43 @@ class HudiSqlSession:
             # covering every named partition (AlterHoodieTableDropPartition
             # Command accepts multiple specs the same way)
             t = self._table(m.group(1))
+            pfields = t.cfg.partition_fields()
             paths = []
             for spec in re.split(
                 rf"\)\s*,\s*PARTITION\s*\(", m.group(2).strip()[1:-1],
                 flags=re.IGNORECASE,
             ):
-                pieces = []
+                vals: dict[str, str] = {}
                 for kv in _split_top_level(spec):
                     k, v = kv.split("=", 1)
-                    v = v.strip().strip("'\"")
+                    k = k.strip()
+                    # reference parity (TestAlterTableDropPartition):
+                    # unknown columns, duplicate keys, and partial specs
+                    # are all rejected up front
+                    if k not in pfields:
+                        raise ValueError(
+                            f"{k} is not a valid partition column in table "
+                            f"{m.group(1)}"
+                        )
+                    if k in vals:
+                        raise ValueError(f"Found duplicate keys '{k}'")
+                    vals[k] = v.strip().strip("'\"")
+                missing = [f for f in pfields if f not in vals]
+                if missing:
+                    raise ValueError(
+                        "All partition columns need to be specified for "
+                        "Hoodie's dropping partition"
+                    )
+                pieces = []
+                for fld in pfields:  # table-declared order, not spec order
+                    v = vals[fld]
+                    if t.cfg.url_encode_partitioning:
+                        from ..keygen import _ESCAPE_CHARS
+
+                        for ch in _ESCAPE_CHARS:
+                            v = v.replace(ch, "%%%02X" % ord(ch))
                     pieces.append(
-                        f"{k.strip()}={v}" if t.cfg.hive_style_partitioning else v
+                        f"{fld}={v}" if t.cfg.hive_style_partitioning else v
                     )
                 paths.append("/".join(pieces))
             return t.delete_partition(paths)

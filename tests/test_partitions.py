@@ -174,3 +174,44 @@ def test_drop_partition_columns(spark, tmp_table_path):
     assert t2.snapshot().filter("o_orderstatus = 'E'").count() == 30
     t2.compact()
     assert t2.read_optimized().filter("o_orderstatus = 'E'").count() == 30
+
+
+def test_drop_partition_validations(sess, spark, tmp_table_path):
+    """TestAlterTableDropPartition: unknown columns, duplicate keys, and
+    partial multi-level specs are rejected; a full spec drops the
+    partition; urlencoded values resolve to the encoded path."""
+    sess.sql(
+        f"""CREATE TABLE dpv (id bigint, name string, ts string, dt string)
+        USING hudi TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')
+        LOCATION '{tmp_table_path}/dpv'"""
+    )
+    sess.sql("INSERT INTO dpv VALUES (1, 'z3', 'v1', '2021-10-01')")
+    with pytest.raises(ValueError, match="dt is not a valid partition column"):
+        sess.sql("ALTER TABLE dpv DROP PARTITION (dt='2021-10-01')")
+
+    sess.sql(
+        f"""CREATE TABLE dps (id bigint, name string, ts string, dt string)
+        USING hudi TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')
+        PARTITIONED BY (dt) LOCATION '{tmp_table_path}/dps'"""
+    )
+    sess.sql("INSERT INTO dps VALUES (1, 'z3', 'v1', '2021-10-01'), (2, 'l4', 'v1', '2021-10-02')")
+    with pytest.raises(ValueError, match="Found duplicate keys 'dt'"):
+        sess.sql("ALTER TABLE dps DROP PARTITION (dt='2021-10-01', dt='2021-10-02')")
+    sess.sql("ALTER TABLE dps DROP PARTITION (dt='2021-10-01')")
+    rows = [tuple(r) for r in sess.tables["dps"].snapshot().select("id", "dt").collect()]
+    assert rows == [(2, "2021-10-02")]
+
+    sess.sql(
+        f"""CREATE TABLE dpm (id bigint, name string, ts string,
+        year string, month string, day string) USING hudi
+        TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ts')
+        PARTITIONED BY (year, month, day) LOCATION '{tmp_table_path}/dpm'"""
+    )
+    sess.sql(
+        "INSERT INTO dpm VALUES (1,'z3','v1','2021','10','01'), (2,'l4','v1','2021','10','02')"
+    )
+    with pytest.raises(ValueError, match="All partition columns need to be specified"):
+        sess.sql("ALTER TABLE dpm DROP PARTITION (year='2021', month='10')")
+    # spec order differs from declaration order — still resolves
+    sess.sql("ALTER TABLE dpm DROP PARTITION (day='01', year='2021', month='10')")
+    assert [r.id for r in sess.tables["dpm"].snapshot().collect()] == [2]
