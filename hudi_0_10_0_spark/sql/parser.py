@@ -545,6 +545,39 @@ class HudiSqlSession:
                 rows or [], "instant string, action string"
             )
 
+        m = re.match(
+            rf"SHOW{_WS}SAVEPOINTS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            # hudi-cli `savepoints show`
+            t = self._table(m.group(1))
+            rows = [
+                (
+                    i.timestamp,
+                    str(
+                        t.timeline.read_metadata(i).get("savepoint_at", "")
+                    ),
+                )
+                for i in t.timeline.instants()
+                if i.action == "savepoint" and i.state == "completed"
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "instant string, savepoint_at string"
+            )
+
+        m = re.match(
+            rf"SHOW{_WS}CLEANS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            # hudi-cli `cleans show`
+            t = self._table(m.group(1))
+            rows = []
+            for i in t.timeline.instants():
+                if i.action == "clean" and i.state == "completed":
+                    md = t.timeline.read_metadata(i)
+                    rows.append((i.timestamp, int(len(md.get("deleted", [])))))
+            return self.spark.createDataFrame(
+                rows or [], "instant string, files_deleted int"
+            )
+
         m = re.match(rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
         if m:
             return self._table(m.group(1)).commits_df()

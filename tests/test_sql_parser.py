@@ -230,3 +230,31 @@ def test_show_archived_commits(spark, tmp_table_path):
     rows = s.sql("SHOW ARCHIVED COMMITS arc").collect()
     assert len(rows) >= 1
     assert all(r.action for r in rows)
+
+
+def test_show_savepoints_and_cleans(spark, tmp_table_path):
+    """hudi-cli `savepoints show` / `cleans show` analogues as SHOW
+    statements."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/svc",
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    cleaner_commits_retained=1, auto_clean=False,
+                    auto_archive=False),
+    )
+    df = spark.createDataFrame([(1, 1, 1)], "id long, v long, ts long")
+    c0 = t.bulk_insert(df)
+    t.savepoint(c0)
+    for i in range(3):
+        t.upsert(df.withColumn("v", F.lit(10 + i)))
+    t.clean()
+    s = HudiSqlSession(spark)
+    s.register("svc", t)
+    sp = s.sql("SHOW SAVEPOINTS ON svc").collect()
+    assert len(sp) == 1 and sp[0].savepoint_at == c0
+    cl = s.sql("SHOW CLEANS ON svc").collect()
+    assert len(cl) == 1 and cl[0].files_deleted >= 1
