@@ -886,6 +886,12 @@ def run_batch_write(
         # BaseSparkCommitActionExecutor.java:182-214): per-(partition,
         # file_id) counts give the insert bucket sizes, the touched
         # update groups, and the MOR log fids without extra collects.
+        # Driver memory bound: one tiny row per TOUCHED (partition,
+        # file_id) — the same shape as the reference's countByKey. Worst
+        # case (a batch touching every group of a 100 TB / ~875k-group
+        # table) is ~tens of MB; batches are normally far narrower, and
+        # a full-table rewrite belongs to bulk_insert/insert_overwrite
+        # which skip tagging entirely.
         profile = tagged.groupBy(PARTITION_PATH_COL, FILE_ID_COL).count().collect()
         timer.mark("profile")
         insert_counts = [(r[0], r[2]) for r in profile if r[1] is None]
