@@ -219,6 +219,27 @@ class HudiSqlSession:
             k, v = kv.split("=", 1)
             props[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
         parts = [p.strip() for p in _split_top_level(m.group("parts") or "")]
+        # Reference validation (HoodieOptionConfig.validateTable /
+        # TestCreateTable "Test Table Column Validate"): declared
+        # primaryKey / preCombineField must name declared columns, and
+        # type must be cow|mor
+        if m.group("cols"):
+            declared = {
+                cd.split(None, 1)[0].lower()
+                for cd in _split_top_level(m.group("cols"))
+            }
+            for prop in ("primarykey", "precombinefield"):
+                for fld in str(props.get(prop, "")).split(","):
+                    fld = fld.strip()
+                    if fld and fld.lower() not in declared:
+                        raise ValueError(
+                            f"Can't find {prop} `{fld}` in table columns"
+                        )
+        ttype = props.get("type", "cow").lower()
+        if ttype not in ("cow", "copy_on_write", "mor", "merge_on_read"):
+            raise ValueError(
+                f"'type' must be 'cow' or 'mor', got: {ttype}"
+            )
         cfg = WriteConfig(
             record_key_field=props.get("primarykey", "_uuid_key_"),
             keygen="uuid" if "primarykey" not in props else "auto",

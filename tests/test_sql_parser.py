@@ -258,3 +258,23 @@ def test_show_savepoints_and_cleans(spark, tmp_table_path):
     assert len(sp) == 1 and sp[0].savepoint_at == c0
     cl = s.sql("SHOW CLEANS ON svc").collect()
     assert len(cl) == 1 and cl[0].files_deleted >= 1
+
+
+def test_create_table_column_validate(spark, tmp_table_path):
+    """'Test Table Column Validate' (TestCreateTable.scala:194): unknown
+    primaryKey / preCombineField / bad type are rejected at CREATE."""
+    import pytest
+
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    cols = "(id int, name string, price double, ts long)"
+    with pytest.raises(ValueError, match="primarykey `id1`"):
+        s.sql(f"CREATE TABLE v1 {cols} USING hudi TBLPROPERTIES (primaryKey='id1', type='cow') LOCATION '{tmp_table_path}/v1'")
+    with pytest.raises(ValueError, match="precombinefield `ts1`"):
+        s.sql(f"CREATE TABLE v2 {cols} USING hudi TBLPROPERTIES (primaryKey='id', preCombineField='ts1', type='cow') LOCATION '{tmp_table_path}/v2'")
+    with pytest.raises(ValueError, match="'type' must be 'cow' or 'mor'"):
+        s.sql(f"CREATE TABLE v3 {cols} USING hudi TBLPROPERTIES (primaryKey='id', preCombineField='ts', type='cow1') LOCATION '{tmp_table_path}/v3'")
+    # valid create still works
+    s.sql(f"CREATE TABLE v4 {cols} USING hudi TBLPROPERTIES (primaryKey='id', preCombineField='ts', type='mor') LOCATION '{tmp_table_path}/v4'")
+    assert "v4" in s.tables
