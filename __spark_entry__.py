@@ -1547,6 +1547,33 @@ FROM norm GROUP BY nrm
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 by frequency (functions/text.py
+    vocabulary): word-count with map-side partial agg; deterministic
+    (n DESC, token ASC) tie-break."""
+    from hudi_0_10_0_spark.functions.text import vocabulary
+
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        vocabulary(docs)
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+        .select("token", F.col("n").cast("long").alias("n"))
+    )
+
+
+_SQL_VOCAB_TOPK = r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 100
+"""
+
+
 def q_pipeline_training_data(spark, sf_dir):
     """Composed training-data pipeline over documents: exact near-dup
     removal (normalized-text identity, keep lowest doc_id) → language
@@ -2017,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "text_fingerprint_groups": q_fingerprint_groups,
+        "text_vocab_topk": q_vocab_topk,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -2096,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_simhash_dedup(),
         "text_stats": _SQL_TEXT_STATS,
         "text_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
+        "text_vocab_topk": _SQL_VOCAB_TOPK,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         # exhaustive configs (probe-all / nprobe=nlist) provably equal

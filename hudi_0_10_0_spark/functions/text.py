@@ -153,3 +153,27 @@ def rolling_fingerprints(
             lambda i: F.array_min(F.slice(grams, i, window)),
         )
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    pattern: str = "[a-z0-9]+",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary with frequencies — the classic word-count over
+    a document table, the first step of tokenizer training / frequency
+    filtering in a training-data pipeline.
+
+    Shape at 100 TB: ``explode`` is scan-parallel; the ``groupBy(token)``
+    benefits from map-side partial aggregation, so the shuffle carries
+    one row per DISTINCT token per task, not one per occurrence. Skewed
+    head tokens ("the") are exactly the case partial aggregation
+    flattens."""
+    src = f"lower({text_col})" if lowercase else text_col
+    toks = df.select(
+        F.explode(
+            F.expr(f"regexp_extract_all({src}, '{pattern}', 0)")
+        ).alias("token")
+    )
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))

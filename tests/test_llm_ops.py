@@ -370,3 +370,14 @@ def test_pack_sequences_capacity(docs):
         for _, n, b in items:
             assert b == cum // 1024, (src, b, cum)
             cum += n
+
+
+def test_vocabulary_counts(spark):
+    """vocabulary(): word-count with lowercase + regexp tokenization."""
+    from hudi_0_10_0_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog"), (2, "a CAT!")], "doc_id int, text string"
+    )
+    got = {r.token: r.n for r in vocabulary(df).collect()}
+    assert got == {"the": 2, "cat": 2, "and": 1, "dog": 1, "a": 1}
