@@ -278,3 +278,59 @@ def test_create_table_column_validate(spark, tmp_table_path):
     # valid create still works
     s.sql(f"CREATE TABLE v4 {cols} USING hudi TBLPROPERTIES (primaryKey='id', preCombineField='ts', type='mor') LOCATION '{tmp_table_path}/v4'")
     assert "v4" in s.tables
+
+
+def test_create_table_from_existing(spark, tmp_table_path):
+    """'Test Create Table From Exist Hoodie Table' (TestCreateTable.scala:
+    333,410): CREATE TABLE with just a name and LOCATION over an existing
+    table loads the STORED config — including multi-level partitioning —
+    and the data is immediately queryable."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, "2021", "10"), (2, "b", 2, "2021", "11")],
+        "id int, name string, ts long, year string, month string",
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path + "/src",
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    partition_field="year,month", hive_style_partitioning=True),
+    )
+    t.bulk_insert(df)
+
+    s = HudiSqlSession(spark)
+    s.sql(f"CREATE TABLE adopted USING hudi LOCATION '{tmp_table_path}/src'")
+    t2 = s.tables["adopted"]
+    assert t2.cfg.partition_fields() == ["year", "month"]
+    assert sorted(r[0] for r in s.sql("SHOW PARTITIONS adopted").collect()) == [
+        "year=2021/month=10", "year=2021/month=11",
+    ]
+    assert sorted(tuple(r) for r in s.sql("SELECT id, name FROM adopted").collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # writes through the adopted handle use the stored key config
+    s.sql("UPDATE adopted SET name = 'z' WHERE id = 1")
+    assert t.snapshot().filter("id = 1").first().name == "z"
+
+
+def test_update_ignoring_case(spark, tmp_table_path):
+    """'Test ignoring case for Update Table' (TestUpdateTable.scala:63):
+    differently-cased column references in UPDATE resolve."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/uc",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "a1", 10.0, 1000)], "id int, name string, price double, ts long"))
+    s = HudiSqlSession(spark)
+    s.register("tuc", t)
+    s.sql("UPDATE tuc SET PRICE = 20.0 WHERE ID = 1")
+    row = t.snapshot().select("id", "price").first()
+    assert (row.id, row.price) == (1, 20.0)
+    cols = [c.lower() for c in t.snapshot().columns]
+    assert cols.count("price") == 1  # replaced in place, not duplicated
