@@ -231,8 +231,17 @@ def read(
     if qt == "incremental":
         begin = o.get("hoodie.datasource.read.begin.instanttime")
         end = o.get("hoodie.datasource.read.end.instanttime")
+        glob = o.get("hoodie.datasource.read.incr.path.glob")
+        fallback = str(
+            o.get(
+                "hoodie.datasource.read.incr.fallback.fulltablescan.enable",
+                "false",
+            )
+        ).lower() == "true"
         return t.incremental(
             str(begin) if begin is not None else None,
             str(end) if end is not None else None,
+            fallback_full_scan=fallback,
+            path_glob=str(glob) if glob else None,
         )
     raise ValueError(f"unknown hoodie.datasource.query.type: {qt}")

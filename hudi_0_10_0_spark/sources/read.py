@@ -289,6 +289,7 @@ def snapshot(
 def incremental(
     table, begin: str | None, end: str | None = None,
     fallback_full_scan: bool = False,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """Rows whose latest version landed in instant range (begin, end]
     (``ds/IncrementalRelation.scala:47-77,101-175``): restrict to file
@@ -311,6 +312,21 @@ def incremental(
         for s in view.latest_file_slices(as_of=end_ts)
         if (s.partition, s.file_id) in touched
     ]
+    if path_glob:
+        # hoodie.datasource.read.incr.path.glob
+        # (IncrementalRelation.scala:139-150: GlobPattern("*" + glob)
+        # over the touched files' full paths) — ours matches against the
+        # slice's partition-path + base file names
+        import fnmatch
+
+        pat = "*" + path_glob
+        slices = [
+            s
+            for s in slices
+            if any(fnmatch.fnmatch("/" + p, pat) for p in s.base.paths)
+            or fnmatch.fnmatch("/" + s.partition + "/", pat + "/")
+            or fnmatch.fnmatch("/" + s.partition, pat)
+        ]
     if fallback_full_scan and _range_unreadable(table, slices, touched):
         df = snapshot(table)
         cond = F.col(COMMIT_TIME_COL) <= F.lit(end_ts)

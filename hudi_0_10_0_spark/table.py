@@ -178,10 +178,14 @@ class HudiTable:
     def incremental(
         self, begin: str | None, end: str | None = None,
         fallback_full_scan: bool = False,
+        path_glob: str | None = None,
     ) -> DataFrame:
         from .sources.read import incremental
 
-        return incremental(self, begin, end, fallback_full_scan=fallback_full_scan)
+        return incremental(
+            self, begin, end,
+            fallback_full_scan=fallback_full_scan, path_glob=path_glob,
+        )
 
     def time_travel(self, as_of: str) -> DataFrame:
         return self.snapshot(as_of=as_of)

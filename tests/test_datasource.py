@@ -101,3 +101,33 @@ def test_incremental_bounds(spark, tmp_table_path, orders):
     assert inc.count() == 40
     tt = datasource.read(spark, p, options={"as.of.instant": c0})
     assert tt.filter(F.col("o_orderstatus") == "Y").count() == 0
+
+
+def test_incremental_path_glob(spark, tmp_table_path):
+    """hoodie.datasource.read.incr.path.glob
+    (IncrementalRelation.scala:139-150): restrict incremental results to
+    partitions matching the glob."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark import datasource as ds
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path + "/ipg",
+        WriteConfig(record_key_field="o_orderkey", partition_field="o_orderpriority",
+                    precombine_field="o_orderdate"),
+    )
+    c0 = t.bulk_insert(orders)
+    t.upsert(orders.limit(200).withColumn("o_orderstatus", F.lit("G")))
+    full = ds.read(spark, tmp_table_path + "/ipg", {
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": c0,
+    })
+    globbed = ds.read(spark, tmp_table_path + "/ipg", {
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": c0,
+        "hoodie.datasource.read.incr.path.glob": "1-URGENT*",
+    })
+    assert globbed.count() == full.filter("o_orderpriority = '1-URGENT'").count() > 0
+    assert globbed.filter("o_orderpriority <> '1-URGENT'").count() == 0
