@@ -1574,6 +1574,42 @@ LIMIT 100
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Eval-set decontamination probe (functions/text.py contamination):
+    corpus documents sharing ≥1 word-level 13-gram with the eval subset
+    (doc_id % 50 == 0). Inverted-index join on the gram, eval side
+    broadcast — no all-pairs."""
+    from hudi_0_10_0_spark.functions.text import contamination
+
+    docs = _pq(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    co = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination(co, ev, n=13).select(
+        "doc_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+_SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 12),
+                               i -> array_to_string(t[i:i+12], ' '))) AS g
+  FROM toks
+  WHERE len(t) >= 13
+), cg AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0
+), eg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cg JOIN eg USING (g)
+GROUP BY cg.doc_id
+"""
+
+
 def q_pipeline_training_data(spark, sf_dir):
     """Composed training-data pipeline over documents: exact near-dup
     removal (normalized-text identity, keep lowest doc_id) → language
@@ -2045,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprint_groups": q_fingerprint_groups,
         "text_vocab_topk": q_vocab_topk,
+        "text_contamination": q_contamination,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -2125,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _SQL_TEXT_STATS,
         "text_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
         "text_vocab_topk": _SQL_VOCAB_TOPK,
+        "text_contamination": _SQL_CONTAMINATION,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         # exhaustive configs (probe-all / nprobe=nlist) provably equal

@@ -177,3 +177,50 @@ def vocabulary(
         ).alias("token")
     )
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+
+
+def word_ngrams(col: Column | str, n: int = 13) -> Column:
+    """Word-level n-grams of the lowercased text as an array of
+    space-joined strings — the unit of eval-set decontamination (the
+    usual 13-gram rule). JVM-side: tokenize via regexp_extract_all,
+    windows via sequence+slice+array_join; documents shorter than ``n``
+    tokens yield an empty array."""
+    toks = tokens(col)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Eval-set contamination: corpus documents sharing at least one
+    word-level ``n``-gram with any eval document. Returns
+    ``(doc_id, n_shared)`` with the count of DISTINCT shared n-grams.
+
+    Scale shape: explode both sides to (gram, doc) pairs and equi-join
+    on the gram — an inverted-index join, the same shape as
+    ``ngram_jaccard_pairs``. The eval side is tiny relative to a 100 TB
+    corpus, so Spark broadcasts its gram set; no all-pairs comparison
+    anywhere."""
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g")
+    ).dropDuplicates([id_col, "g"])
+    e_grams = (
+        eval_set.select(F.explode(word_ngrams(text_col, n)).alias("g"))
+        .dropDuplicates(["g"])
+    )
+    return (
+        c_grams.join(F.broadcast(e_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -381,3 +381,26 @@ def test_vocabulary_counts(spark):
     )
     got = {r.token: r.n for r in vocabulary(df).collect()}
     assert got == {"the": 2, "cat": 2, "and": 1, "dog": 1, "a": 1}
+
+
+def test_contamination_ngram_overlap(spark):
+    """contamination(): corpus docs sharing a word n-gram with the eval
+    set are flagged with the distinct shared-gram count; shorter docs
+    and clean docs are not."""
+    from hudi_0_10_0_spark.functions.text import contamination, word_ngrams
+
+    passage = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix {passage} suffix words go here"),   # contains eval passage
+            (2, "completely different text with no overlap at all whatsoever today"),
+            (3, "short doc"),
+        ],
+        "doc_id int, text string",
+    )
+    eval_set = spark.createDataFrame([(100, passage)], "doc_id int, text string")
+    got = {r.doc_id: r.n_shared for r in contamination(corpus, eval_set, n=10).collect()}
+    assert got == {1: 1}  # exactly one shared 10-gram (the passage itself)
+    # n larger than the doc → empty gram array, no crash
+    assert word_ngrams("text", n=50) is not None
+    assert contamination(corpus, eval_set, n=50).count() == 0
