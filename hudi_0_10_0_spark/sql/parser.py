@@ -240,18 +240,51 @@ class HudiSqlSession:
             raise ValueError(
                 f"'type' must be 'cow' or 'mor', got: {ttype}"
             )
-        cfg = WriteConfig(
-            record_key_field=props.get("primarykey", "_uuid_key_"),
-            keygen="uuid" if "primarykey" not in props else "auto",
-            partition_field=",".join(parts) if parts else None,
-            precombine_field=props.get("precombinefield"),
+        # raw ``hoodie.*`` TBLPROPERTIES flow through the same option
+        # translation as the datasource write path (the reference merges
+        # catalog properties into the write config —
+        # InsertIntoHoodieTableCommand.scala:208 catalogProperties ++
+        # tableConfig), so e.g. hoodie.index.type / hoodie.compact.inline
+        # work as table properties
+        import dataclasses as _dc
+
+        from ..datasource import options_to_config
+
+        base = options_to_config(
+            {k: v for k, v in props.items() if k.startswith("hoodie.")}
+        )
+        has_pk = (
+            "primarykey" in props
+            or "hoodie.datasource.write.recordkey.field" in props
+        )
+        cfg = _dc.replace(
+            base,
+            record_key_field=props.get(
+                "primarykey",
+                base.record_key_field if has_pk else "_uuid_key_",
+            ),
+            keygen=(
+                base.keygen
+                if "hoodie.datasource.write.keygenerator.class" in props
+                else ("auto" if has_pk else "uuid")
+            ),
+            partition_field=(
+                ",".join(parts) if parts else base.partition_field
+            ),
+            precombine_field=props.get(
+                "precombinefield", base.precombine_field
+            ),
             table_type=(
                 TableType.MERGE_ON_READ
-                if props.get("type", "cow").lower() in ("mor", "merge_on_read")
+                if ttype in ("mor", "merge_on_read")
                 else TableType.COPY_ON_WRITE
+                if "type" in props
+                else base.table_type
             ),
             # hoodie.table.base.file.format analogue
-            base_file_format=props.get("basefileformat", "parquet").lower(),
+            base_file_format=props.get(
+                "basefileformat", base.base_file_format
+            ).lower(),
             # SQL-created tables default to hive-style partition paths
             # (InsertIntoHoodieTableCommand.scala:214
             #  hiveStylePartitioningEnable getOrElse "true")

@@ -334,3 +334,35 @@ def test_update_ignoring_case(spark, tmp_table_path):
     assert (row.id, row.price) == (1, 20.0)
     cols = [c.lower() for c in t.snapshot().columns]
     assert cols.count("price") == 1  # replaced in place, not duplicated
+
+
+def test_create_table_hoodie_tblproperties_passthrough(spark, tmp_table_path):
+    """Raw hoodie.* TBLPROPERTIES flow into the write config like the
+    reference's catalogProperties merge (e.g. TestMergeIntoLogOnlyTable
+    sets hoodie.index.type = 'INMEMORY', hoodie.compact.inline='true')."""
+    from hudi_0_10_0_spark import TableType
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"""CREATE TABLE hp (id int, name string, price double, ts long)
+        USING hudi TBLPROPERTIES (
+          primaryKey = 'id', preCombineField = 'ts', type = 'mor',
+          hoodie.index.type = 'INMEMORY',
+          hoodie.compact.inline = 'true',
+          hoodie.compact.inline.max.delta.commits = '2',
+          hoodie.parquet.max.file.size = '10000'
+        ) LOCATION '{tmp_table_path}/hp'"""
+    )
+    t = s.tables["hp"]
+    assert t.cfg.index_type == "INMEMORY"
+    assert t.cfg.inline_compact is True
+    assert t.cfg.compact_max_delta_commits == 2
+    assert t.cfg.max_file_size_bytes == 10000
+    assert t.cfg.table_type == TableType.MERGE_ON_READ
+    assert t.cfg.record_key_field == "id"
+    # the table is writable/readable under that config
+    s.sql("INSERT INTO hp VALUES (1, 'a', 1.0, 1)")
+    s.sql("INSERT INTO hp VALUES (1, 'a', 2.0, 2)")
+    row = t.snapshot().select("id", "price").first()
+    assert (row.id, row.price) == (1, 2.0)
