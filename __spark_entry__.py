@@ -1471,6 +1471,56 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup GROUP resolution: connected components over the exact
+    0.7-Jaccard n-gram pair graph (functions/dedup.py
+    connected_components — label propagation, O(diameter) joins).
+    One row per multi-document component: (comp = min doc_id, n_docs)."""
+    from hudi_0_10_0_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _pq(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.7)
+    labels = connected_components(edges)
+    return (
+        labels.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("comp").cast("long").alias("comp"),
+                F.col("n_docs").cast("long").alias("n_docs"))
+    )
+
+
+_SQL_DEDUP_COMPONENTS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) >= 0.7 * len(list_distinct(list_concat(a.s, b.s)))
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION
+  SELECT id_b AS s, id_a AS d FROM edges
+), reach(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.comp FROM sym JOIN reach ON sym.d = reach.id
+)
+SELECT CAST(MIN(comp) AS BIGINT) AS comp, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+GROUP BY comp
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Token count, language ID, quality score per document."""
     from hudi_0_10_0_spark.functions.text import lang_id, quality_features
@@ -2082,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_groups": q_fingerprint_groups,
         "text_vocab_topk": q_vocab_topk,
         "text_contamination": q_contamination,
+        "dedup_components": q_dedup_components,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -2163,6 +2214,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
         "text_vocab_topk": _SQL_VOCAB_TOPK,
         "text_contamination": _SQL_CONTAMINATION,
+        "dedup_components": _SQL_DEDUP_COMPONENTS,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         # exhaustive configs (probe-all / nprobe=nlist) provably equal

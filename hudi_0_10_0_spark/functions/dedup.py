@@ -201,6 +201,100 @@ def ngram_jaccard_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle: int = 3, threshold: float = 0.7,
+) -> DataFrame:
+    """The edge set behind ``ngram_jaccard_dedup``: (id_a, id_b) with
+    exact shingle-Jaccard ≥ threshold, id_a < id_b. Same inverted-index
+    join, exposed for group resolution (connected components)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .filter(
+            F.col("inter")
+            >= F.lit(threshold) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge set — dedup GROUP
+    resolution: near-dup pairs chain (A~B, B~C → one group even when A
+    and C aren't directly similar). Returns (id, comp) where comp is
+    the minimum id reachable.
+
+    Label propagation to fixpoint: each round joins labels to
+    neighbors and takes the min (converges in O(graph diameter)
+    rounds; dedup graphs are shallow). Each round is one shuffle join
+    + one aggregation; ``localCheckpoint`` truncates the lineage so a
+    20-round run doesn't build a 20-deep plan — the same pattern
+    GraphFrames uses for its connected components at scale."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("s").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_udf(k_bits: int = 64):
     """Vectorized SimHash over Arrow batches: per doc, sum ±1 per bit of
     each token hash (weight 1), sign → bit."""

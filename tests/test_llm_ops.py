@@ -404,3 +404,17 @@ def test_contamination_ngram_overlap(spark):
     # n larger than the doc → empty gram array, no crash
     assert word_ngrams("text", n=50) is not None
     assert contamination(corpus, eval_set, n=50).count() == 0
+
+
+def test_connected_components_chains(spark):
+    """connected_components(): chained pairs (A~B, B~C) resolve into one
+    group labeled by the minimum id; disjoint pairs stay separate."""
+    from hudi_0_10_0_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
