@@ -43,22 +43,32 @@ _HUDI_SHAPES = [
     rf"ALTER{_WS}TABLE{_WS}(?P<t>{_ID})\b",
     rf"SHOW{_WS}PARTITIONS{_WS}(?P<t>{_ID})\b",
     rf"SHOW{_WS}(?:ARCHIVED{_WS})?COMMITS{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
-    rf"SHOW{_WS}FILES{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
-    rf"(?:RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}ON{_WS}(?P<t>{_ID})\b",
+    rf"SHOW{_WS}(?:FILES|SAVEPOINTS|CLEANS|ROLLBACKS|RESTORES){_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
+    rf"(?:RUN|SCHEDULE|SHOW){_WS}COMPACTION{_WS}(?:ON{_WS})?(?P<t>{_ID})\b",
 ]
 _CREATE_HUDI = rf"CREATE{_WS}TABLE{_WS}.*\bUSING{_WS}(?:hudi)\b"
+# tableless statements the Hudi grammar always claims
+_SET_HOODIE = rf"SET{_WS}hoodie\.[\w.]+\s*="
+# time travel over a registered table anywhere in the statement
+_TT_AS_OF = rf"\b(?P<t>{_ID}){_WS}TIMESTAMP{_WS}AS{_WS}OF{_WS}'"
 
 
 def _claims(session: HudiSqlSession, stmt: str) -> bool:
     """True when the Hudi grammar should handle ``stmt``: a CREATE TABLE
-    ... USING hudi, or a Hudi statement shape whose target table is
-    registered with ``session``."""
+    ... USING hudi, a ``SET hoodie.*`` conf, a Hudi statement shape whose
+    target table is registered with ``session``, or a TIMESTAMP AS OF
+    over a registered table."""
     s = stmt.strip().rstrip(";").strip()
     if re.match(_CREATE_HUDI, s, re.IGNORECASE | re.DOTALL):
+        return True
+    if re.match(_SET_HOODIE, s, re.IGNORECASE):
         return True
     for shape in _HUDI_SHAPES:
         m = re.match(shape, s, re.IGNORECASE)
         if m and m.group("t") in session.tables:
+            return True
+    for m in re.finditer(_TT_AS_OF, s, re.IGNORECASE):
+        if m.group("t") in session.tables:
             return True
     return False
 

@@ -632,6 +632,44 @@ class HudiSqlSession:
                 rows or [], "instant string, files_deleted int"
             )
 
+        m = re.match(
+            rf"SHOW{_WS}ROLLBACKS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            # hudi-cli `show rollbacks`
+            t = self._table(m.group(1))
+            rows = []
+            for i in t.timeline.instants():
+                if i.action == "rollback" and i.state == "completed":
+                    md = t.timeline.read_metadata(i)
+                    rows.append(
+                        (
+                            i.timestamp,
+                            str(md.get("rolled_back", "")),
+                            str(md.get("action", "")),
+                        )
+                    )
+            return self.spark.createDataFrame(
+                rows or [],
+                "instant string, rolled_back string, rolled_action string",
+            )
+
+        m = re.match(
+            rf"SHOW{_WS}RESTORES{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
+        if m:
+            # hudi-cli `show restores`
+            t = self._table(m.group(1))
+            rows = [
+                (
+                    i.timestamp,
+                    str(t.timeline.read_metadata(i).get("restored_to", "")),
+                )
+                for i in t.timeline.instants()
+                if i.action == "restore" and i.state == "completed"
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "instant string, restored_to string"
+            )
+
         m = re.match(rf"SHOW{_WS}COMMITS{_WS}(?:ON{_WS})?({_ID})$", s, re.IGNORECASE)
         if m:
             return self._table(m.group(1)).commits_df()

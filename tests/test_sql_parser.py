@@ -366,3 +366,48 @@ def test_create_table_hoodie_tblproperties_passthrough(spark, tmp_table_path):
     s.sql("INSERT INTO hp VALUES (1, 'a', 2.0, 2)")
     row = t.snapshot().select("id", "price").first()
     assert (row.id, row.price) == (1, 2.0)
+
+
+def test_show_rollbacks_restores_and_front_door_set(spark, tmp_table_path):
+    """hudi-cli `show rollbacks` / `show restores` analogues; SET and
+    TIMESTAMP AS OF also work through the patched spark.sql front door."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.extension import (
+        install_sql_extension,
+        uninstall_sql_extension,
+    )
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/rr",
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    auto_clean=False, auto_archive=False),
+    )
+    df = spark.createDataFrame([(1, 1, 1)], "id long, v long, ts long")
+    c0 = t.bulk_insert(df)
+    t.savepoint(c0)
+    c1 = t.upsert(df.withColumn("v", F.lit(2)))
+    t.rollback(c1)
+    t.upsert(df.withColumn("v", F.lit(3)))
+    t.restore(c0)
+
+    s = HudiSqlSession(spark)
+    s.register("trr", t)
+    rb = s.sql("SHOW ROLLBACKS ON trr").collect()
+    assert len(rb) >= 1 and rb[0].rolled_back == c1
+    rs = s.sql("SHOW RESTORES ON trr").collect()
+    assert len(rs) == 1 and rs[0].restored_to == c0
+
+    # spark.sql front door routes the newer statements too
+    install_sql_extension(spark, s)
+    try:
+        spark.sql("SET hoodie.sql.insert.mode = non-strict")
+        assert spark.conf.get("hoodie.sql.insert.mode") == "non-strict"
+        spark.sql("SET hoodie.sql.insert.mode = upsert")
+        got = spark.sql(f"SELECT v FROM trr TIMESTAMP AS OF '{c0}'").collect()
+        assert [r.v for r in got] == [1]
+        assert spark.sql("SHOW ROLLBACKS ON trr").count() >= 1
+    finally:
+        uninstall_sql_extension(spark)
