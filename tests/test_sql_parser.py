@@ -411,3 +411,29 @@ def test_show_rollbacks_restores_and_front_door_set(spark, tmp_table_path):
         assert spark.sql("SHOW ROLLBACKS ON trr").count() >= 1
     finally:
         uninstall_sql_extension(spark)
+
+
+def test_compaction_on_path_literal(spark, tmp_table_path):
+    """'Test compaction path' (TestCompactionTable.scala:73): RUN/SHOW
+    COMPACTION accept a quoted table path instead of a registered name
+    (CompactionHoodiePathCommand)."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    path = tmp_table_path + "/cp"
+    t = HudiTable.create(
+        spark, path,
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    df = spark.createDataFrame([(1, 10.0, 1)], "id long, price double, ts long")
+    t.bulk_insert(df)
+    t.upsert(df.withColumn("price", F.lit(11.0)))
+    s = HudiSqlSession(spark)
+    s.sql(f"SCHEDULE COMPACTION ON '{path}'")
+    assert len(s.sql(f"SHOW COMPACTION ON '{path}'").collect()) == 1
+    s.sql(f"RUN COMPACTION ON '{path}'")
+    assert len(s.sql(f"SHOW COMPACTION ON '{path}'").collect()) == 0
+    assert t.read_optimized().first().price == 11.0
