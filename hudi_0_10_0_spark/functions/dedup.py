@@ -251,12 +251,16 @@ def connected_components(
     and C aren't directly similar). Returns (id, comp) where comp is
     the minimum id reachable.
 
-    Label propagation to fixpoint: each round joins labels to
-    neighbors and takes the min (converges in O(graph diameter)
-    rounds; dedup graphs are shallow). Each round is one shuffle join
-    + one aggregation; ``localCheckpoint`` truncates the lineage so a
-    20-round run doesn't build a 20-deep plan — the same pattern
-    GraphFrames uses for its connected components at scale."""
+    Label propagation to fixpoint with per-round pointer jumping
+    (``comp ← comp's comp``): the neighbor-min step alone converges in
+    O(diameter) rounds, the path-compression join brings that to
+    O(log diameter) so ``max_iter=25`` covers chains of length ~2^25.
+    Each round is two shuffle joins + one aggregation;
+    ``localCheckpoint`` truncates the lineage so a long run doesn't
+    build a deep plan — the same pattern GraphFrames uses for its
+    connected components at scale. Raises if the fixpoint is not
+    reached within ``max_iter`` (a silently split component would
+    diverge from the exact oracle)."""
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -273,12 +277,24 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        new = labels.join(nbr, labels["id"] == nbr["s"], "left").select(
+            labels["id"],
+            F.least(
+                labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+            ).alias("comp"),
+        )
+        # pointer jump: comp ← min(comp, comp's comp). comp is always
+        # the id of some node, so it resolves against the label table —
+        # path compression turns O(diameter) into O(log diameter).
+        jump = new.select(
+            F.col("id").alias("c_id"), F.col("comp").alias("c_comp")
+        )
         new = (
-            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            new.join(jump, new["comp"] == jump["c_id"], "left")
             .select(
-                labels["id"],
+                new["id"],
                 F.least(
-                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                    new["comp"], F.coalesce(jump["c_comp"], new["comp"])
                 ).alias("comp"),
             )
             .localCheckpoint()
@@ -292,6 +308,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter too large); raise max_iter"
+        )
     return labels
 
 

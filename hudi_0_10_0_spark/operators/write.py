@@ -444,7 +444,20 @@ def write_instant_files(
     if table.cfg.drop_partition_columns:
         # hoodie.datasource.write.drop.partition.columns: the partition
         # values live in _hoodie_partition_path; readers rebuild the
-        # columns from it (sources/read.py _restore_partition_columns)
+        # columns from it (sources/read.py _restore_partition_columns).
+        # Timestamp-keygen partition values are a date_format rendering
+        # of the column — dropping the column would lose data the path
+        # can't reconstruct, so refuse the combination.
+        from ..plans.pruning import _timestamp_partition_fields
+
+        ts_fields = _timestamp_partition_fields(table.cfg)
+        if ts_fields:
+            raise ValueError(
+                "drop_partition_columns is not supported with "
+                f"timestamp-keygen partition fields {sorted(ts_fields)}: "
+                "the partition path stores a formatted rendering, not "
+                "the column value, so the column cannot be rebuilt"
+            )
         out = out.drop(
             *[f for f in table.cfg.partition_fields() if f in out.columns]
         )
@@ -585,6 +598,16 @@ def collect_write_stats(
     if cfg.collect_column_stats:
         wanted = set(cfg.stats_columns) if cfg.stats_columns else None
         schema = table.schema()
+        if schema is None:
+            # first commit: no completed instant to read the table schema
+            # from yet — take it from the just-written files (driver-side
+            # footer metadata read, no data I/O); without this the initial
+            # bulk load would never get column stats and data skipping
+            # would silently not apply until the second commit
+            try:
+                schema = table.spark.read.parquet(inst_dir).schema
+            except Exception:
+                schema = None
         if schema is not None:
             for f in schema.fields:
                 if f.name in META_COLS or f.name == DELETE_MARKER_COL:

@@ -95,13 +95,39 @@ def pred_possible(col_stats: dict, pred) -> bool:
     return True  # unknown shape — must read
 
 
+def _timestamp_partition_fields(cfg) -> set:
+    """Partition columns whose path value is a FORMATTED timestamp
+    rendering (TimestampBasedAvroKeyGenerator.java:48-60 / per-field
+    CustomKeyGenerator specs), not the raw column value — their path
+    segment must never be used as a pseudo column stat."""
+    specs = cfg.raw_partition_specs()
+    out = set()
+    for i, spec in enumerate(specs):
+        fld, per_field = spec, None
+        if cfg.keygen == "custom" and ":" in spec:
+            fld, per_field = spec.split(":", 1)
+            per_field = per_field.strip().lower()
+        if per_field == "timestamp" or (
+            cfg.keygen == "timestamp" and i == len(specs) - 1
+        ):
+            out.add(fld)
+    return out
+
+
 def _partition_pseudo_stats(table, partition: str) -> dict:
     """Exact (min=max) stats for the partition field columns derived
     from the slice's partition path — partition pruning that works even
     when the columns aren't in the data files (drop.partition.columns)
     and for slices with delta logs (the partition is slice identity).
     Values are coerced to the declared column type so range predicates
-    compare numerically, not lexicographically."""
+    compare numerically, not lexicographically.
+
+    Timestamp-keygen fields are skipped (their path value is a
+    ``date_format`` rendering of the column, not the value itself), and
+    if the segment count doesn't match the field count (e.g. a
+    'yyyy/MM/dd' output format spans three path segments) NO pseudo
+    stats are derived — alignment of every later field would be wrong.
+    """
     from urllib.parse import unquote
 
     from ..config import DEFAULT_PARTITION
@@ -110,14 +136,17 @@ def _partition_pseudo_stats(table, partition: str) -> dict:
     pfields = cfg.partition_fields()
     if not pfields:
         return {}
+    segs = partition.split("/") if partition else []
+    if len(segs) != len(pfields):
+        return {}
+    ts_fields = _timestamp_partition_fields(cfg)
     try:
         dtypes = {f.name: f.dataType.simpleString() for f in table.read_schema().fields}
     except Exception:
         dtypes = {}
-    segs = partition.split("/") if partition else []
     out = {}
     for i, fld in enumerate(pfields):
-        if i >= len(segs):
+        if fld in ts_fields:
             continue
         v = segs[i].split("=", 1)[1] if "=" in segs[i] else segs[i]
         if cfg.url_encode_partitioning:
@@ -151,8 +180,10 @@ def prune_slices_by_stats(table, slices, filters) -> list:
     for s in slices:
         stats = _partition_pseudo_stats(table, s.partition)
         if not s.logs and s.base.col_stats:
-            # partition value is exact — it wins over footer ranges
-            stats = {**s.base.col_stats, **stats}
+            # footer stats come from the real data — they win wherever
+            # both exist; pseudo-stats only fill columns absent from the
+            # file (drop.partition.columns)
+            stats = {**stats, **s.base.col_stats}
         if all(pred_possible(stats, p) for p in preds):
             kept.append(s)
     return kept

@@ -67,14 +67,26 @@ def _restore_partition_columns(table, df: DataFrame) -> DataFrame:
     the scan (no join); Catalyst folds them into codegen."""
     from ..config import DEFAULT_PARTITION
 
+    from ..plans.pruning import _timestamp_partition_fields
+
     cfg = table.cfg
     dtypes = {f.name: f.dataType for f in table.read_schema().fields}
+    ts_fields = _timestamp_partition_fields(cfg)
     segs = F.split(F.col(PARTITION_PATH_COL), "/")
     for i, fld in enumerate(cfg.partition_fields()):
-        if fld not in df.columns or fld not in dtypes:
+        if fld not in df.columns or fld not in dtypes or fld in ts_fields:
+            # timestamp-keygen path values are a date_format rendering,
+            # not the column value — not reconstructible (write.py
+            # refuses drop_partition_columns for those)
             continue
         seg = F.element_at(segs, i + 1)
-        val = F.substring_index(seg, "=", -1) if cfg.hive_style_partitioning else seg
+        # strip the hive-style "field=" prefix only up to the FIRST '='
+        # — a value containing a literal '=' must survive intact
+        val = (
+            F.regexp_replace(seg, "^[^=]*=", "")
+            if cfg.hive_style_partitioning
+            else seg
+        )
         val = F.when(val == DEFAULT_PARTITION, F.lit(None)).otherwise(val)
         if cfg.url_encode_partitioning:
             # escapePathName escaping is %XX; url_decode also maps '+'
@@ -315,15 +327,22 @@ def incremental(
     if path_glob:
         # hoodie.datasource.read.incr.path.glob
         # (IncrementalRelation.scala:139-150: GlobPattern("*" + glob)
-        # over the touched files' full paths) — ours matches against the
-        # slice's partition-path + base file names
+        # over each file's table-relative "<partition>/<file name>" path)
+        # — matched against the same reconstructed relative path, so
+        # reference-style globs spanning partition and file name (e.g.
+        # "2021/03/*.parquet") carry over; bare-partition globs still
+        # match via the trailing-slash form
         import fnmatch
+        import os
 
         pat = "*" + path_glob
+        def _rel(s, p):
+            return ("/" + s.partition + "/" if s.partition else "/") + os.path.basename(p)
+
         slices = [
             s
             for s in slices
-            if any(fnmatch.fnmatch("/" + p, pat) for p in s.base.paths)
+            if any(fnmatch.fnmatch(_rel(s, p), pat) for p in s.base.paths)
             or fnmatch.fnmatch("/" + s.partition + "/", pat + "/")
             or fnmatch.fnmatch("/" + s.partition, pat)
         ]

@@ -356,15 +356,20 @@ class HudiSqlSession:
             return t.bulk_insert(df)
         if not drop_dup and mode in ("upsert", "strict") and has_pc:
             if mode == "strict" and t.cfg.table_type == TableType.COPY_ON_WRITE:
-                key = t.cfg.record_key_field.split(",")[0]
+                # Full composite-key comparison, mirroring
+                # ValidateDuplicateKeyPayload which validates the whole
+                # record key (key_fields() also handles list-typed
+                # record_key_field from datasource-registered tables)
+                keys = t.cfg.key_fields()
                 hit = (
-                    df.select(F.col(key).alias("__k"))
-                    .join(t.snapshot().select(F.col(key).alias("__k")), "__k")
+                    df.select(*keys)
+                    .join(t.snapshot().select(*keys), keys)
                     .first()
                 )
                 if hit is not None:
                     raise ValueError(
-                        f"Duplicate key found for insert statement, key is: {hit[0]}"
+                        "Duplicate key found for insert statement, key is: "
+                        + ",".join(str(hit[k]) for k in keys)
                     )
             return t.upsert(df)
         if drop_dup:

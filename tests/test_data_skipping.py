@@ -165,3 +165,72 @@ def test_partition_path_pruning(spark, tmp_path):
     assert {s.partition for s in kept} == {"0"}
     # snapshot with the filter returns exactly the partition's rows
     assert m.snapshot(filters=[("bucket", "=", 0)]).filter("bucket = 0").count() == 25
+
+
+def test_timestamp_keygen_partition_no_false_pruning(spark, tmp_path):
+    """ADVICE r2 (high): timestamp-keygen partition paths are a
+    date_format RENDERING of the column ('yyyy/MM/dd' even spans three
+    path segments), so deriving min=max pseudo-stats from the path
+    segments poisons pruning — snapshot(filters=[('ts', '>', ...)])
+    silently dropped file slices that contain matching rows. Pseudo
+    stats must skip timestamp fields and bail on segment misalignment;
+    footer stats (from real data) win for log-free slices."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.plans.pruning import (
+        _partition_pseudo_stats,
+        prune_slices_by_stats,
+    )
+
+    # 100 rows over ~50 days → several yyyy/MM/dd partitions
+    df = spark.createDataFrame(
+        [(i, 1600_000_000 + i * 43_200, float(i)) for i in range(100)],
+        "id int, ts long, v double",
+    )
+    t = HudiTable.create(
+        spark, str(tmp_path) + "/tsk",
+        WriteConfig(
+            record_key_field="id", partition_field="ts",
+            precombine_field="v", keygen="timestamp",
+            timestamp_input_type="EPOCHSECONDS",
+            timestamp_output_format="yyyy/MM/dd",
+        ),
+    )
+    t.bulk_insert(df)
+    slices = t.view().latest_file_slices()
+    assert len(slices) > 1
+    # no pseudo-stats at all: segments (3 per field) misalign with the
+    # single partition field, and the field itself is timestamp-formatted
+    assert all(_partition_pseudo_stats(t, s.partition) == {} for s in slices)
+    cut = 1600_000_000 + 60 * 43_200
+    pred = ("ts", ">", cut)
+    expected = df.filter(F.col("ts") > cut).count()
+    assert expected > 0
+    # pruning keeps every slice containing matching rows → full recall
+    got = t.snapshot(filters=[pred]).filter(F.col("ts") > cut).count()
+    assert got == expected
+    # footer stats still prune: a cut past the max keeps nothing
+    kept = prune_slices_by_stats(t, slices, [("ts", ">", 1600_000_000 + 200 * 43_200)])
+    assert kept == []
+
+
+def test_drop_partition_columns_refused_for_timestamp_keygen(spark, tmp_path):
+    """drop_partition_columns would lose the raw column value under
+    timestamp keygen (the path stores the formatted rendering) — the
+    write must refuse the combination instead of silently corrupting."""
+    import pytest
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    df = spark.createDataFrame([(1, 1600000000, 1.0)], "id int, ts long, v double")
+    t = HudiTable.create(
+        spark, str(tmp_path) + "/dpc",
+        WriteConfig(
+            record_key_field="id", partition_field="ts",
+            precombine_field="v", keygen="timestamp",
+            timestamp_input_type="EPOCHSECONDS",
+            timestamp_output_format="yyyy-MM-dd",
+            drop_partition_columns=True,
+        ),
+    )
+    with pytest.raises(ValueError, match="drop_partition_columns"):
+        t.bulk_insert(df)

@@ -131,3 +131,37 @@ def test_incremental_path_glob(spark, tmp_table_path):
     })
     assert globbed.count() == full.filter("o_orderpriority = '1-URGENT'").count() > 0
     assert globbed.filter("o_orderpriority <> '1-URGENT'").count() == 0
+
+
+def test_incremental_path_glob_partition_and_filename(spark, tmp_table_path):
+    """ADVICE r2 (low): the reference matches GlobPattern('*'+glob)
+    against each file's table-relative '<partition>/<fileName>' path
+    (IncrementalRelation.scala:139-150) — a glob spanning partition and
+    file name like 'PART/*.parquet' must select that partition's files,
+    not silently match nothing against internal layout paths."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark import datasource as ds
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    t = HudiTable.create(
+        spark, tmp_table_path + "/ipg2",
+        WriteConfig(record_key_field="o_orderkey", partition_field="o_orderpriority",
+                    precombine_field="o_orderdate"),
+    )
+    c0 = t.bulk_insert(orders)
+    t.upsert(orders.limit(200).withColumn("o_orderstatus", F.lit("G")))
+    full = ds.read(spark, tmp_table_path + "/ipg2", {
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": c0,
+    })
+    globbed = ds.read(spark, tmp_table_path + "/ipg2", {
+        "hoodie.datasource.query.type": "incremental",
+        "hoodie.datasource.read.begin.instanttime": c0,
+        "hoodie.datasource.read.incr.path.glob": "1-URGENT/*.parquet",
+    })
+    want = full.filter("o_orderpriority = '1-URGENT'").count()
+    assert want > 0
+    assert globbed.count() == want
+    assert globbed.filter("o_orderpriority <> '1-URGENT'").count() == 0

@@ -418,3 +418,21 @@ def test_connected_components_chains(spark):
     got = {r.id: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """ADVICE r2 (low): a chain whose diameter exceeds the round budget
+    must not silently split — pointer jumping converges in O(log
+    diameter) rounds, and a genuinely insufficient budget raises."""
+    import pytest
+
+    from hudi_0_10_0_spark.functions.dedup import connected_components
+
+    # path graph 0-1-2-...-199: diameter 199 >> 10 rounds linear
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {r.id: r.comp for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 200
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

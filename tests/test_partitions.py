@@ -215,3 +215,27 @@ def test_drop_partition_validations(sess, spark, tmp_table_path):
     # spec order differs from declaration order — still resolves
     sess.sql("ALTER TABLE dpm DROP PARTITION (day='01', year='2021', month='10')")
     assert [r.id for r in sess.tables["dpm"].snapshot().collect()] == [2]
+
+
+def test_hive_partition_value_with_equals_sign(spark, tmp_table_path):
+    """ADVICE r2 (low): a hive-style partition VALUE containing a
+    literal '=' (url-encoding off) must survive the drop-partition-
+    columns round trip — strip only the first 'field=' prefix, not up
+    to the last '='."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    df = spark.createDataFrame(
+        [(1, "a=b", 1.0), (2, "c", 2.0)], "id int, tag string, v double"
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path + "/heq",
+        WriteConfig(record_key_field="id", partition_field="tag",
+                    hive_style_partitioning=True,
+                    url_encode_partitioning=False,
+                    drop_partition_columns=True),
+    )
+    t.bulk_insert(df)
+    got = {r.id: r.tag for r in t.snapshot().select("id", "tag").collect()}
+    assert got == {1: "a=b", 2: "c"}

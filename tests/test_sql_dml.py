@@ -485,3 +485,27 @@ def test_select_timestamp_as_of(spark, tmp_table_path):
     human = f"{c0[0:4]}-{c0[4:6]}-{c0[6:8]} {c0[8:10]}:{c0[10:12]}:{c0[12:14]}.{c0[14:17]}"
     old2 = s.sql(f"SELECT id, v FROM ttt TIMESTAMP AS OF '{human}'").collect()
     assert [tuple(r) for r in old2] == [(1, 10)]
+
+
+def test_insert_strict_mode_composite_key(spark, tmp_table_path):
+    """ADVICE r2 (medium): strict-mode duplicate validation must compare
+    the FULL composite key (ValidateDuplicateKeyPayload validates the
+    whole record key) — (1,'c') is a new key when (1,'a') exists — and
+    must accept list-typed record_key_field."""
+    _reset_insert_confs(spark)
+    t = HudiTable.create(
+        spark, tmp_table_path + "/stck",
+        WriteConfig(record_key_field=["id", "name"], precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 10.0, 1000)], "id int, name string, price double, ts long"))
+    s = _sql_sess(spark, ("tck", t))
+    s.sql("SET hoodie.sql.insert.mode = strict")
+    try:
+        # same id, different second key column → NOT a duplicate
+        s.sql("INSERT INTO tck VALUES (1, 'c', 11.0, 1001)")
+        assert t.snapshot().count() == 2
+        with pytest.raises(ValueError, match="Duplicate key found for insert statement"):
+            s.sql("INSERT INTO tck VALUES (1, 'a', 12.0, 1002)")
+    finally:
+        _reset_insert_confs(spark)
