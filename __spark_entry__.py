@@ -2085,7 +2085,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE (driver contract): the driver's CORRECTNESS gate checks only
+    # the FIRST 50 entries in registration order. Order of priority:
+    # (1) queries with no prior driver-green row or changed recently,
+    # (2) one query per operator family, (3) stable twice-green TPC-H
+    # relational demos last — they rotate OUT of the window and are kept
+    # honest by tools/check_oracle.py covering ALL entries every round.
     return {
+        # --- r2-unchecked (past position 50 last round) ---
+        "similarity_ann_ivf": q_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
+        "clustering_zorder": q_clustering_zorder,
+        "clustering_hilbert_async": q_clustering_hilbert,
+        "schema_evolution_add_column": q_schema_evolution,
+        "cdc_aws_dms": q_cdc_dms,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "sampling_stratified": q_sampling_stratified,
+        "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        # --- core table-format operators ---
         "cow_snapshot_upsert_delete": q_cow_snapshot,
         "cow_incremental": q_cow_incremental,
         "cow_time_travel": q_cow_time_travel,
@@ -2102,6 +2120,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_bloom_partition_move": q_global_bloom_move,
         "inmemory_index_upsert_delete": q_inmemory_index,
         "record_index_upsert_delete": q_record_index,
+        # --- events / LLM-pipeline operator families ---
+        "events_latest_per_user": q_events_latest_per_user,
+        "events_hourly_agg": q_events_hourly_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_simhash_dedup,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "text_fingerprint_groups": q_fingerprint_groups,
+        "text_vocab_topk": q_vocab_topk,
+        "text_contamination": q_contamination,
+        "dedup_components": q_dedup_components,
+        "pipeline_training_data": q_pipeline_training_data,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_ann_topk,
+        # --- stable twice-green TPC-H relational demos (rotate past the
+        # driver's 50-entry window; checked by tools/check_oracle.py) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2120,32 +2157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": q_tpch_q12,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
-        "events_latest_per_user": q_events_latest_per_user,
-        "events_hourly_agg": q_events_hourly_agg,
-        "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_simhash_dedup,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "text_fingerprint_groups": q_fingerprint_groups,
-        "text_vocab_topk": q_vocab_topk,
-        "text_contamination": q_contamination,
-        "dedup_components": q_dedup_components,
-        "pipeline_training_data": q_pipeline_training_data,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_ann_topk,
-        "similarity_ann_ivf": q_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "sampling_stratified": q_sampling_stratified,
-        "pipeline_pack_sequences": q_pipeline_pack_sequences,
-        "clustering_zorder": q_clustering_zorder,
-        "clustering_hilbert_async": q_clustering_hilbert,
-        "schema_evolution_add_column": q_schema_evolution,
-        "cdc_aws_dms": q_cdc_dms,
-        "dedup_embedding": q_dedup_embedding,
     }
 
 

@@ -143,7 +143,7 @@ def minhash_dedup(
 def ngram_jaccard_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle: int = 3, threshold: float = 0.7,
-    max_shingle_doc_freq: int | None = None,
+    max_shingle_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup removal via an inverted shingle
     index: explode distinct shingles, self-join on shingle (one shuffle
@@ -152,11 +152,16 @@ def ngram_jaccard_dedup(
 
     Unlike MinHash+LSH there is no recall loss; candidate volume is
     bounded by shared-shingle pairs rather than n². At 100 TB the
-    hot-key risk is ultra-common shingles — ``max_shingle_doc_freq``
-    drops shingles appearing in more than that many docs from the index
-    (stop-shingles). That is precision-safe (a dropped shingle only
-    lowers the computed intersection) but can miss pairs whose overlap
-    is mostly stop-shingles; leave it None for exact results."""
+    hot-key risk is ultra-common shingles: ONE shingle shared by k docs
+    emits k²/2 candidate pairs, so an unbounded inverted index goes
+    quadratic on boilerplate n-grams. ``max_shingle_doc_freq`` drops
+    shingles appearing in more than that many docs from the index
+    (stop-shingles). The default (10k) caps any one shingle's candidate
+    fan-out at ~5·10⁷ pairs while being far above any real document's
+    distinct-shingle overlap; it is precision-safe (a dropped shingle
+    only lowers the computed intersection — pair sizes stay exact) but
+    can in principle miss pairs whose overlap is MOSTLY stop-shingles.
+    Pass ``None`` for fully exact results."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle))).alias("sh"),

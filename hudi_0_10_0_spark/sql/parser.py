@@ -59,6 +59,11 @@ class HudiSqlSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: dict[str, object] = {}
+        # timeline fingerprint at last temp-view registration per table
+        # (VERDICT r2 #4: skip per-statement view churn when nothing
+        # committed since — fingerprint() is one directory listing vs a
+        # full snapshot plan build + createOrReplaceTempView)
+        self._view_fps: dict[str, tuple] = {}
         # the vanilla planner entry point — kept separate so that
         # install_sql_extension can patch spark.sql to route through
         # THIS object without recursing back into itself
@@ -66,6 +71,7 @@ class HudiSqlSession:
 
     def register(self, name: str, table) -> None:
         self.tables[name] = table
+        self._view_fps.pop(name, None)
 
     def _table(self, name: str):
         t = self.tables.get(name)
@@ -74,8 +80,7 @@ class HudiSqlSession:
         return t
 
     def _refresh_views(self) -> None:
-        for name, t in self.tables.items():
-            t.snapshot().createOrReplaceTempView(name)
+        self._refresh_views_except(None)
 
     # -- MERGE INTO ---------------------------------------------------------
     def _merge(self, stmt: str) -> str:
@@ -383,10 +388,19 @@ class HudiSqlSession:
                 t.cfg = prev
         return t.insert(df)
 
-    def _refresh_views_except(self, skip: str) -> None:
+    def _refresh_views_except(self, skip: str | None) -> None:
         for n, t in self.tables.items():
-            if n != skip:
-                t.snapshot().createOrReplaceTempView(n)
+            if n == skip:
+                continue
+            try:
+                fp = t.timeline.fingerprint()
+            except Exception:
+                fp = None
+            if fp is not None and self._view_fps.get(n) == fp:
+                continue  # unchanged since last registration
+            t.snapshot().createOrReplaceTempView(n)
+            if fp is not None:
+                self._view_fps[n] = fp
 
     # -- dispatcher ----------------------------------------------------------
     def sql(self, stmt: str):
@@ -411,6 +425,7 @@ class HudiSqlSession:
             t = self._table(old)
             t.rename(new)
             self.tables[new] = self.tables.pop(old)
+            self._view_fps.pop(old, None)
             try:
                 self.spark.catalog.dropTempView(old)
             except Exception:
@@ -544,6 +559,7 @@ class HudiSqlSession:
             # DropHoodieTableCommand: unregister; PURGE also deletes the
             # table directory
             t = self.tables.pop(m.group(2), None)
+            self._view_fps.pop(m.group(2), None)
             try:
                 self.spark.catalog.dropTempView(m.group(2))
             except Exception:

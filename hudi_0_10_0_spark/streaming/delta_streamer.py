@@ -92,34 +92,58 @@ class DeltaStreamer:
 
     def _pull_kafka(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         """Kafka batch pull (``util/sources/JsonKafkaSource`` family):
-        checkpoint = JSON ending-offsets map from the previous round.
-        Requires the spark-sql-kafka connector on the classpath; absent
-        in this build, the call is gated with a clear error."""
+        checkpoint = JSON per-topic/per-partition NEXT-offset map from
+        the previous round (``KafkaOffsetGen.CheckpointUtils``). The
+        broker client is a seam: ``source_options["client"]`` may supply
+        any object with ``scan(topic, starting) -> [(partition, offset,
+        value)]`` (e.g. :class:`InMemoryKafka` for tests); without one,
+        the spark-sql-kafka connector is used and its absence in this
+        build raises a clear error. Offset bookkeeping — resume at the
+        stored map, advance to max+1, carry forward partitions with no
+        new data — is shared between both paths."""
         import json as _json
 
-        opts = {
-            "kafka.bootstrap.servers": self.source_options.get("bootstrap.servers", ""),
-            "subscribe": self.source,
-            "startingOffsets": ckpt or "earliest",
-            "endingOffsets": "latest",
-        }
-        try:
-            df = self.spark.read.format("kafka").options(**opts).load()
-        except Exception as e:  # connector jar not on classpath
-            raise NotImplementedError(
-                "kafka source needs the spark-sql-kafka connector on the "
-                "session classpath"
-            ) from e
-        if df.isEmpty():
-            return None, ckpt
-        ends = {
-            f"{r['topic']}": {str(r["partition"]): r["mx"] + 1}
-            for r in df.groupBy("topic", "partition")
-            .agg({"offset": "max"})
-            .withColumnRenamed("max(offset)", "mx")
-            .collect()
-        }
-        return df.selectExpr("CAST(value AS STRING) AS value"), _json.dumps(ends)
+        starting: dict = _json.loads(ckpt).get(self.source, {}) if ckpt else {}
+        client = self.source_options.get("client")
+        if client is not None:
+            rows = client.scan(self.source, starting)
+            if not rows:
+                return None, ckpt
+            df = self.spark.createDataFrame(
+                [(self.source, p, o, v) for p, o, v in rows],
+                "topic string, partition int, offset long, value string",
+            )
+        else:
+            opts = {
+                "kafka.bootstrap.servers": self.source_options.get(
+                    "bootstrap.servers", ""
+                ),
+                "subscribe": self.source,
+                "startingOffsets": (
+                    _json.dumps({self.source: starting}) if starting else "earliest"
+                ),
+                "endingOffsets": "latest",
+            }
+            try:
+                df = self.spark.read.format("kafka").options(**opts).load()
+            except Exception as e:  # connector jar not on classpath
+                raise NotImplementedError(
+                    "kafka source needs the spark-sql-kafka connector on the "
+                    "session classpath (or pass source_options['client'])"
+                ) from e
+            if df.isEmpty():
+                return None, ckpt
+        # next-offset map: start from the previous round's positions so
+        # partitions with no new data keep their place across rounds
+        ends = dict(starting)
+        for r in (
+            df.groupBy("topic", "partition").agg(F.max("offset").alias("mx")).collect()
+        ):
+            ends[str(r["partition"])] = r["mx"] + 1
+        return (
+            df.selectExpr("CAST(value AS STRING) AS value"),
+            _json.dumps({self.source: ends}, sort_keys=True),
+        )
 
     def _pull_jdbc(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         """JDBC incremental pull (``util/sources/JdbcSource``):
@@ -188,6 +212,34 @@ class DeltaStreamer:
             else:
                 time.sleep(poll_seconds)
         return commits
+
+
+class InMemoryKafka:
+    """Minimal broker fake for the Kafka source seam: an append-only
+    per-(topic, partition) log where the offset is the list index — the
+    same contract ``KafkaConsumer.poll`` gives the reference's
+    ``KafkaOffsetGen``. The backing ``log`` dict is passed in, so a
+    "restarted broker" is a NEW InMemoryKafka over the SAME dict (the
+    log survives, consumer group state doesn't — exactly the durability
+    Kafka provides)."""
+
+    def __init__(self, log: dict | None = None):
+        # log: {topic: {partition: [value, ...]}}
+        self.log = log if log is not None else {}
+
+    def send(self, topic: str, value: str, partition: int = 0) -> int:
+        part = self.log.setdefault(topic, {}).setdefault(partition, [])
+        part.append(value)
+        return len(part) - 1  # offset
+
+    def scan(self, topic: str, starting: dict) -> list[tuple[int, int, str]]:
+        """All records at offset >= starting[str(partition)] (default 0),
+        as (partition, offset, value)."""
+        out = []
+        for p, values in sorted(self.log.get(topic, {}).items()):
+            begin = int(starting.get(str(p), 0))
+            out.extend((p, o, v) for o, v in enumerate(values) if o >= begin)
+        return out
 
 
 def flatten_transformer(df: DataFrame) -> DataFrame:

@@ -437,3 +437,51 @@ def test_compaction_on_path_literal(spark, tmp_table_path):
     s.sql(f"RUN COMPACTION ON '{path}'")
     assert len(s.sql(f"SHOW COMPACTION ON '{path}'").collect()) == 0
     assert t.read_optimized().first().price == 11.0
+
+
+def test_vanilla_sql_view_refresh_cached_by_fingerprint(spark, tmp_table_path):
+    """VERDICT r2 #4: repeated vanilla SELECTs must not rebuild every
+    registered table's snapshot temp view — the refresh is skipped while
+    the table's timeline fingerprint is unchanged, and re-runs after a
+    commit."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.sql.extension import (
+        install_sql_extension,
+        uninstall_sql_extension,
+    )
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/vc",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 1000)], "id int, name string, ts long"))
+
+    calls = {"n": 0}
+    orig_snapshot = t.snapshot
+
+    def counting_snapshot(*a, **k):
+        calls["n"] += 1
+        return orig_snapshot(*a, **k)
+
+    t.snapshot = counting_snapshot
+    s = install_sql_extension(spark)
+    try:
+        s.register("tvc", t)
+        assert spark.sql("SELECT count(*) AS n FROM tvc").collect()[0].n == 1
+        first = calls["n"]
+        assert first >= 1
+        # steady state: no snapshot rebuild per statement
+        for _ in range(3):
+            spark.sql("SELECT count(*) AS n FROM tvc").collect()
+        assert calls["n"] == first
+        # a commit changes the fingerprint → exactly one more rebuild
+        t.upsert(spark.createDataFrame([(2, "b", 1001)], "id int, name string, ts long"))
+        assert spark.sql("SELECT count(*) AS n FROM tvc").collect()[0].n == 2
+        after = calls["n"]
+        assert after > first
+        spark.sql("SELECT count(*) AS n FROM tvc").collect()
+        assert calls["n"] == after
+    finally:
+        uninstall_sql_extension(spark)
+        t.snapshot = orig_snapshot

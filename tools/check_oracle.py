@@ -86,9 +86,11 @@ def main():
 
     qs, oracles = mod.queries(), mod.oracle_sql()
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -150,7 +152,11 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"OK   {name} ({len(srows)} rows)")
-    print("RESULT:", "FAIL " + ",".join(failures) if failures else "ALL OK")
+    ok = checked - len(failures)
+    print(
+        f"RESULT: {ok}/{checked} OK"
+        + (" — FAIL " + ",".join(failures) if failures else "")
+    )
     spark.stop()
     return 1 if failures else 0
 
