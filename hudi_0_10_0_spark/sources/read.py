@@ -309,10 +309,13 @@ def incremental(
     groups, filter on ``_hoodie_commit_time``.
 
     ``fallback_full_scan``: when the as-of-end file versions have been
-    removed by cleaning (or ``begin`` predates the active timeline), scan
-    the LATEST snapshot and filter on commit time instead of failing —
+    removed by cleaning (e.g. ``begin`` predates the active timeline and
+    the archived commits' files are gone), scan the LATEST snapshot and
+    filter on commit time instead —
     ``hoodie.datasource.read.incr.fallback.fulltablescan.enable``
-    (``IncrementalRelation.scala:101-175``)."""
+    (``IncrementalRelation.scala:101-175``). With the fallback DISABLED
+    an unreadable range raises (HoodieException posture) rather than
+    silently returning a partial result."""
     view = table.view()
     commits = view.commits_in_range(begin, end)
     if not commits:
@@ -346,7 +349,15 @@ def incremental(
             or fnmatch.fnmatch("/" + s.partition + "/", pat + "/")
             or fnmatch.fnmatch("/" + s.partition, pat)
         ]
-    if fallback_full_scan and _range_unreadable(table, slices, touched):
+    if _range_unreadable(table, slices, touched):
+        if not fallback_full_scan:
+            raise ValueError(
+                f"Incremental query range ({begin}, {end}] is no longer "
+                "fully readable: file versions in the range were removed "
+                "by cleaning (begin may predate the active timeline). "
+                "Set hoodie.datasource.read.incr.fallback.fulltablescan."
+                "enable=true to scan the latest snapshot instead."
+            )
         df = snapshot(table)
         cond = F.col(COMMIT_TIME_COL) <= F.lit(end_ts)
         if begin is not None:
