@@ -151,6 +151,18 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
                 "o_orderstatus", F.lit("R")
             )
         )
+    elif kind == "bootstrap_full":
+        # FULL_RECORD bootstrap: rewrite the source dataset as v0 with
+        # meta columns stamped, then a normal delete on top
+        src = f"{path}_src"
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(src)
+        t = HudiTable.create(spark, path, _orders_cfg())
+        commits["c0"] = t.bootstrap(src, mode="FULL_RECORD")
+        commits["c1"] = t.delete(
+            orders.filter(F.col("o_orderkey") % 12 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            )
+        )
     elif kind == "global_move":
         # GLOBAL index + update-partition-path: keys arriving with a new
         # partition value move (delete old copy + insert into new)
@@ -2054,6 +2066,75 @@ _SQL_CDC_DMS = """
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: remaining read/write operator variants + sampling
+# ---------------------------------------------------------------------------
+
+
+def q_mor_skip_merge(spark, sf_dir):
+    """MOR snapshot with merge_type=skip_merge
+    (hoodie.datasource.merge.type, MergeOnReadSnapshotRelation.scala:57-139):
+    raw base ∪ delta concat — every record version surfaces, no merge
+    shuffle at all."""
+    t, _ = _fixture(spark, sf_dir, "mor")
+    return t.snapshot(merge_type="skip_merge").select(*_ORDER_COLS)
+
+
+def q_bootstrap_full_record(spark, sf_dir):
+    """FULL_RECORD bootstrap (BootstrapMode.java:29-34): adopt an
+    existing partitioned parquet dataset by rewriting it as v0 with meta
+    columns, then run a normal delete on top."""
+    t, _ = _fixture(spark, sf_dir, "bootstrap_full")
+    return _snap(t)
+
+
+def q_incremental_partition_glob(spark, sf_dir):
+    """Incremental pull restricted by hoodie.datasource.read.incr.path.glob
+    (IncrementalRelation.scala:139-150): a '<partition>/*.parquet' glob
+    over the table-relative file paths selects one partition's changes."""
+    t, c = _fixture(spark, sf_dir, "cow")
+    return t.incremental(
+        c["c0"], c["c1"], path_glob="1-URGENT/*.parquet"
+    ).select(*_ORDER_COLS)
+
+
+def q_clustering_sort(spark, sf_dir):
+    """Plain column-sort clustering (SparkSortAndSizeExecutionStrategy +
+    RDDCustomColumnsSortPartitioner — the default execution strategy,
+    no space curve): rewrite into target-sized files ordered by
+    (o_custkey, o_orderdate); layout changes, results don't."""
+    path = f"{_TMP}/cluster_sort_{abs(hash(sf_dir))}"
+    if not HudiTable.exists(spark, path):
+        t = HudiTable.create(spark, path, _orders_cfg())
+        t.bulk_insert(_pq(spark, sf_dir, "orders"))
+        t.cluster(
+            sort_cols=["o_custkey", "o_orderdate"],
+            layout="sort",
+            target_file_groups=8,
+        )
+    else:
+        t = HudiTable.load(spark, path)
+    return _snap(t)
+
+
+def q_sampling_deterministic(spark, sf_dir):
+    """Uniform deterministic corpus sampling (functions/sampling.py
+    deterministic_sample): engine-portable universal hash of doc_id, so
+    the EXACT row subset — not just its size — is reproducible by the
+    oracle."""
+    from hudi_0_10_0_spark.functions.sampling import deterministic_sample
+
+    docs = _pq(spark, sf_dir, "documents")
+    return deterministic_sample(docs, key_col="doc_id", fraction=0.37).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1 over a hudi_0_10_0_spark COW snapshot at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -2103,6 +2184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "sampling_stratified": q_sampling_stratified,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
+        # --- r3 additions (new driver evidence) ---
+        "mor_skip_merge": q_mor_skip_merge,
+        "bootstrap_full_record": q_bootstrap_full_record,
+        "incremental_partition_glob": q_incremental_partition_glob,
+        "clustering_sort": q_clustering_sort,
+        "sampling_deterministic": q_sampling_deterministic,
         # --- core table-format operators ---
         "cow_snapshot_upsert_delete": q_cow_snapshot,
         "cow_incremental": q_cow_incremental,
@@ -2241,4 +2328,33 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution_add_column": _SQL_SCHEMA_EVOLUTION,
         "cdc_aws_dms": _SQL_CDC_DMS,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
+        "mor_skip_merge": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'A' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, 'B' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 4 = 0
+        """,
+        "bootstrap_full_record": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 12 <> 0
+        """,
+        "incremental_partition_glob": """
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 7 = 0 AND o_orderpriority = '1-URGENT'
+        """,
+        "clustering_sort": _SQL_CLUSTERING,
+        "sampling_deterministic": f"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE {_sql_sample_bucket()} < 3700
+        """,
     }

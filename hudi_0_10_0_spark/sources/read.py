@@ -327,6 +327,18 @@ def incremental(
         for s in view.latest_file_slices(as_of=end_ts)
         if (s.partition, s.file_id) in touched
     ]
+    # readability is a property of the RANGE, judged before the glob
+    # narrows the slice list (a glob-excluded group is not "missing").
+    # Groups REPLACED as of end_ts (clustering / insert_overwrite /
+    # delete_partition) are legitimately absent from the as-of-end
+    # listing — their surviving rows live in the replacement groups —
+    # so they don't make the range unreadable.
+    live_touched = set()
+    for key in touched:
+        g = view.groups.get(key)
+        if g is None or g.replaced_at is None or g.replaced_at > end_ts:
+            live_touched.add(key)
+    unreadable = _range_unreadable(table, slices, live_touched)
     if path_glob:
         # hoodie.datasource.read.incr.path.glob
         # (IncrementalRelation.scala:139-150: GlobPattern("*" + glob)
@@ -349,7 +361,7 @@ def incremental(
             or fnmatch.fnmatch("/" + s.partition + "/", pat + "/")
             or fnmatch.fnmatch("/" + s.partition, pat)
         ]
-    if _range_unreadable(table, slices, touched):
+    if unreadable:
         if not fallback_full_scan:
             raise ValueError(
                 f"Incremental query range ({begin}, {end}] is no longer "
