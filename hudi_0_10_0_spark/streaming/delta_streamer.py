@@ -195,7 +195,14 @@ class DeltaStreamer:
             df.createOrReplaceTempView(view)
             df = self.spark.sql(self.transformer_sql.replace("<SRC>", view))
         if self.transformer is not None:
-            df = self.transformer(df)
+            # a list chains left→right (util/transform/ChainedTransformer)
+            chain = (
+                self.transformer
+                if isinstance(self.transformer, (list, tuple))
+                else [self.transformer]
+            )
+            for fn in chain:
+                df = fn(df)
         op = getattr(self.target, self.operation)
         return op(df, extra={CHECKPOINT_KEY: new_ckpt or ""})
 
@@ -212,6 +219,16 @@ class DeltaStreamer:
             else:
                 time.sleep(poll_seconds)
         return commits
+
+
+def aws_dms_transformer(df: DataFrame) -> DataFrame:
+    """AWSDmsTransformer (``util/transform/AWSDmsTransformer.java``):
+    DMS full-load files lack the ``Op`` column that CDC files carry —
+    add it with the empty-string default so the AWS DMS payload treats
+    those rows as inserts."""
+    if "Op" in df.columns:
+        return df
+    return df.withColumn("Op", F.lit(""))
 
 
 class InMemoryKafka:

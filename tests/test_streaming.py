@@ -528,3 +528,30 @@ def test_delta_streamer_kafka_inmemory_roundtrip(spark, scratch_dir):
     assert t.incremental(c1).count() == 4  # exactly the new records
     assert json.loads(ds2.last_checkpoint()) == {"trips": {"0": 5, "1": 9}}
     assert ds2.sync_once() is None
+
+
+def test_delta_streamer_chained_and_dms_transformers(spark, scratch_dir):
+    """ChainedTransformer (transformer as a list, applied left→right)
+    and AWSDmsTransformer (adds the empty-string Op column DMS
+    full-load files lack — AWSDmsTransformer.java:43-49)."""
+    from hudi_0_10_0_spark.streaming.delta_streamer import (
+        aws_dms_transformer,
+    )
+
+    src_dir = f"{scratch_dir}/in"
+    _mkdf(spark, [(i, "p0", i) for i in range(10)]).write.parquet(src_dir)
+    t = HudiTable.create(spark, f"{scratch_dir}/t", _cfg(payload="aws_dms"))
+    ds = DeltaStreamer(
+        spark, t, src_dir, source_schema=SRC_SCHEMA,
+        transformer=[
+            aws_dms_transformer,
+            lambda df: df.withColumn("v", F.col("v") * 10),
+        ],
+    )
+    assert ds.sync_once() is not None
+    snap = t.snapshot()
+    assert snap.count() == 10
+    assert snap.filter("Op = ''").count() == 10  # full-load rows
+    assert snap.filter("v % 10 != 0").count() == 0  # second stage applied
+    # idempotent second transformer application: Op present → untouched
+    assert "Op" in aws_dms_transformer(snap).columns
