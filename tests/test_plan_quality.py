@@ -24,8 +24,10 @@ READ_QUERIES = [
     "dedup_simhash", "dedup_embedding",
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "text_stats", "multimodal_features", "multimodal_frame_sample",
-    "sampling_stratified", "pipeline_pack_sequences",
-    "pipeline_training_data",
+    "sampling_stratified", "sampling_deterministic",
+    "pipeline_pack_sequences", "pipeline_training_data",
+    "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
+    "dedup_components",
 ]
 
 SF = "/root/testdata/sf0.001"

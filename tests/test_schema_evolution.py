@@ -133,3 +133,39 @@ def test_rename_table_round_trip(spark, tmp_table_path):
     snap = {r.id: r.v for r in t.snapshot().select("id", "v").collect()}
     assert snap == {1: 10, 2: 20, 3: 5000000000}
     assert t.read_schema()["v"].dataType.simpleString() == "bigint"
+
+
+def test_mor_add_column_across_delta_and_compaction(spark, tmp_table_path):
+    """Schema evolution on MERGE_ON_READ: a delta commit introduces a
+    new column that base files predate. The snapshot merge must yield
+    nulls for untouched rows and values for delta rows; read-optimized
+    ignores the deltas entirely; compaction rewrites bases under the
+    widened schema without changing results."""
+    from hudi_0_10_0_spark import TableType
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/morse",
+        _cfg(table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    t.bulk_insert(_df(spark, [(i, "p0", i) for i in range(20)]))
+    with_extra = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType())])
+    t.upsert(
+        spark.createDataFrame(
+            [(i, "p0", 100 + i, f"x{i}") for i in range(5)], with_extra
+        )
+    )
+    snap = t.snapshot()
+    assert "extra" in snap.columns
+    assert snap.filter("extra IS NOT NULL").count() == 5
+    assert snap.filter("extra IS NULL").count() == 15
+    assert {r.extra for r in snap.filter("id < 5").select("extra").collect()} == {
+        f"x{i}" for i in range(5)
+    }
+    ro = t.read_optimized()
+    assert ro.filter("v >= 100").count() == 0  # deltas invisible
+    t.compact()
+    snap2 = t.snapshot()
+    assert snap2.filter("extra IS NOT NULL").count() == 5
+    ro2 = t.read_optimized()
+    assert ro2.filter("v >= 100").count() == 5  # compacted into base
+    assert ro2.filter("extra IS NOT NULL").count() == 5
