@@ -114,7 +114,23 @@ def _timestamp_partition_fields(cfg) -> set:
     return out
 
 
-def _partition_pseudo_stats(table, partition: str) -> dict:
+def _pseudo_stats_ctx(table) -> tuple | None:
+    """Per-TABLE context for partition-path pseudo-stats, computed once
+    per prune call (not per slice — a 100 TB table lists ~875k slices):
+    (partition fields, timestamp-formatted fields, declared dtypes).
+    None when the table is unpartitioned."""
+    cfg = table.cfg
+    pfields = cfg.partition_fields()
+    if not pfields:
+        return None
+    try:
+        dtypes = {f.name: f.dataType.simpleString() for f in table.read_schema().fields}
+    except Exception:
+        dtypes = {}
+    return (cfg, pfields, _timestamp_partition_fields(cfg), dtypes)
+
+
+def _partition_pseudo_stats(table, partition: str, ctx: tuple | None = "unset") -> dict:
     """Exact (min=max) stats for the partition field columns derived
     from the slice's partition path — partition pruning that works even
     when the columns aren't in the data files (drop.partition.columns)
@@ -132,18 +148,14 @@ def _partition_pseudo_stats(table, partition: str) -> dict:
 
     from ..config import DEFAULT_PARTITION
 
-    cfg = table.cfg
-    pfields = cfg.partition_fields()
-    if not pfields:
+    if ctx == "unset":
+        ctx = _pseudo_stats_ctx(table)
+    if ctx is None:
         return {}
+    cfg, pfields, ts_fields, dtypes = ctx
     segs = partition.split("/") if partition else []
     if len(segs) != len(pfields):
         return {}
-    ts_fields = _timestamp_partition_fields(cfg)
-    try:
-        dtypes = {f.name: f.dataType.simpleString() for f in table.read_schema().fields}
-    except Exception:
-        dtypes = {}
     out = {}
     for i, fld in enumerate(pfields):
         if fld in ts_fields:
@@ -176,9 +188,10 @@ def prune_slices_by_stats(table, slices, filters) -> list:
     preds = [f for f in filters if isinstance(f, tuple)]
     if not preds:
         return slices
+    ctx = _pseudo_stats_ctx(table)
     kept = []
     for s in slices:
-        stats = _partition_pseudo_stats(table, s.partition)
+        stats = _partition_pseudo_stats(table, s.partition, ctx)
         if not s.logs and s.base.col_stats:
             # footer stats come from the real data — they win wherever
             # both exist; pseudo-stats only fill columns absent from the
