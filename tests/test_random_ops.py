@@ -85,6 +85,11 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
     )
     t = HudiTable.create(spark, tmp_table_path, cfg)
     model: dict = {}
+    # (commit_ts, model copy) after each step — checked via time travel
+    # at the end; cleared on clean (old versions may become unreadable)
+    # and rollback (rolled-back instants disappear)
+    history: list = []
+    saved: tuple | None = None  # (savepoint_ts, model copy)
 
     init = _rows(rng, 25, ts=0)
     t.bulk_insert(spark.createDataFrame(init, SCHEMA))
@@ -95,7 +100,7 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
     for step in range(10):
         op = rng.choice(
             ["upsert", "upsert", "delete", "compact", "cluster", "rollback",
-             "overwrite", "drop_partition", "clean"]
+             "overwrite", "drop_partition", "clean", "savepoint_restore"]
         )
         if op == "overwrite":
             # insert_overwrite: replace the touched partitions' contents
@@ -111,7 +116,11 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
             for key in [k for k in model if k[1] == part]:
                 model.pop(key)
         elif op == "clean":
+            # savepointed slices are clean-protected (tested in
+            # test_services); un-savepointed history may become
+            # unreadable, so drop it from the time-travel audit
             t.clean()
+            history.clear()
         elif op == "upsert":
             rows = _rows(rng, rng.randrange(1, 12), ts)
             t.upsert(spark.createDataFrame(rows, SCHEMA))
@@ -128,6 +137,17 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
             t.compact()
         elif op == "cluster":
             t.cluster(sort_cols=["id"])
+        elif op == "savepoint_restore":
+            if saved is None:
+                c = t.commits()[-1]
+                t.savepoint(c)
+                saved = (c, dict(model))
+            else:
+                sp_ts, sp_model = saved
+                t.restore(sp_ts)
+                model = dict(sp_model)
+                saved = None
+                history = [h for h in history if h[0] <= sp_ts]
         elif op == "rollback":
             # roll back the latest commit, then re-check against a model
             # replay: simplest sound approach — snapshot the model before
@@ -143,6 +163,10 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
                 }
         ts += 1
         _check(t, model)
+        if op == "rollback":
+            last = t.commits()[-1]
+            history = [h for h in history if h[0] <= last]
+        history.append((t.commits()[-1], dict(model)))
 
     # end-of-sequence invariants: compaction and clustering must not
     # change results
@@ -154,3 +178,15 @@ def test_random_op_sequences(spark, tmp_table_path, seed, table_type, file_forma
     inc = t.incremental(None)
     inc_keys = {(r["id"], r["part"]) for r in inc.select("id", "part").collect()}
     assert inc_keys == set(model)
+    # time-travel audit: the table as of each recorded commit must equal
+    # the model as it was then (dedup: last model per commit ts wins)
+    by_ts: dict = {}
+    for cts, m in history:
+        by_ts[cts] = m
+    for cts in rng.sample(sorted(by_ts), min(3, len(by_ts))):
+        m = by_ts[cts]
+        got = {
+            (r["id"], r["part"]): (r["id"], r["part"], r["v"], r["ts"])
+            for r in t.snapshot(as_of=cts).select("id", "part", "v", "ts").collect()
+        }
+        assert got == m, f"time travel to {cts} diverged from model history"
