@@ -282,11 +282,18 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new = labels.join(nbr, labels["id"] == nbr["s"], "left").select(
-            labels["id"],
-            F.least(
-                labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
-            ).alias("comp"),
+        # checkpoint before the self-join below — without it both join
+        # branches re-evaluate the labels⋈neighbors shuffle, doubling
+        # the per-round work the pointer jump is meant to save
+        new = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
         )
         # pointer jump: comp ← min(comp, comp's comp). comp is always
         # the id of some node, so it resolves against the label table —

@@ -31,6 +31,27 @@ def _record_key_expr(cfg: WriteConfig) -> Column:
     return F.concat_ws(",", *parts)
 
 
+def timestamp_partition_fields(cfg: WriteConfig) -> set:
+    """Partition columns whose path value is a FORMATTED timestamp
+    rendering (the ``_timestamp_partition_expr`` branch of
+    ``_partition_path_expr`` below), not the raw column value. The
+    single source of truth for "is this field a timestamp rendering" —
+    pruning pseudo-stats and partition-column restoration must never
+    treat these path segments as column values."""
+    specs = cfg.raw_partition_specs()
+    out = set()
+    for i, spec in enumerate(specs):
+        fld, per_field = spec, None
+        if cfg.keygen == "custom" and ":" in spec:
+            fld, per_field = spec.split(":", 1)
+            per_field = per_field.strip().lower()
+        if per_field == "timestamp" or (
+            cfg.keygen == "timestamp" and i == len(specs) - 1
+        ):
+            out.add(fld)
+    return out
+
+
 def _partition_path_expr(cfg: WriteConfig) -> Column:
     fields = cfg.raw_partition_specs()
     if not fields:

@@ -448,9 +448,9 @@ def write_instant_files(
         # Timestamp-keygen partition values are a date_format rendering
         # of the column — dropping the column would lose data the path
         # can't reconstruct, so refuse the combination.
-        from ..plans.pruning import _timestamp_partition_fields
+        from ..keygen import timestamp_partition_fields
 
-        ts_fields = _timestamp_partition_fields(table.cfg)
+        ts_fields = timestamp_partition_fields(table.cfg)
         if ts_fields:
             raise ValueError(
                 "drop_partition_columns is not supported with "
@@ -603,9 +603,25 @@ def collect_write_stats(
             # from yet — take it from the just-written files (driver-side
             # footer metadata read, no data I/O); without this the initial
             # bulk load would never get column stats and data skipping
-            # would silently not apply until the second commit
+            # would silently not apply until the second commit. Honor the
+            # table's base format (ORC too) and drop the _pp/_fg layout
+            # dirs Spark infers as partition columns.
+            from ..sources.read import base_format
+
             try:
-                schema = table.spark.read.parquet(inst_dir).schema
+                inferred = (
+                    table.spark.read.format(base_format(table))
+                    .load(inst_dir)
+                    .schema
+                )
+                schema = T.StructType(
+                    [
+                        f
+                        for f in inferred.fields
+                        if f.name
+                        not in (LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL)
+                    ]
+                )
             except Exception:
                 schema = None
         if schema is not None:

@@ -96,22 +96,11 @@ def pred_possible(col_stats: dict, pred) -> bool:
 
 
 def _timestamp_partition_fields(cfg) -> set:
-    """Partition columns whose path value is a FORMATTED timestamp
-    rendering (TimestampBasedAvroKeyGenerator.java:48-60 / per-field
-    CustomKeyGenerator specs), not the raw column value — their path
-    segment must never be used as a pseudo column stat."""
-    specs = cfg.raw_partition_specs()
-    out = set()
-    for i, spec in enumerate(specs):
-        fld, per_field = spec, None
-        if cfg.keygen == "custom" and ":" in spec:
-            fld, per_field = spec.split(":", 1)
-            per_field = per_field.strip().lower()
-        if per_field == "timestamp" or (
-            cfg.keygen == "timestamp" and i == len(specs) - 1
-        ):
-            out.add(fld)
-    return out
+    """Delegates to the keygen module — the writer's own definition of
+    which partition fields are timestamp renderings."""
+    from ..keygen import timestamp_partition_fields
+
+    return timestamp_partition_fields(cfg)
 
 
 def _pseudo_stats_ctx(table) -> tuple | None:
@@ -160,7 +149,13 @@ def _partition_pseudo_stats(table, partition: str, ctx: tuple | None = "unset") 
     for i, fld in enumerate(pfields):
         if fld in ts_fields:
             continue
-        v = segs[i].split("=", 1)[1] if "=" in segs[i] else segs[i]
+        # strip the "field=" prefix only for hive-style layouts — a
+        # NON-hive partition VALUE may itself contain '='
+        v = (
+            segs[i].split("=", 1)[1]
+            if cfg.hive_style_partitioning and "=" in segs[i]
+            else segs[i]
+        )
         if cfg.url_encode_partitioning:
             v = unquote(v)
         if v == DEFAULT_PARTITION:

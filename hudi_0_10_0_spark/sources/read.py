@@ -67,11 +67,11 @@ def _restore_partition_columns(table, df: DataFrame) -> DataFrame:
     the scan (no join); Catalyst folds them into codegen."""
     from ..config import DEFAULT_PARTITION
 
-    from ..plans.pruning import _timestamp_partition_fields
+    from ..keygen import timestamp_partition_fields
 
     cfg = table.cfg
     dtypes = {f.name: f.dataType for f in table.read_schema().fields}
-    ts_fields = _timestamp_partition_fields(cfg)
+    ts_fields = timestamp_partition_fields(cfg)
     segs = F.split(F.col(PARTITION_PATH_COL), "/")
     for i, fld in enumerate(cfg.partition_fields()):
         if fld not in df.columns or fld not in dtypes or fld in ts_fields:
@@ -137,7 +137,11 @@ def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
             v = None
             if i < len(segs):
                 seg = segs[i]
-                v = seg.split("=", 1)[1] if "=" in seg else seg
+                v = (
+                    seg.split("=", 1)[1]
+                    if cfg.hive_style_partitioning and "=" in seg
+                    else seg
+                )
                 if v == DEFAULT_PARTITION:
                     v = None
             out.append(v)
@@ -206,20 +210,52 @@ def slices_to_df(table, slices: list[FileSlice]) -> DataFrame:
     return df
 
 
-def _range_unreadable(table, slices: list[FileSlice], touched: set) -> bool:
+def _range_unreadable(
+    table, slices: list[FileSlice], touched: set, commits: list | None = None
+) -> bool:
     """True when the as-of-end versions of the touched file groups can no
-    longer be read: the cleaner dropped them from the view entirely
-    (empty listing despite touched groups) or some listed file is gone
-    from storage. Driver-side metadata probe, O(files in range)."""
+    longer be read. Pure manifest math, NO per-file storage RPCs (an
+    ~875k-slice range would otherwise probe every path):
+
+    - a touched group vanished from the as-of-end listing entirely
+      (cleaning removed every version in range);
+    - the listed slice is OLDER than an in-range write to its group —
+      cleaning dropped the as-of-end version and an earlier surviving
+      (e.g. savepointed) version is masquerading as it, which would
+      silently serve stale rows;
+    - a listed path appears in the cleaner's deletion record.
+    """
     if touched and not slices:
         return True
     listed = {(s.partition, s.file_id) for s in slices}
     if touched - listed:
         return True
-    for s in slices:
-        for p in [p for p in s.base.paths] + [p for l in s.logs for p in l.paths]:
-            if not table.fs.exists(table.abs_path(p)):
+    by_key = {(s.partition, s.file_id): s for s in slices}
+    for ts, _, md in commits or []:
+        for sd in md.get("write_stats", []):
+            s = by_key.get((sd.get("partition", ""), sd["file_id"]))
+            if s is None:
+                continue
+            if sd.get("log"):
+                # a delta written in range must still hang off the slice
+                # (or have been absorbed by a newer base via compaction)
+                if s.base.instant < ts and not any(
+                    l.instant == ts for l in s.logs
+                ):
+                    return True
+            elif s.base.instant < ts:
                 return True
+    cleaned = getattr(table.view(), "_cleaned", None) or set()
+    if not cleaned:
+        return False
+    for s in slices:
+        for p in s.base.paths:
+            if p in cleaned:
+                return True
+        for l in s.logs:
+            for p in l.paths:
+                if p in cleaned:
+                    return True
     return False
 
 
@@ -338,7 +374,12 @@ def incremental(
         g = view.groups.get(key)
         if g is None or g.replaced_at is None or g.replaced_at > end_ts:
             live_touched.add(key)
-    unreadable = _range_unreadable(table, slices, live_touched)
+    live_commits = [
+        (ts, a, md)
+        for ts, a, md in commits
+        if ts <= end_ts
+    ]
+    unreadable = _range_unreadable(table, slices, live_touched, live_commits)
     if path_glob:
         # hoodie.datasource.read.incr.path.glob
         # (IncrementalRelation.scala:139-150: GlobPattern("*" + glob)

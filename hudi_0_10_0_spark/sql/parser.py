@@ -397,7 +397,13 @@ class HudiSqlSession:
             except Exception:
                 fp = None
             if fp is not None and self._view_fps.get(n) == fp:
-                continue  # unchanged since last registration
+                # unchanged since last registration — but self-heal if
+                # something external dropped the temp view meanwhile
+                try:
+                    if self.spark.catalog.tableExists(n):
+                        continue
+                except Exception:
+                    pass
             t.snapshot().createOrReplaceTempView(n)
             if fp is not None:
                 self._view_fps[n] = fp

@@ -234,3 +234,30 @@ def test_drop_partition_columns_refused_for_timestamp_keygen(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="drop_partition_columns"):
         t.bulk_insert(df)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_first_commit_collects_column_stats(spark, tmp_path, fmt):
+    """Code-review r3: the FIRST commit must produce column stats for
+    both base formats (the table schema is still None while the initial
+    instant is in flight — the fallback infers it from the written
+    files, honoring base_file_format and skipping the _pp/_fg layout
+    dirs)."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(50)], "id int, b int, v double"
+    )
+    t = HudiTable.create(
+        spark, str(tmp_path) + f"/fc_{fmt}",
+        WriteConfig(record_key_field="id", partition_field="b",
+                    base_file_format=fmt),
+    )
+    t.bulk_insert(df)
+    slices = t.view().latest_file_slices()
+    assert slices
+    for s in slices:
+        assert s.base.col_stats, f"{fmt}: first-commit slice has no col_stats"
+        assert "v" in s.base.col_stats
+        assert not any(c.startswith("_pp") or c.startswith("_fg")
+                       for c in s.base.col_stats)

@@ -239,3 +239,30 @@ def test_hive_partition_value_with_equals_sign(spark, tmp_table_path):
     t.bulk_insert(df)
     got = {r.id: r.tag for r in t.snapshot().select("id", "tag").collect()}
     assert got == {1: "a=b", 2: "c"}
+
+
+def test_non_hive_partition_value_with_equals_pruning(spark, tmp_table_path):
+    """Code-review r3: with hive_style OFF, a partition VALUE containing
+    '=' must not be mis-stripped by pseudo-stats — pruning on it keeps
+    the right slice and filtered reads return every matching row."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.plans.pruning import prune_slices_by_stats
+
+    df = spark.createDataFrame(
+        [(1, "a=b", 1.0), (2, "c", 2.0), (3, "a=b", 3.0)],
+        "id int, tag string, v double",
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path + "/nheq",
+        WriteConfig(record_key_field="id", partition_field="tag",
+                    hive_style_partitioning=False,
+                    url_encode_partitioning=False),
+    )
+    t.bulk_insert(df)
+    slices = t.view().latest_file_slices()
+    kept = prune_slices_by_stats(t, slices, [("tag", "=", "a=b")])
+    assert {s.partition for s in kept} == {"a=b"}
+    got = t.snapshot(filters=[("tag", "=", "a=b")]).filter(F.col("tag") == "a=b")
+    assert got.count() == 2

@@ -441,3 +441,30 @@ def test_incremental_from_archived_begin(spark, tmp_table_path, orders):
     # archived range listing also still works end-bounded
     mid = sorted(set([c0] + [a["timestamp"] for a in t.timeline.archived_instants()]))[2]
     assert t.incremental(c0, mid).count() > 0
+
+
+def test_incremental_detects_stale_surviving_version(spark, tmp_table_path, orders):
+    """Code-review r3: cleaning can drop the as-of-end file version
+    while an OLDER savepointed version survives — the listed slice then
+    predates in-range writes and would silently serve stale rows. The
+    range must be flagged unreadable (raise without fallback; correct
+    rows with it)."""
+    cfg = WriteConfig(
+        record_key_field="o_orderkey",
+        partition_field="o_orderstatus",
+        precombine_field="o_totalprice",
+        cleaner_commits_retained=1,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/stale", cfg)
+    c0 = t.bulk_insert(orders)
+    t.savepoint(c0)  # protects the c0-era file versions from the cleaner
+    t.upsert(orders.limit(30).withColumn("o_comment", F.lit("u1")))
+    c1 = t.commits()[-1]
+    t.upsert(orders.limit(10).withColumn("o_comment", F.lit("u2")))
+    t.clean()  # retains latest + savepointed; drops the c1-era versions
+    with pytest.raises(ValueError, match="fallback"):
+        t.incremental(c0, c1).count()
+    fb = t.incremental(c0, c1, fallback_full_scan=True)
+    assert fb.filter(F.col("o_comment") == "u1").count() == 20
