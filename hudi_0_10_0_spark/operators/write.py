@@ -423,12 +423,14 @@ def write_instant_files(
     ordering doesn't already start with them — by matching that prefix
     we pay ONE sort instead of two, and the writer's (non-key-aware)
     re-sort can't destroy the key order inside each file."""
-    out = df.withColumn(
-        LAYOUT_PARTITION_COL,
-        F.when(F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)).otherwise(
-            F.col(PARTITION_PATH_COL)
-        ),
-    ).withColumn(LAYOUT_FILEGROUP_COL, F.col(FILE_ID_COL))
+    out = df.withColumns(
+        {
+            LAYOUT_PARTITION_COL: F.when(
+                F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)
+            ).otherwise(F.col(PARTITION_PATH_COL)),
+            LAYOUT_FILEGROUP_COL: F.col(FILE_ID_COL),
+        }
+    )
     sort_cols = [LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL, RECORD_KEY_COL]
     if not pre_partitioned:
         out = out.repartition(
@@ -762,8 +764,11 @@ def _bulk_insert_df(
 
 
 def _stamp_meta(df: DataFrame, instant: str) -> DataFrame:
-    return df.withColumn(COMMIT_TIME_COL, F.lit(instant)).withColumn(
-        SEQNO_COL, seqno_expr(instant)
+    # one withColumns call: every DataFrame transform re-analyzes the
+    # whole plan tree on the JVM, so chained withColumn is pure driver
+    # overhead on deep write plans
+    return df.withColumns(
+        {COMMIT_TIME_COL: F.lit(instant), SEQNO_COL: seqno_expr(instant)}
     )
 
 
@@ -772,12 +777,18 @@ def _ordered_out_cols(data_cols: list[str]) -> list[str]:
 
 
 def _finalize(df: DataFrame, data_cols: list[str]) -> DataFrame:
-    if DELETE_MARKER_COL not in df.columns:
-        df = df.withColumn(DELETE_MARKER_COL, F.lit(False))
-    df = df.withColumn(
-        DELETE_MARKER_COL, F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+    marker = (
+        F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+        if DELETE_MARKER_COL in df.columns
+        else F.lit(False)
     )
-    return df.select(*_ordered_out_cols(data_cols))
+    # single select: fold the marker fix-up into the projection instead
+    # of two extra full-plan re-analyses
+    cols = [
+        marker.alias(c) if c == DELETE_MARKER_COL else F.col(c)
+        for c in _ordered_out_cols(data_cols)
+    ]
+    return df.select(*cols)
 
 
 def run_batch_write(
@@ -976,6 +987,7 @@ def run_batch_write(
         assigned_inserts, packed_fids = assign_inserts(
             table, view, inserts, pack, insert_counts=insert_counts
         )
+        timer.mark("assign")
 
         log_fids: set[tuple[str, str]] = set()
         if mor_delta:
@@ -1043,6 +1055,7 @@ def run_batch_write(
                         num_partitions=n_parts,
                     )
                 out = _finalize(merged, data_cols)
+                timer.mark("merge_plan")
                 write_instant_files(
                     table, out, instant, n_parts, pre_partitioned=True,
                 )
