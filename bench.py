@@ -81,21 +81,34 @@ def main() -> None:
 
         wtmp = tempfile.mkdtemp(prefix="bench_warm_")
         with contextlib.suppress(Exception):
+            from hudi_0_10_0_spark import TableType
+
             worders = spark.read.parquet(f"{warm_dir}/orders.parquet")
-            wt = HudiTable.create(
-                spark,
-                f"{wtmp}/t",
-                WriteConfig(
-                    record_key_field="o_orderkey",
-                    partition_field="o_orderpriority",
-                    precombine_field="o_orderdate",
-                    inline_compact=False, auto_clean=False, auto_archive=False,
-                ),
+            cfg_kw = dict(
+                record_key_field="o_orderkey",
+                partition_field="o_orderpriority",
+                precombine_field="o_orderdate",
+                inline_compact=False, auto_clean=False, auto_archive=False,
             )
+            wt = HudiTable.create(spark, f"{wtmp}/t", WriteConfig(**cfg_kw))
             wt.bulk_insert(worders)
             wt.upsert(worders.limit(200).withColumn("o_orderstatus", F.lit("W")))
             wt.delete(worders.limit(50).select("o_orderkey", "o_orderpriority"))
             wt.snapshot().groupBy("o_orderstatus").count().collect()
+            # MERGE INTO path (ExpressionPayload-analogue merge shape)
+            wt.merge_into(
+                worders.limit(100).withColumn("o_orderstatus", F.lit("X")),
+                matched_update="all", not_matched_insert=True,
+            )
+            # MOR path: deltacommit + snapshot merge + compaction shapes
+            mt = HudiTable.create(
+                spark, f"{wtmp}/m",
+                WriteConfig(table_type=TableType.MERGE_ON_READ, **cfg_kw),
+            )
+            mt.bulk_insert(worders)
+            mt.upsert(worders.limit(200).withColumn("o_orderstatus", F.lit("W")))
+            mt.snapshot().groupBy("o_orderstatus").count().collect()
+            mt.compact()
         shutil.rmtree(wtmp, ignore_errors=True)
 
     timings: dict[str, float] = {}
