@@ -644,7 +644,14 @@ def collect_write_stats(
             ).collect()
         )
     else:
-        per_file = {u: _footer_stats(u, stat_cols) for u in uri_list}
+        # driver-side, but I/O-bound: a small thread pool hides per-file
+        # open latency (footers only, no data pages)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(uri_list)))) as ex:
+            per_file = dict(
+                zip(uri_list, ex.map(lambda u: _footer_stats(u, stat_cols), uri_list))
+            )
 
     # fold per-file → per-file-group
     acc: dict[tuple[str, str], dict] = {}
@@ -1206,7 +1213,14 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
             ).collect()
         )
     else:
-        per_file = {u: _footer_stats(u, stat_cols) for u in uri_list}
+        # driver-side, but I/O-bound: a small thread pool hides per-file
+        # open latency (footers only, no data pages)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(uri_list)))) as ex:
+            per_file = dict(
+                zip(uri_list, ex.map(lambda u: _footer_stats(u, stat_cols), uri_list))
+            )
 
     # record-key range from footers only when key order == column order
     # (single string key field); else no range → group is must-read
