@@ -468,3 +468,48 @@ def test_incremental_detects_stale_surviving_version(spark, tmp_table_path, orde
         t.incremental(c0, c1).count()
     fb = t.incremental(c0, c1, fallback_full_scan=True)
     assert fb.filter(F.col("o_comment") == "u1").count() == 20
+
+
+def test_soak_long_timeline_with_auto_services(spark, tmp_table_path):
+    """Soak: 36 small upserts with EVERY automatic service enabled
+    (inline compaction every 3 deltacommits, auto clean retaining 4,
+    auto archive band 6-9). Pins the steady state a long-running ingest
+    reaches: archive kicked in (active timeline bounded), cleaning
+    bounded the file count, compaction bounded the delta-bearing
+    fraction, and the snapshot still equals the logical model."""
+    from hudi_0_10_0_spark import TableType
+
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="ts",
+        table_type=TableType.MERGE_ON_READ,
+        inline_compact=True,
+        compact_max_delta_commits=3,
+        auto_clean=True,
+        cleaner_commits_retained=4,
+        auto_archive=True,
+        keep_min_commits=6,
+        keep_max_commits=9,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/soak", cfg)
+    model = {}
+    for i in range(36):
+        rows = [(k, f"p{k % 2}", i * 100 + k, i) for k in range(i % 5, 20, 5)]
+        for k, p, v, ts in rows:
+            model[(k, p)] = v
+        t.upsert(spark.createDataFrame(rows, "id long, part string, v long, ts long"))
+    # model equality after a long service-interleaved history
+    got = {(r.id, r.part): r.v for r in t.snapshot().select("id", "part", "v").collect()}
+    assert got == model
+    # archive bounded the ACTIVE timeline
+    active = t.timeline.completed_write_instants()
+    assert len(active) <= 2 * cfg.keep_max_commits, len(active)
+    assert len(t.timeline.archived_instants()) > 0
+    # compaction bounded the uncompacted fraction
+    slices = t.view().latest_file_slices()
+    assert all(len(s.logs) <= cfg.compact_max_delta_commits + 1 for s in slices)
+    # cleaning bounded total live file versions per group
+    for fg in t.view().groups.values():
+        live = [b for b in fg.bases if b.paths]
+        assert len(live) <= cfg.cleaner_commits_retained + 2, len(live)
