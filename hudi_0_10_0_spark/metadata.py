@@ -165,21 +165,30 @@ class FileSystemView:
 
     def _build(self) -> None:
         # archived commits' files can still be the latest slices (archiving
-        # trims the timeline, not the data); fold their manifests first.
-        # Reference analogue: archived instants leave data files in place
-        # and readers fall back to listing — we keep the manifest instead.
+        # trims the timeline, not the data); fold their manifests along
+        # with the active ones. Read the archive ONCE (each call re-lists
+        # and re-parses every archive batch file from storage).
+        archived = self.timeline.archived_instants()
         entries: list[tuple[str, str, dict]] = [
             (a["timestamp"], a["action"], a["metadata"])
-            for a in self.timeline.archived_instants()
+            for a in archived
             if a["action"] in WRITE_ACTIONS
         ]
         for inst in self.timeline.completed_write_instants():
             entries.append((inst.timestamp, inst.action, self.timeline.read_metadata(inst)))
+        # Savepoints let archive() move instants NEWER than a protected
+        # active instant, so archived∪active is NOT timestamp-ordered by
+        # construction — sort before folding. slice_as_of, the cleaner's
+        # retention windows, latest_schema, and avg_record_size all rely
+        # on per-group version lists being in instant order; an
+        # out-of-order fold made a savepointed old base version
+        # masquerade as the latest slice (stale reads).
+        entries.sort(key=lambda e: e[0])
         # fold clean instants: physically removed file versions must drop
         # out of the view (the reference's listing-based view sees their
         # absence; ours subtracts the cleaner's deletion record)
         cleaned: set[str] = set()
-        for a in self.timeline.archived_instants():
+        for a in archived:
             if a["action"] == CLEAN:
                 cleaned.update(a["metadata"].get("deleted", []))
         for inst in self.timeline.completed((CLEAN,)):

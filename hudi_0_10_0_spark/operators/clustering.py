@@ -234,17 +234,28 @@ def _execute_cluster(
         # by (_pp, _fg) alone, which both duplicates the work and
         # scrambles the curve/sort-key order inside each file — the
         # entire point of clustering.
-        out = df.withColumn("_pp", F.when(F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)).otherwise(F.col(PARTITION_PATH_COL))).withColumn("_fg", F.col(FILE_ID_COL))
-        out = out.sortWithinPartitions(F.col("_pp"), F.col("_fg"), *order_cols)
+        from ..config import LAYOUT_FILEGROUP_COL, LAYOUT_PARTITION_COL
+
+        out = df.withColumns(
+            {
+                LAYOUT_PARTITION_COL: F.when(
+                    F.col(PARTITION_PATH_COL) == "", F.lit(EMPTY_PARTITION_DIR)
+                ).otherwise(F.col(PARTITION_PATH_COL)),
+                LAYOUT_FILEGROUP_COL: F.col(FILE_ID_COL),
+            }
+        )
+        out = out.sortWithinPartitions(
+            F.col(LAYOUT_PARTITION_COL), F.col(LAYOUT_FILEGROUP_COL), *order_cols
+        )
         if sort_key == "__curve":
             out = out.drop("__curve")
         if table.cfg.drop_partition_columns:
             out = out.drop(
                 *[f for f in table.cfg.partition_fields() if f in out.columns]
             )
-        out.write.mode("error").partitionBy("_pp", "_fg").format(
-            _base_format(table)
-        ).save(table.instant_data_path(instant))
+        out.write.mode("error").partitionBy(
+            LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL
+        ).format(_base_format(table)).save(table.instant_data_path(instant))
         stats = collect_write_stats(table, instant)
         from .key_index import append_from_written, enabled as _ki_enabled
 

@@ -31,10 +31,17 @@ from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD, Payload
 
 def seqno_expr(instant: str):
     # reference: commitTime + "_" + partitionId + "_" + rowId
-    # (spark-client/.../HoodieRowCreateHandle.java makeId)
-    return F.concat_ws(
-        "_", F.lit(instant), F.spark_partition_id().cast("string"),
-        F.monotonically_increasing_id().cast("string"),
+    # (spark-client/.../HoodieRowCreateHandle.java makeId). The ids are
+    # ZERO-PADDED here because the MOR merge tie-breaks on the seqno
+    # STRING (mor_merge_window) — unpadded decimals would rank '_9'
+    # above '_10' and let an earlier duplicate beat a later one within
+    # one deltacommit (the reference's log scanner is positional, so its
+    # unpadded format never sorts)
+    return F.format_string(
+        "%s_%010d_%019d",
+        F.lit(instant),
+        F.spark_partition_id(),
+        F.monotonically_increasing_id(),
     )
 
 

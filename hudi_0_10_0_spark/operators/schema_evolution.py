@@ -18,13 +18,16 @@ from ..config import DELETE_MARKER_COL, META_COLS
 from ..metadata import make_commit_metadata
 
 # widenings Spark's parquet reader can apply file→table
-# (AlterHoodieTableChangeColumnCommand validates with the same idea)
+# (AlterHoodieTableChangeColumnCommand validates with the same idea).
+# date→timestamp is deliberately ABSENT: Spark's vectorized parquet
+# reader cannot read date32 pages under a pinned TimestampType schema
+# (SchemaColumnConvertNotSupportedException), so committing it would
+# make every pre-existing file unreadable.
 _WIDENINGS = {
     ("byte", "short"), ("byte", "integer"), ("byte", "long"),
     ("short", "integer"), ("short", "long"),
     ("integer", "long"),
     ("float", "double"),
-    ("date", "timestamp"),
 }
 
 

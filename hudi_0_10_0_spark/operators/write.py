@@ -473,7 +473,19 @@ def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] |
     ``…/data/<instant>/_pp=<pp>/_fg=<fid>/part-….parquet``."""
     if not (file_uri.endswith(".parquet") or file_uri.endswith(".orc")):
         return None
-    rel = file_uri.split("/data/", 1)[1]
+    # resolve relative to the TABLE BASE, not the first '/data/' in the
+    # URI — a base path like /srv/data/tbl must not shift the split
+    plain = file_uri.split(":", 1)[1].lstrip("/") if file_uri.startswith("file:") else file_uri
+    base = table_base.split(":", 1)[1].lstrip("/") if table_base.startswith("file:") else table_base
+    plain, base = "/" + plain.lstrip("/"), "/" + base.lstrip("/").rstrip("/")
+    if plain.startswith(base + "/"):
+        rel = plain[len(base) + 1:]
+    elif "/data/" in plain:  # foreign prefix (e.g. mounted alias) — best effort
+        rel = "data/" + plain.rsplit("/data/", 1)[1]
+    else:
+        return None
+    if not rel.startswith("data/"):
+        return None
     pp, fid = None, None
     for seg in rel.split("/"):
         if seg.startswith(LAYOUT_PARTITION_COL + "="):
@@ -484,7 +496,7 @@ def _parse_layout_path(table_base: str, file_uri: str) -> tuple[str, str, str] |
         return None
     if pp == EMPTY_PARTITION_DIR:
         pp = ""
-    return pp, fid, "data/" + rel
+    return pp, fid, rel
 
 
 def _js(v):
@@ -884,6 +896,7 @@ def run_batch_write(
     instant = instant_time or table.new_instant()
     table.timeline.create_requested(instant, action, {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, action)
+    committed = False
     try:
         if operation == WriteOperation.BULK_INSERT:
             # fast path (row-writer analogue,
@@ -901,6 +914,7 @@ def run_batch_write(
                 operation.value, out.schema.json(), stats, extra=extra
             )
             guarded_commit(table, instant, action, md, txn_start)
+            committed = True
             table.run_post_commit_services()
             return instant
 
@@ -1029,22 +1043,47 @@ def run_batch_write(
 
             if old_slices:
                 n_parts = max(len(touched), 1) + 8
-                from ..sources.read import slices_to_df
+                from ..sources.read import _merge_slices, slices_to_df
 
-                old = slices_to_df(table, old_slices)
+                if any(s.logs for s in old_slices):
+                    # a MOR table routed through the COW rewrite path
+                    # (MERGE INTO / requires_stored_merge payloads): the
+                    # stored side must be the MERGED view of the touched
+                    # slices — reading base files alone would silently
+                    # drop uncompacted deltacommit updates/deletes when
+                    # the new base supersedes the slice (the logs detach)
+                    old = _merge_slices(table, old_slices)
+                    old = old.filter(
+                        ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+                    )
+                else:
+                    old = slices_to_df(table, old_slices)
                 if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
                     # insert never consults the index: duplicates of existing
                     # keys are appended, not merged. Salt incoming merge keys
                     # so the group-by reconcile cannot match, then restore.
-                    sep = "\x1f"  # unit separator, never produced by key generators
-                    uniq = F.concat_ws(sep, F.col(RECORD_KEY_COL), F.expr("uuid()"))
+                    # fixed-length suffix (1 separator + 36-char uuid) so
+                    # the restore strips exactly 37 chars — content-safe
+                    # even for keys that contain the separator byte
+                    uniq = F.concat(
+                        F.col(RECORD_KEY_COL), F.lit("\x1f"), F.expr("uuid()")
+                    )
                     mnew = all_new.withColumn(RECORD_KEY_COL, uniq)
                     merged = merge_stored_and_incoming(
                         old, mnew, data_cols, col_types, payload, instant,
                         num_partitions=n_parts,
                     ).withColumn(
                         RECORD_KEY_COL,
-                        F.substring_index(F.col(RECORD_KEY_COL), sep, 1),
+                        # only THIS instant's rows are salted — stored
+                        # rows flow through the merge with their original
+                        # keys and commit times and must not be stripped
+                        F.when(
+                            F.col(COMMIT_TIME_COL) == F.lit(instant),
+                            F.expr(
+                                f"substring({RECORD_KEY_COL}, 1, "
+                                f"length({RECORD_KEY_COL}) - 37)"
+                            ),
+                        ).otherwise(F.col(RECORD_KEY_COL)),
                     )
                 else:
                     if not needs_combine:
@@ -1119,7 +1158,12 @@ def run_batch_write(
             extra=extra,
         )
         guarded_commit(table, instant, action, md, txn_start)
+        committed = True
     except Exception:
+        if committed:
+            # the instant is durable — a post-commit service failure must
+            # NOT erase committed data; surface the error as-is
+            raise
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         key_index.drop_instant(table, instant)

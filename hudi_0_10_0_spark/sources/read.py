@@ -184,11 +184,13 @@ def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
         df.withColumn(COMMIT_TIME_COL, F.col("__raw_instant"))
         .withColumn(
             SEQNO_COL,
-            F.concat_ws(
-                "_",
+            # zero-padded like operators/merge.seqno_expr so seqno
+            # string order == generation order everywhere
+            F.format_string(
+                "%s_%010d_%019d",
                 F.col("__raw_instant"),
-                F.spark_partition_id().cast("string"),
-                F.monotonically_increasing_id().cast("string"),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
             ),
         )
         .withColumn(FILE_ID_COL, F.col("__raw_fid"))

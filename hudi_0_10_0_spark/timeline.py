@@ -218,6 +218,19 @@ class Timeline:
         to_archive = [i for i in comp[: len(comp) - keep_min] if i.timestamp not in protected_ts]
         if not to_archive:
             return 0
+        # also move SERVICE instants (clean/rollback/restore) older than
+        # the archive cutoff — they otherwise accumulate in the active
+        # timeline forever and every view rebuild re-parses all of them
+        # (the reference's HoodieTimelineArchiveLog archives clean/
+        # rollback alongside commits). Savepoints stay active: they are
+        # live pins the cleaner and restore still consult.
+        cutoff = to_archive[-1].timestamp
+        to_archive += [
+            i
+            for i in self.completed((CLEAN, ROLLBACK, RESTORE))
+            if i.timestamp <= cutoff and i.timestamp not in protected_ts
+        ]
+        to_archive.sort(key=lambda i: i.timestamp)
         self.fs.mkdirs(self.archive_dir)
         records = []
         for inst in to_archive:

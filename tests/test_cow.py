@@ -238,3 +238,30 @@ def test_insert_assignment_is_parallel_not_windowed(spark, tmp_table_path, order
     assigned, _ = assign_inserts(t, t.view(), inserts, pack_small_files=True)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_insert_pack_key_containing_separator_byte(spark, tmp_table_path):
+    """Code-review r3: the insert-into-existing-group salt restores keys
+    by stripping the fixed-length uuid suffix — a user key containing
+    the 0x1f separator byte must round-trip intact."""
+    from pyspark.sql import functions as F
+
+    weird = "a\x1fb\x1fc"
+    t = HudiTable.create(
+        spark, tmp_table_path + "/sep",
+        WriteConfig(record_key_field="k", partition_field="part",
+                    precombine_field="v"),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(weird, "p0", 1), ("plain", "p0", 1)], "k string, part string, v long"))
+    # insert packs into the existing small file group → salt path
+    t.insert(spark.createDataFrame(
+        [(weird + "2", "p0", 2), ("other\x1f", "p0", 2)],
+        "k string, part string, v long"))
+    keys = sorted(r.k for r in t.snapshot().select("k").collect())
+    assert keys == sorted([weird, "plain", weird + "2", "other\x1f"])
+    skeys = sorted(
+        r["_hoodie_record_key"]
+        for r in t.snapshot().select("_hoodie_record_key").collect()
+    )
+    assert skeys == keys

@@ -169,3 +169,67 @@ def test_incremental_across_compaction_preserves_commit_times(spark, tmp_table_p
     # untouched rows keep their bulk-insert commit time post-compaction
     ct = t.snapshot().filter("o_totalprice != 7.0").select("_hoodie_commit_time").distinct().collect()
     assert [r[0] for r in ct] == [c1]
+
+
+def test_merge_into_mor_preserves_uncompacted_deltas(spark, tmp_table_path):
+    """Code-review r3: MERGE INTO on a MOR table routes through the COW
+    rewrite path (requires_stored_merge) — the stored side must be the
+    MERGED view of the touched slices, or uncompacted deltacommit
+    updates/deletes silently vanish when the new base supersedes them."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/mim",
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts",
+                    table_type=TableType.MERGE_ON_READ,
+                    inline_compact=False),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(i, "p0", 0, 100) for i in range(10)], "id long, part string, v long, ts long"))
+    # deltacommit updates v for ids 0-4 (uncompacted log rows)
+    t.upsert(spark.createDataFrame(
+        [(i, "p0", 77, 200) for i in range(5)], "id long, part string, v long, ts long"))
+    assert t.snapshot().filter("v = 77").count() == 5
+    # MERGE INTO touching id 9 only; must not lose the id 0-4 updates
+    t.merge_into(
+        spark.createDataFrame([(9, "p0", 999, 300)],
+                              "id long, part string, v long, ts long"),
+        matched_update="all", not_matched_insert=True,
+    )
+    snap = t.snapshot()
+    assert snap.filter("v = 999").count() == 1
+    assert snap.filter("v = 77").count() == 5, "uncompacted delta updates lost"
+    assert snap.count() == 10
+
+
+def test_mor_duplicate_updates_last_wins_within_deltacommit(spark, tmp_table_path):
+    """Code-review r3: equal-preCombine duplicates written to ONE
+    deltacommit resolve last-wins via the zero-padded seqno tie-break
+    (unpadded decimals ranked '_9' above '_10'). Mirrors the reference
+    scanner's positional later-wins behavior."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/dup",
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts",
+                    table_type=TableType.MERGE_ON_READ,
+                    inline_compact=False,
+                    combine_before_upsert=False),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "p0", 0, 100)],
+                                        "id long, part string, v long, ts long"))
+    # 12 duplicate rows for key 1, all with EQUAL precombine value, in
+    # one single-partition batch — generation order is the only order
+    dups = spark.createDataFrame(
+        [(1, "p0", i, 500) for i in range(12)],
+        "id long, part string, v long, ts long",
+    ).coalesce(1)
+    t.upsert(dups)
+    got = t.snapshot().filter("id = 1").select("v").collect()
+    assert [r.v for r in got] == [11], got  # the LAST duplicate wins

@@ -169,3 +169,19 @@ def test_mor_add_column_across_delta_and_compaction(spark, tmp_table_path):
     ro2 = t.read_optimized()
     assert ro2.filter("v >= 100").count() == 5  # compacted into base
     assert ro2.filter("extra IS NOT NULL").count() == 5
+
+
+def test_change_column_date_to_timestamp_rejected(spark, tmp_table_path):
+    """Code-review r3 (confirmed): Spark's vectorized parquet reader
+    cannot read date32 pages under a pinned TimestampType schema, so
+    committing a date→timestamp 'widening' would make every
+    pre-existing file unreadable — it must be rejected up front."""
+    t = HudiTable.create(spark, tmp_table_path + "/d2t", _cfg())
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "p", 1, __import__("datetime").date(2020, 1, 2))],
+        T.StructType(SCHEMA.fields + [T.StructField("d", T.DateType())]),
+    ))
+    with pytest.raises(ValueError):
+        t.change_column_type("d", "timestamp")
+    # the table stays readable
+    assert t.snapshot().count() == 1

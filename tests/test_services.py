@@ -513,3 +513,99 @@ def test_soak_long_timeline_with_auto_services(spark, tmp_table_path):
     for fg in t.view().groups.values():
         live = [b for b in fg.bases if b.paths]
         assert len(live) <= cfg.cleaner_commits_retained + 2, len(live)
+
+
+def test_savepoint_plus_archive_keeps_view_ordered(spark, tmp_table_path):
+    """Code-review r3 (confirmed repro): archive() can move instants
+    NEWER than a savepoint-protected commit that stays active, so the
+    view fold must sort by timestamp — otherwise the savepointed OLD
+    base version lands after the newer one in FileGroup.bases and
+    snapshot serves stale data."""
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        keep_min_commits=3, keep_max_commits=5,
+        auto_clean=False, auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/spar", cfg)
+    df0 = spark.createDataFrame([(i, "p0", 0) for i in range(10)],
+                                "id long, part string, v long")
+    t.bulk_insert(df0)
+    c0 = t.commits()[0]
+    t.savepoint(c0)
+    for r in range(1, 9):
+        t.upsert(spark.createDataFrame([(i, "p0", r) for i in range(10)],
+                                       "id long, part string, v long"))
+    archived = t.timeline.archive(
+        cfg.keep_min_commits, cfg.keep_max_commits, protected_ts={c0}
+    )
+    assert archived > 0
+    assert c0 in [i.timestamp for i in t.timeline.completed_write_instants()]
+    # the view must serve the NEWEST version, not the savepointed one
+    slices = t.view().latest_file_slices()
+    newest = max(ts for ts, _, _ in t.view().commits)
+    assert all(s.base.instant == newest for s in slices), [
+        (s.file_id, s.base.instant) for s in slices
+    ]
+    assert t.snapshot().filter("v = 8").count() == 10
+    assert t.snapshot().filter("v < 8").count() == 0
+    # time travel to the savepoint still reaches the old version
+    assert t.snapshot(as_of=c0).filter("v = 0").count() == 10
+
+
+def test_post_commit_service_failure_preserves_commit(spark, tmp_table_path, orders):
+    """Code-review r3: a post-commit service failure (inline compact /
+    clean / archive) must surface the error WITHOUT erasing the
+    already-durable commit — previously the bulk-insert path's except
+    handler deleted the completed instant's files and data."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/pcs",
+        WriteConfig(record_key_field="o_orderkey",
+                    partition_field="o_orderpriority",
+                    precombine_field="o_orderdate"),
+    )
+    boom = RuntimeError("service exploded")
+
+    def failing_services():
+        raise boom
+
+    t.run_post_commit_services = failing_services
+    with pytest.raises(RuntimeError, match="service exploded"):
+        t.bulk_insert(orders.limit(100))
+    del t.run_post_commit_services  # restore the bound method
+    # the commit survived: timeline has it and the data reads back
+    assert len(t.commits()) == 1
+    assert t.snapshot().count() == 100
+
+    # same guarantee on the upsert path
+    t.run_post_commit_services = failing_services
+    with pytest.raises(RuntimeError, match="service exploded"):
+        t.upsert(orders.limit(10).withColumn("o_orderstatus", F.lit("Z")))
+    del t.run_post_commit_services
+    assert len(t.commits()) == 2
+    assert t.snapshot().filter("o_orderstatus = 'Z'").count() == 10
+
+
+def test_archive_moves_service_instants(spark, tmp_table_path):
+    """Code-review r3: clean/rollback instants older than the archive
+    cutoff move into the archive with the write instants — the active
+    timeline stays bounded instead of accumulating one clean file per
+    commit forever."""
+    from hudi_0_10_0_spark.timeline import CLEAN
+
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        keep_min_commits=3, keep_max_commits=5,
+        cleaner_commits_retained=2, auto_clean=True, auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/arcsvc", cfg)
+    for r in range(9):
+        t.upsert(spark.createDataFrame([(i, "p0", r) for i in range(5)],
+                                       "id long, part string, v long"))
+    cleans_before = len(t.timeline.completed((CLEAN,)))
+    assert cleans_before > 2
+    assert t.timeline.archive(cfg.keep_min_commits, cfg.keep_max_commits) > 0
+    cleans_after = len(t.timeline.completed((CLEAN,)))
+    assert cleans_after < cleans_before
+    # cleaned-file records still visible through the archive: the view
+    # must not resurrect cleaned versions
+    assert t.snapshot().filter("v = 8").count() == 5

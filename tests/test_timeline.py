@@ -70,3 +70,23 @@ def test_format_query_instant():
         f("18/07/2021")
     with pytest.raises(ValueError):
         f("2021071812300x123")
+
+
+def test_parse_layout_path_base_containing_data_segment():
+    """Code-review r3: a table base path that itself contains '/data/'
+    must not shift the manifest's relative-path split."""
+    from hudi_0_10_0_spark.operators.write import _parse_layout_path
+
+    got = _parse_layout_path(
+        "/srv/data/tbl",
+        "file:/srv/data/tbl/data/123/_pp=p0/_fg=f1/part-0.parquet",
+    )
+    assert got == ("p0", "f1", "data/123/_pp=p0/_fg=f1/part-0.parquet")
+    # scheme'd base, triple-slash uri
+    got = _parse_layout_path(
+        "file:///tmp/tbl",
+        "file:///tmp/tbl/data/9/_pp=__empty__/_fg=g/part-1.orc",
+    )
+    assert got is not None and got[2] == "data/9/_pp=__empty__/_fg=g/part-1.orc"
+    # non-data files are ignored
+    assert _parse_layout_path("/tmp/tbl", "file:/tmp/tbl/x.crc") is None
