@@ -63,26 +63,48 @@ class FileSystemLockProvider(LockProvider):
         self.path = f"{meta_path.rstrip('/')}/locks/table.lock"
         self.ttl = ttl_seconds
 
-    def _expired(self) -> bool:
+    def _read(self) -> dict | None:
         try:
-            held = json.loads(self.fs.read_text(self.path))
-            return (time.time() - held.get("acquired_at", 0)) > self.ttl
-        except Exception:  # unreadable lock → treat as stale
+            return json.loads(self.fs.read_text(self.path))
+        except Exception:
+            return None
+
+    def _expired(self) -> bool:
+        held = self._read()
+        if held is None:  # unreadable lock → treat as stale
             return True
+        return (time.time() - held.get("acquired_at", 0)) > self.ttl
 
     def try_lock(self, owner: str) -> bool:
         self.fs.mkdirs(self.path.rsplit("/", 1)[0])
         if self.fs.exists(self.path):
-            if not self._expired():
+            stale = self._read()
+            if stale is not None and (
+                time.time() - stale.get("acquired_at", 0)
+            ) <= self.ttl:
+                return False
+            # expired-lock takeover. Guard against the delete/recreate
+            # race (two takers both saw expiry; the slower one must not
+            # delete the faster one's FRESH lock): re-read immediately
+            # before deleting and bail if the content changed. A
+            # delete-vs-create window remains — filesystem locks have no
+            # CAS — so after creating, verify ownership and back off if
+            # another writer's takeover overlapped ours. (The external
+            # ZK/DynamoDB providers are the fully race-free options; this
+            # matches the reference FileSystemBasedLockProvider posture.)
+            if self._read() != stale:
                 return False
             self.fs.delete(self.path)
         try:
             self.fs.write_text_atomic(
                 self.path, json.dumps({"owner": owner, "acquired_at": time.time()})
             )
-            return True
         except IOError:
             return False  # lost the race
+        held = self._read()
+        if held is None or held.get("owner") != owner:
+            return False  # an overlapping takeover replaced our lock
+        return True
 
     def unlock(self, owner: str) -> None:
         try:

@@ -46,6 +46,23 @@ def sample_bucket(key: Column | str, buckets: int = 10_000) -> Column:
     return F.pmod(h, F.lit(buckets))
 
 
+def _require_numeric_key(df: DataFrame, key_col: str) -> None:
+    """The universal hash is integer arithmetic: a non-numeric key would
+    cast to null and silently sample ZERO rows. Fail loudly instead and
+    point at the fix (a numeric surrogate such as a row id)."""
+    from pyspark.sql import types as T
+
+    f = df.schema[key_col]
+    if not isinstance(
+        f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"sampling key column {key_col!r} has type "
+            f"{f.dataType.simpleString()}; the engine-portable hash needs an "
+            "integer key (use a numeric id column, or derive one)"
+        )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, buckets: int = 10_000
 ) -> DataFrame:
@@ -53,6 +70,7 @@ def deterministic_sample(
     space. Stateless, no shuffle, reproducible across runs/engines —
     the right sampling primitive for corpus versioning (engine ``rand()``
     is none of those things)."""
+    _require_numeric_key(df, key_col)
     return df.filter(sample_bucket(key_col, buckets) < int(fraction * buckets))
 
 
@@ -68,6 +86,7 @@ def stratified_sample(
     of books, 10% of web). ``fractions`` maps stratum value → fraction;
     unlisted strata use ``default_fraction``. One CASE expression over
     the same hash — still stateless and shuffle-free."""
+    _require_numeric_key(df, key_col)
     thresh = F.lit(int(default_fraction * buckets))
     for val, frac in sorted(fractions.items()):
         thresh = F.when(

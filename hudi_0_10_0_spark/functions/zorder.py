@@ -114,11 +114,18 @@ def with_zvalue(
     method: str = "sample",
 ) -> DataFrame:
     """Add the interleaved-bit z-value of ``cols``. Bit interleave is a
-    Column expression: for bit i of column j → output bit i*ncols+j."""
-    df, norm_cols = _NORMALIZERS[method](df, cols, bits)
+    Column expression: for bit i of column j → output bit i*ncols+j.
+
+    The total interleaved width is capped at 63 bits (the long sign bit
+    must stay clear — a negative z-value would sort the top of the
+    curve first, and the JVM masks shift amounts mod 64, silently
+    folding bits). With many columns the per-column bit budget shrinks:
+    4 columns → 15 bits each, 6 → 10."""
+    eff_bits = min(bits, 63 // max(1, len(cols)))
+    df, norm_cols = _NORMALIZERS[method](df, cols, eff_bits)
     n = len(norm_cols)
     z: Column = F.lit(0).cast("long")
-    for i in range(bits):
+    for i in range(eff_bits):
         for j, c in enumerate(norm_cols):
             bit = F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))

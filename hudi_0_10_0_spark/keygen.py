@@ -21,14 +21,46 @@ from .config import (
 
 
 def _record_key_expr(cfg: WriteConfig) -> Column:
+    """Record-key expression with the reference's null/empty semantics
+    (``KeyGenUtils.java:92-145``): a simple key that is null or empty
+    RAISES (HoodieKeyException — silently grouping null keys would
+    collapse distinct records in the merge); complex keys render null
+    parts as ``__null__`` and empty parts as ``__empty__``, raising only
+    when every part is null/empty. ``raise_error`` keeps the check
+    JVM-side — no extra validation job."""
     fields = cfg.key_fields()
     if len(fields) == 1:
-        # SimpleKeyGenerator: raw value
-        return F.col(fields[0]).cast("string")
+        # SimpleKeyGenerator: raw value, loud on null/empty
+        v = F.col(fields[0]).cast("string")
+        return F.when(
+            v.isNull() | (v == ""),
+            F.raise_error(F.lit(
+                f'recordKey value for field "{fields[0]}" cannot be null or empty'
+            )),
+        ).otherwise(v)
     # ComplexKeyGenerator format "f1:v1,f2:v2"
-    # (spark-client/keygen/ComplexKeyGenerator.java)
-    parts = [F.concat_ws(":", F.lit(f), F.col(f).cast("string")) for f in fields]
-    return F.concat_ws(",", *parts)
+    # (spark-client/keygen/ComplexKeyGenerator.java + KeyGenUtils:92-112)
+    vals = [F.col(f).cast("string") for f in fields]
+    parts = [
+        F.concat(
+            F.lit(f + ":"),
+            F.when(v.isNull(), F.lit("__null__"))
+            .when(v == "", F.lit("__empty__"))
+            .otherwise(v),
+        )
+        for f, v in zip(fields, vals)
+    ]
+    all_null = None
+    for v in vals:
+        cond = v.isNull() | (v == "")
+        all_null = cond if all_null is None else (all_null & cond)
+    key = F.concat_ws(",", *parts)
+    return F.when(
+        all_null,
+        F.raise_error(F.lit(
+            f"recordKey values for fields {fields} cannot be entirely null or empty"
+        )),
+    ).otherwise(key)
 
 
 def timestamp_partition_fields(cfg: WriteConfig) -> set:
@@ -121,6 +153,11 @@ def _timestamp_partition_expr(cfg: WriteConfig, fld: str) -> Column:
         ts = F.to_timestamp(c)
     else:  # TIMESTAMP / DATE column
         ts = c.cast("timestamp")
+    # null partition value → the reference's default of epoch 1ms
+    # (TimestampBasedAvroKeyGenerator.getDefaultPartitionVal: 1L), so
+    # null rows land in the 1970 partition instead of concat_ws silently
+    # dropping the segment and misaligning the path
+    ts = F.coalesce(ts, F.timestamp_millis(F.lit(1)))
     return F.date_format(ts, fmt)
 
 

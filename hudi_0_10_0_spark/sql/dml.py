@@ -72,7 +72,22 @@ class ExpressionPayload(Payload):
     def is_delete(self) -> Column:
         if self.delete_condition is None:
             return F.lit(False)
-        return F.col(HAS_NEW) & F.col(HAS_OLD) & self.delete_condition
+        # reference processMatchedRecord (ExpressionPayload.scala:95-135):
+        # update conditions are tested FIRST; the delete condition applies
+        # only when NO update condition matched — without this, a row
+        # satisfying both an UPDATE clause and a DELETE clause would be
+        # deleted instead of updated
+        upd = (
+            self.update_condition
+            if self.update_condition is not None
+            else F.lit(True)
+        )
+        return (
+            F.col(HAS_NEW)
+            & F.col(HAS_OLD)
+            & ~F.coalesce(upd, F.lit(False))
+            & F.coalesce(self.delete_condition, F.lit(False))
+        )
 
     def value(self, col: str) -> Column:
         new_val = F.col(NEW + col)

@@ -142,6 +142,86 @@ class HudiSqlSession:
             )
             return expr
 
+        # ---- ON-clause validation (MergeIntoHoodieTableCommand.scala:
+        # 94-117 targetKey2SourceExpression): conjuncts must be
+        # equalities 'targetColumn = sourceExpression', every record-key
+        # field must be covered, and differently-named source
+        # expressions are remapped onto the source frame. Previously the
+        # ON text was parsed but silently ignored.
+        def _split_top_and(s0: str) -> list[str]:
+            out, depth, cur, i, n = [], 0, [], 0, len(s0)
+            while i < n:
+                ch = s0[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if (
+                    depth == 0
+                    and s0[i:i + 5].upper() in (" AND ", "\tAND ", "\nAND ")
+                ):
+                    out.append("".join(cur))
+                    cur = []
+                    i += 5
+                    continue
+                cur.append(ch)
+                i += 1
+            out.append("".join(cur))
+            return [x.strip() for x in out if x.strip()]
+
+        on_text = m.group("on").strip()
+        key_map: dict[str, str] = {}
+        for conj in _split_top_and(on_text):
+            if re.search(r"<=|>=|!=|<>|<|>", conj):
+                raise ValueError(
+                    "Non-Equal condition is not support for Merge Into "
+                    f"Statement: {conj}"
+                )
+            if "=" not in conj:
+                raise ValueError(f"Invalidate Merge-On condition: {conj}")
+            lhs, rhs = conj.split("=", 1)
+
+            def _target_col(e: str) -> str | None:
+                e = e.strip()
+                mm = re.fullmatch(
+                    rf"(?:{re.escape(talias)}\.)?({_ID})", e, re.IGNORECASE
+                )
+                return mm.group(1) if mm and mm.group(1).lower() in canon else None
+
+            tcol, sexpr = _target_col(lhs), rhs
+            if tcol is None:
+                tcol, sexpr = _target_col(rhs), lhs
+            if tcol is None:
+                raise ValueError(
+                    f"Invalidate Merge-On condition: {conj}. The validate "
+                    "condition should be 'targetColumn = sourceColumnExpression', "
+                    "e.g. t.id = s.id"
+                )
+            key_map[_col(tcol)] = sexpr.strip()
+        key_fields = [_col(k) for k in t.cfg.key_fields()]
+        missing = [k for k in key_fields if k not in key_map]
+        if missing:
+            raise ValueError(
+                f"Merge-On condition must assign every record key field; "
+                f"missing: {missing} (e.g. ON t.{missing[0]} = s.{missing[0]})"
+            )
+        extra = [k for k in key_map if k not in key_fields]
+        if extra:
+            raise ValueError(
+                "Merge-On condition only supports record-key equality; "
+                f"move conditions on {extra} into WHEN ... AND clauses"
+            )
+        for kf in key_fields:
+            bare = re.sub(
+                rf"\b{re.escape(salias)}\.({_ID})",
+                lambda mm: f"`{mm.group(1)}`",
+                key_map[kf],
+                flags=re.IGNORECASE,
+            ).strip()
+            if re.fullmatch(rf"`?{re.escape(kf)}`?", bare, re.IGNORECASE):
+                continue  # identity mapping — source already carries it
+            source = source.withColumn(kf, F.expr(bare))
+
         kw: dict = {"matched_update": None, "not_matched_insert": False}
         for when in re.finditer(
             rf"WHEN{_WS}(?P<not>NOT{_WS})?MATCHED(?:{_WS}AND{_WS}(?P<cond>.*?))?"
@@ -197,14 +277,14 @@ class HudiSqlSession:
         surface (primaryKey / preCombineField / type)."""
         m = re.match(
             rf"CREATE{_WS}TABLE{_WS}(?:IF{_WS}NOT{_WS}EXISTS{_WS})?(?P<name>{_ID})"
-            rf"(?:\s*\((?P<cols>[^)]*)\))?"
+            rf"(?:\s*\((?P<cols>(?:[^()]|\([^()]*\))*)\))?"
             rf"{_WS}USING{_WS}(?:hudi|HUDI|Hudi)"
             # PARTITIONED BY / TBLPROPERTIES / LOCATION appear in any
             # order (Spark's grammar allows it; reference tests use both
             # "tblproperties ... partitioned by" and the reverse)
             rf"(?:{_WS}(?:"
-            rf"PARTITIONED{_WS}BY\s*\((?P<parts>[^)]*)\)"
-            rf"|(?:TBLPROPERTIES|OPTIONS)\s*\((?P<props>[^)]*)\)"
+            rf"PARTITIONED{_WS}BY\s*\((?P<parts>(?:[^()]|\([^()]*\))*)\)"
+            rf"|(?:TBLPROPERTIES|OPTIONS)\s*\((?P<props>(?:[^()]|\([^()]*\))*)\)"
             rf"|LOCATION\s+'(?P<loc>[^']+)'"
             rf"))*"
             rf"(?:{_WS}AS{_WS}(?P<query>SELECT.*|VALUES.*))?$",

@@ -49,7 +49,12 @@ def _foreach_batch(
             extra[QUERY_ID_KEY] = query_name
         op = getattr(table, operation)
         last_err: Exception | None = None
-        for _ in range(max(retries, 1)):
+        for attempt in range(max(retries, 1)):
+            # a failure AFTER a durable commit (e.g. in post-commit
+            # services) must not rewrite the batch — re-check the
+            # committed batch id before every retry, not just once
+            if attempt > 0 and last_committed_batch_id(table, query_name) == batch_id:
+                return
             try:
                 instant = op(batch_df, extra=extra)
                 if on_commit is not None:
@@ -58,6 +63,8 @@ def _foreach_batch(
             except Exception as e:  # noqa: BLE001 — retry loop mirrors the sink
                 last_err = e
                 table.rollback_pending_writes()
+        if last_committed_batch_id(table, query_name) == batch_id:
+            return  # final attempt committed before its post-commit error
         raise last_err  # type: ignore[misc]
 
     return fn

@@ -124,9 +124,14 @@ def _read_slice_arrow(part: SlicePartition):
     tbl = pa.concat_tables(tables, promote_options="permissive")
     df = tbl.to_pandas()
     if part.log_paths:  # merge needed
-        df = df.sort_values(part.order_cols, kind="stable").groupby(
-            RECORD_KEY_COL, as_index=False, sort=False
-        ).tail(1)
+        # na_position='first': ascending sort + tail(1) makes the LAST
+        # row win, so nulls must sort FIRST to lose — matching the Spark
+        # merge path's desc_nulls_last (a null ordering value must never
+        # beat a real one; pandas' default na_position='last' inverted
+        # this between the two read paths)
+        df = df.sort_values(
+            part.order_cols, kind="stable", na_position="first"
+        ).groupby(RECORD_KEY_COL, as_index=False, sort=False).tail(1)
     if DELETE_MARKER_COL in df.columns:
         df = df[~df[DELETE_MARKER_COL].fillna(False).astype(bool)]
     if part.begin is not None:

@@ -265,3 +265,50 @@ def test_insert_pack_key_containing_separator_byte(spark, tmp_table_path):
         for r in t.snapshot().select("_hoodie_record_key").collect()
     )
     assert skeys == keys
+
+
+def test_null_record_keys_rejected(spark, tmp_table_path):
+    """Code-review r3: null/empty record keys raise (HoodieKeyException,
+    KeyGenUtils.java:92-145) instead of silently collapsing all null-key
+    rows into one record; composite keys use __null__/__empty__
+    placeholders and raise only when every part is null/empty."""
+    import pytest
+    from pyspark.sql import types as T
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/nullk",
+        WriteConfig(record_key_field="k", partition_field="part",
+                    precombine_field="v"),
+    )
+    bad = spark.createDataFrame(
+        [(None, "p0", 1), ("ok", "p0", 1)],
+        T.StructType([T.StructField("k", T.StringType()),
+                      T.StructField("part", T.StringType()),
+                      T.StructField("v", T.LongType())]),
+    )
+    with pytest.raises(Exception, match="cannot be null or empty"):
+        t.bulk_insert(bad)
+
+    # composite: one null part renders as __null__, all-null raises
+    t2 = HudiTable.create(
+        spark, tmp_table_path + "/nullc",
+        WriteConfig(record_key_field=["a", "b"], partition_field="part",
+                    precombine_field="v"),
+    )
+    t2.bulk_insert(spark.createDataFrame(
+        [("x", None, "p0", 1)],
+        T.StructType([T.StructField("a", T.StringType()),
+                      T.StructField("b", T.StringType()),
+                      T.StructField("part", T.StringType()),
+                      T.StructField("v", T.LongType())]),
+    ))
+    key = t2.snapshot().select("_hoodie_record_key").first()[0]
+    assert key == "a:x,b:__null__"
+    with pytest.raises(Exception, match="entirely null or empty"):
+        t2.upsert(spark.createDataFrame(
+            [(None, None, "p0", 2)],
+            T.StructType([T.StructField("a", T.StringType()),
+                          T.StructField("b", T.StringType()),
+                          T.StructField("part", T.StringType()),
+                          T.StructField("v", T.LongType())]),
+        ))

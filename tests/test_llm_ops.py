@@ -489,3 +489,37 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
     # every doc pairs with every other via the boilerplate tail
     assert uncapped == 61 * 60 // 2
     assert bounded < uncapped / 10
+
+
+def test_zvalue_bit_budget_capped(spark):
+    """Code-review r3: the interleaved z-value must stay within 63 bits
+    (sign bit clear, no JVM shift wrap) — with 4+ columns the
+    per-column bit budget shrinks and every z-value stays non-negative."""
+    from hudi_0_10_0_spark.functions.zorder import with_zvalue
+
+    df = spark.range(2000).selectExpr(
+        "id * 7 % 1000 AS a", "id * 13 % 1000 AS b",
+        "id * 17 % 1000 AS c", "id * 19 % 1000 AS d", "id * 23 % 1000 AS e",
+    )
+    z = with_zvalue(df, ["a", "b", "c", "d", "e"], bits=16)
+    from pyspark.sql import functions as F
+
+    assert z.filter(F.col("__zvalue") < 0).count() == 0
+    assert z.select("__zvalue").distinct().count() > 100  # still discriminates
+
+
+def test_sampling_rejects_non_numeric_key(spark):
+    """Code-review r3: a string key would hash to null and silently
+    return an EMPTY sample — reject loudly instead."""
+    import pytest
+
+    from hudi_0_10_0_spark.functions.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame([("doc_1", "s", 3)], "doc string, src string, n int")
+    with pytest.raises(ValueError, match="integer key"):
+        deterministic_sample(df, key_col="doc", fraction=0.5)
+    with pytest.raises(ValueError, match="integer key"):
+        stratified_sample(df, key_col="doc", strata_col="src", fractions={"s": 1.0})

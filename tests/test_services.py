@@ -609,3 +609,27 @@ def test_archive_moves_service_instants(spark, tmp_table_path):
     # cleaned-file records still visible through the archive: the view
     # must not resurrect cleaned versions
     assert t.snapshot().filter("v = 8").count() == 5
+
+
+def test_timestamp_keygen_null_partition_value(spark, tmp_table_path):
+    """Code-review r3: a null timestamp partition value lands in the
+    1970 epoch-default partition (TimestampBasedAvroKeyGenerator.
+    getDefaultPartitionVal) instead of concat_ws silently dropping the
+    segment and misaligning the path."""
+    from pyspark.sql import types as T
+
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="ts", precombine_field="v",
+        keygen="timestamp", timestamp_input_type="EPOCHSECONDS",
+        timestamp_output_format="yyyy-MM-dd",
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/tsnull", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 1600000000, 1), (2, None, 2)],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("ts", T.LongType()),
+                      T.StructField("v", T.LongType())]),
+    ))
+    parts = sorted(t.partitions())
+    assert "1970-01-01" in parts, parts
+    assert t.snapshot().count() == 2

@@ -509,3 +509,55 @@ def test_insert_strict_mode_composite_key(spark, tmp_table_path):
             s.sql("INSERT INTO tck VALUES (1, 'a', 12.0, 1002)")
     finally:
         _reset_insert_confs(spark)
+
+
+def test_merge_on_clause_validated_and_remapped(spark, tmp_table_path):
+    """Code-review r3: the MERGE ON clause is parsed, not ignored —
+    non-equality conditions raise (MergeIntoHoodieTableCommand.scala:100),
+    every record-key field must be covered, non-key conditions are
+    rejected with guidance, and 'ON t.id = s.other_col' remaps the
+    source expression onto the key."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/onv",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", 1000)], "id int, name string, ts long"))
+    s = _sql_sess(spark, ("tonv", t))
+    with pytest.raises(ValueError, match="Non-Equal"):
+        s.sql("MERGE INTO tonv USING (SELECT 1 AS id, 'x' AS name, 2 AS ts) s "
+              "ON tonv.id > s.id WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="record key"):
+        s.sql("MERGE INTO tonv USING (SELECT 1 AS id, 'x' AS name, 2 AS ts) s "
+              "ON tonv.name = s.name WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="record-key"):
+        s.sql("MERGE INTO tonv USING (SELECT 1 AS id, 'x' AS name, 2 AS ts) s "
+              "ON tonv.id = s.id AND tonv.name = s.name "
+              "WHEN MATCHED THEN DELETE")
+    # remapped key: source carries s_id, not id
+    s.sql("MERGE INTO tonv USING (SELECT 1 AS s_id, 'remap' AS name, 2 AS ts) s "
+          "ON tonv.id = s.s_id "
+          "WHEN MATCHED THEN UPDATE SET name = s.name, ts = s.ts")
+    assert [r.name for r in t.snapshot().select("name").collect()] == ["remap"]
+
+
+def test_merge_update_clause_beats_delete_clause(spark, tmp_table_path):
+    """Code-review r3: reference ExpressionPayload tests UPDATE
+    conditions FIRST — a matched row satisfying an UPDATE clause must be
+    updated, not deleted by a later unconditional DELETE clause
+    (processMatchedRecord, ExpressionPayload.scala:95-135)."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/updel",
+        WriteConfig(record_key_field="id", precombine_field="ts"),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 5.0, 1000), (2, 20.0, 1000)], "id int, price double, ts long"))
+    s = _sql_sess(spark, ("tud", t))
+    s.sql("MERGE INTO tud USING (SELECT 1 AS id, 5.0 AS price, 2000 AS ts "
+          "UNION ALL SELECT 2, 20.0, 2000) s ON tud.id = s.id "
+          "WHEN MATCHED AND s.price > 10 THEN UPDATE SET price = s.price * 2, ts = s.ts "
+          "WHEN MATCHED THEN DELETE")
+    rows = {r.id: r.price for r in t.snapshot().select("id", "price").collect()}
+    # id 2 matched the update clause (price>10) → updated, NOT deleted;
+    # id 1 fell through to the delete clause
+    assert rows == {2: 40.0}

@@ -64,9 +64,13 @@ def test_merge_statement_update_delete_insert(hs, spark):
         MERGE INTO tgt AS t USING src_v AS s
         ON t.id = s.id
         WHEN MATCHED AND s.id = 1 THEN DELETE
-        WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v
+        WHEN MATCHED AND s.id != 1 THEN UPDATE SET name = s.name, v = s.v
         WHEN NOT MATCHED THEN INSERT *
         """
+        # NOTE: conditions are mutually exclusive, mirroring the
+        # reference's own test (TestMergeIntoTable.scala:105-107) —
+        # ExpressionPayload tests UPDATE conditions FIRST regardless of
+        # clause order, so an unconditional UPDATE would beat the DELETE
     )
     snap = t.snapshot()
     assert snap.count() == 10  # 10 - 1 deleted + 1 inserted
