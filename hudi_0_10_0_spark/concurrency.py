@@ -165,16 +165,23 @@ def get_lock_provider(table) -> LockProvider:
     raise ValueError(f"unknown lock provider: {name}")
 
 
-def txn_start_marker(table) -> str | None:
+def txn_start_marker(table, view=None) -> str | None:
     """Latest completed write instant at transaction start — the
     reference's ``lastSuccessfulInstant`` captured when the transaction
     begins (``SimpleConcurrentFileWritesConflictResolutionStrategy.
     getCandidateInstants:58-62`` filters completed commits AFTER it, not
     after the writer's own instant timestamp, so a concurrent commit
     whose pre-allocated timestamp sorts earlier is still a candidate).
+
+    Pass the ``FileSystemView`` the write was PLANNED against: the
+    marker is then the max completed instant in that exact view, so a
+    commit landing between the view read and a later timeline re-list
+    still counts as concurrent (it post-dates the planning state).
     None in single-writer mode (no OCC check)."""
     if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
         return None
+    if view is not None:
+        return max((ts for ts, _, _ in view.commits), default="")
     done = table.timeline.completed_write_instants()
     return max((i.timestamp for i in done), default="")
 

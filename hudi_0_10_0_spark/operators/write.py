@@ -892,7 +892,7 @@ def run_batch_write(
         and not payload.requires_stored_merge  # e.g. MERGE INTO (see Payload)
         else "commit"
     )
-    txn_start = txn_start_marker(table)
+    txn_start = txn_start_marker(table, view)
     instant = instant_time or table.new_instant()
     table.timeline.create_requested(instant, action, {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, action)
@@ -1330,7 +1330,7 @@ def run_replace_write(
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()
-    txn_start = txn_start_marker(table)
+    txn_start = txn_start_marker(table, view)
     instant = table.new_instant()
     table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, "replacecommit")

@@ -198,14 +198,21 @@ def prune_slices_by_stats(table, slices, filters) -> list:
 
 
 def _coerce(val, template):
-    """Align the literal's type with the JSON-roundtripped stat value."""
+    """Align the literal's type with the JSON-roundtripped stat value.
+
+    Numeric literals are kept as-is when the stat is numeric: Python
+    compares int/float exactly, and truncating a float literal to int
+    (``int(3.5) -> 3``) would make strict-comparison pruning drop files
+    that contain matching rows (``col < 3.5`` vs min=3)."""
     try:
         if isinstance(template, bool):
-            return bool(val)
-        if isinstance(template, int) and not isinstance(val, bool):
-            return int(val)
-        if isinstance(template, float):
-            return float(val)
+            return val if isinstance(val, bool) else None
+        if isinstance(template, (int, float)) and not isinstance(
+            template, bool
+        ):
+            if isinstance(val, (int, float)) and not isinstance(val, bool):
+                return val
+            return float(val)  # string literal against numeric stats
         if isinstance(template, str):
             return str(val)
     except (TypeError, ValueError):

@@ -37,8 +37,8 @@ from hudi_0_10_0_spark.operators import write as write_mod
 _orig_marker = write_mod.txn_start_marker
 
 
-def latched_marker(table):
-    res = _orig_marker(table)
+def latched_marker(table, view=None):
+    res = _orig_marker(table, view)
     open(os.path.join(barrier, f"started-{writer_id}"), "w").write("")
     deadline = time.time() + 120
     while not os.path.exists(os.path.join(barrier, f"started-{other_id}")):

@@ -152,6 +152,37 @@ class _CustomProvider:
         self.table = table
 
 
+def test_occ_stale_planning_view_counts_as_concurrent(spark, tmp_table_path):
+    """Lost-update guard: a commit landing AFTER the planning view was
+    read but BEFORE the txn marker would be captured from a fresh
+    timeline listing must still conflict — the marker derives from the
+    planning view itself (txn_start_marker(table, view)), so the write
+    planned off stale state cannot silently overwrite it."""
+    from hudi_0_10_0_spark.concurrency import guarded_commit, txn_start_marker
+    from hudi_0_10_0_spark.metadata import FileSystemView
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+
+    planning_view = FileSystemView(t.timeline)  # writer A plans here
+    txn = txn_start_marker(t, planning_view)
+    t.upsert(_df(spark, [(1, "p0", 2)]))  # writer B commits meanwhile
+
+    # B's commit post-dates A's planning view → overlap must conflict
+    fg = t.view().commits[-1][2]["write_stats"][0]
+    written_md = {
+        "write_stats": [{"partition": fg.get("partition", ""), "file_id": fg["file_id"]}]
+    }
+    a_instant = t.new_instant()
+    t.timeline.create_requested(a_instant, "commit", {"operation": "upsert"})
+    t.timeline.transition_to_inflight(a_instant, "commit")
+    with pytest.raises(ConcurrentWriteConflictError):
+        guarded_commit(t, a_instant, "commit", written_md, txn)
+    t.rollback_pending_writes()
+    assert t.timeline.pending() == []
+    assert t.snapshot().filter("id = 1").first().v == 2  # B's write intact
+
+
 def test_occ_true_concurrency_two_threads(spark, tmp_table_path):
     """Two writer threads upsert the SAME file group at the same time
     under OCC + the in-process lock provider: exactly one commits, the

@@ -80,6 +80,37 @@ def test_in_predicate_never_prunes_a_matching_row(vals, lo, hi, row):
         assert leaf_possible(stats, ("c", "in", vals))
 
 
+FLOATS = st.floats(
+    min_value=-1000.0, max_value=1000.0, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=500)
+@given(lo=INTS, hi=INTS, row=INTS, op=OPS, lit=FLOATS)
+def test_float_literal_against_int_stats_never_prunes(lo, hi, row, op, lit):
+    """Regression: _coerce used to truncate float literals toward zero
+    (int(3.5) -> 3), so ``col < 3.5`` against int stats min=max=3 pruned
+    a file whose row col=3 matches."""
+    mn, mx = min(lo, hi), max(lo, hi)
+    row_v = mn + abs(row) % (mx - mn + 1)
+    stats = {"c": (mn, mx, 0)}
+    if _leaf_holds(op, row_v, lit):
+        assert leaf_possible(stats, ("c", op, lit)), (
+            f"pruned a file [{mn},{mx}] containing row {row_v} "
+            f"matching c {op} {lit}"
+        )
+
+
+def test_float_literal_truncation_regression():
+    # the exact shapes from the review finding
+    assert leaf_possible({"c": (3, 3, 0)}, ("c", "<", 3.5))
+    assert leaf_possible({"c": (-2, -2, 0)}, ("c", ">", -2.5))
+    assert leaf_possible({"c": (3, 7, 0)}, ("c", "in", [3.0, 99.5]))
+    # string literal against numeric stats still compares numerically
+    assert leaf_possible({"c": (3, 3, 0)}, ("c", "<", "3.5"))
+    assert not leaf_possible({"c": (3, 3, 0)}, ("c", ">", "3.5"))
+
+
 @settings(max_examples=200)
 @given(op=OPS, lit=INTS, lo=INTS, hi=INTS)
 def test_missing_or_null_stats_never_prune(op, lit, lo, hi):
