@@ -226,9 +226,6 @@ def guarded_commit(
     owner = f"writer-{instant}"
     lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
     try:
-        from .metadata import FileSystemView
-
-        fresh = FileSystemView(table.timeline)
         written = {
             (s.get("partition", ""), s["file_id"])
             for s in metadata.get("write_stats", [])
@@ -241,7 +238,37 @@ def guarded_commit(
         # a backdated instant landing under newer commits, which would
         # corrupt file-slice ordering) → threshold is the min
         after_ts = instant if txn_start is None else min(txn_start, instant)
-        losers = find_conflicts(fresh.commits, after_ts, written)
+        # Keep the critical section small: only instants NEWER than
+        # after_ts can conflict, so read just those from the active
+        # timeline instead of folding a full FileSystemView (which
+        # re-parses every archive batch under the lock — seconds of
+        # metadata I/O serializing all writers on a large table).
+        # Archive batches are consulted only if their name's upper-bound
+        # timestamp says one could hold such an instant (a long txn that
+        # straddled an archive run).
+        tl = table.timeline
+        candidates = [
+            (i.timestamp, i.action, tl.read_metadata(i))
+            for i in tl.completed_write_instants()
+            if i.timestamp > after_ts
+        ]
+        newest_archived = max(
+            (
+                n.rsplit(".archive.jsonl", 1)[0].split("_")[-1]
+                for n in tl.fs.list_names(tl.archive_dir)
+                if n.endswith(".archive.jsonl")
+            ),
+            default="",
+        )
+        if newest_archived > after_ts:
+            from .timeline import WRITE_ACTIONS
+
+            candidates += [
+                (a["timestamp"], a["action"], a["metadata"])
+                for a in tl.archived_instants()
+                if a["action"] in WRITE_ACTIONS and a["timestamp"] > after_ts
+            ]
+        losers = find_conflicts(candidates, after_ts, written)
         if losers:
             raise ConcurrentWriteConflictError(
                 f"instant {instant} conflicts with concurrent commit(s) "

@@ -48,9 +48,24 @@ _KEYGEN_CLASSES = {
     "SimpleKeyGenerator": "simple",
     "ComplexKeyGenerator": "complex",
     "TimestampBasedKeyGenerator": "timestamp",
+    "CustomKeyGenerator": "custom",
     "NonpartitionedKeyGenerator": "nonpartitioned",
     "UuidKeyGenerator": "uuid",
 }
+
+
+def _keygen(v) -> str:
+    """Unknown keygenerator classes FAIL rather than silently falling
+    back to 'auto' — a silent fallback would derive different record
+    keys / partition paths than the user's class and corrupt upsert
+    matching (the payload.class path fails loudly the same way)."""
+    name = str(v).rsplit(".", 1)[-1]
+    if name not in _KEYGEN_CLASSES:
+        raise ValueError(
+            f"unsupported hoodie.datasource.write.keygenerator.class: {v}; "
+            f"supported: {sorted(_KEYGEN_CLASSES)}"
+        )
+    return _KEYGEN_CLASSES[name]
 
 
 def _bool(v) -> bool:
@@ -69,6 +84,13 @@ def options_to_config(options: dict) -> WriteConfig:
     ``HoodieStorageConfig`` / ``HoodieIndexConfig``) into a
     ``WriteConfig``. Unknown ``hoodie.*`` keys are ignored, like the
     reference ignores options it doesn't own."""
+    return WriteConfig(**options_to_kwargs(options))
+
+
+def options_to_kwargs(options: dict) -> dict:
+    """Translate options to ``WriteConfig`` constructor kwargs,
+    containing ONLY the fields the options actually set (so callers can
+    overlay them onto a stored config per-write)."""
     o = {str(k): v for k, v in options.items()}
     kw: dict = {}
 
@@ -90,11 +112,7 @@ def options_to_config(options: dict) -> WriteConfig:
         "payload",
         lambda v: _PAYLOAD_CLASSES.get(str(v).rsplit(".", 1)[-1], str(v)),
     )
-    take(
-        "hoodie.datasource.write.keygenerator.class",
-        "keygen",
-        lambda v: _KEYGEN_CLASSES.get(str(v).rsplit(".", 1)[-1], "auto"),
-    )
+    take("hoodie.datasource.write.keygenerator.class", "keygen", _keygen)
     take(
         "hoodie.datasource.write.hive_style_partitioning",
         "hive_style_partitioning",
@@ -153,7 +171,58 @@ def options_to_config(options: dict) -> WriteConfig:
         "bulk_insert_sort_mode",
         lambda v: BulkInsertSortMode(str(v).upper()),
     )
-    return WriteConfig(**kw)
+    return kw
+
+
+# Identity/layout fields fixed at table creation — a per-write override
+# would corrupt key derivation or the on-disk partition layout, so a
+# conflicting option on an existing table FAILS (the reference throws on
+# table-type mismatch, HoodieSparkSqlWriter.scala mergeParamsAndGetHoodieConfig)
+_IMMUTABLE_FIELDS = (
+    "table_type",
+    "record_key_field",
+    "partition_field",
+    "keygen",
+    "hive_style_partitioning",
+    "url_encode_partitioning",
+    "drop_partition_columns",
+    "timestamp_output_format",
+    "timestamp_input_type",
+)
+
+
+def _norm_fields(v) -> list[str]:
+    if isinstance(v, (list, tuple)):
+        return [str(x) for x in v]
+    return [p.strip() for p in str(v).split(",") if p.strip()]
+
+
+def _apply_write_options(t: HudiTable, o: dict) -> None:
+    """Overlay per-write options onto the stored config (the reference
+    builds its HoodieWriteConfig from the supplied options on EVERY
+    write — previously everything except operation/partitions/bootstrap
+    was silently ignored on existing tables, so e.g. a per-write
+    payload.class=AWSDmsAvroPayload upserted CDC deletes as live rows)."""
+    import dataclasses
+
+    kw = options_to_kwargs(o)
+    kw.pop("table_name", None)
+    for f in _IMMUTABLE_FIELDS:
+        if f not in kw:
+            continue
+        new, cur = kw.pop(f), getattr(t.cfg, f)
+        if f in ("record_key_field", "partition_field"):
+            conflict = _norm_fields(new) != _norm_fields(cur)
+        else:
+            conflict = new != cur
+        if conflict:
+            raise ValueError(
+                f"option conflicts with the stored table config: {f} is "
+                f"{cur!r}, write supplied {new!r} — identity/layout fields "
+                "are fixed at table creation"
+            )
+    if kw:
+        t.cfg = dataclasses.replace(t.cfg, **kw)
 
 
 def write(
@@ -180,6 +249,7 @@ def write(
         if mode in ("error", "errorifexists"):
             raise ValueError(f"table already exists at {path}")
         t = HudiTable.load(spark, path)
+        _apply_write_options(t, o)
     else:
         t = HudiTable.create(spark, path, options_to_config(o))
 

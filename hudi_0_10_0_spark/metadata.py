@@ -174,7 +174,14 @@ class FileSystemView:
             for a in archived
             if a["action"] in WRITE_ACTIONS
         ]
+        # An instant can transiently be BOTH archived and active (crash
+        # between the archive batch write and the active-file deletes);
+        # folding it twice would duplicate log-file versions, so MOR
+        # merges and compaction would read the same delta twice.
+        archived_keys = {(ts, a) for ts, a, _ in entries}
         for inst in self.timeline.completed_write_instants():
+            if (inst.timestamp, inst.action) in archived_keys:
+                continue
             entries.append((inst.timestamp, inst.action, self.timeline.read_metadata(inst)))
         # Savepoints let archive() move instants NEWER than a protected
         # active instant, so archived∪active is NOT timestamp-ordered by

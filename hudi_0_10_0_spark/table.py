@@ -30,7 +30,8 @@ class HudiTable:
         self.fs = FS(spark, self.base_path)
         self.meta_path = f"{self.base_path}/{META_DIR}"
         self.timeline = Timeline(self.fs, self.meta_path)
-        self._schema_cache: T.StructType | None = None
+        # (view, schema) pair — keyed on view identity, see schema()
+        self._schema_cache: tuple | None = None
         self._view_cache: tuple | None = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -87,13 +88,17 @@ class HudiTable:
 
     def schema(self) -> T.StructType | None:
         """Latest committed write schema (includes meta + delete-marker
-        columns), or None for an empty table."""
-        if self._schema_cache is None:
-            sj = self.view().latest_schema()
-            self._schema_cache = (
-                T.StructType.fromJson(json.loads(sj)) if sj else None
-            )
-        return self._schema_cache
+        columns), or None for an empty table. Cached per VIEW identity —
+        consulting view() first means another writer's commit (which
+        changes the timeline fingerprint) invalidates the schema too,
+        instead of serving a stale pre-evolution StructType."""
+        v = self.view()
+        if self._schema_cache is not None and self._schema_cache[0] is v:
+            return self._schema_cache[1]
+        sj = v.latest_schema()
+        s = T.StructType.fromJson(json.loads(sj)) if sj else None
+        self._schema_cache = (v, s)
+        return s
 
     def read_schema(self) -> T.StructType:
         s = self.schema()
@@ -222,11 +227,32 @@ class HudiTable:
         return clean(self)
 
     def archive(self) -> int:
-        return self.timeline.archive(
-            self.cfg.keep_min_commits,
-            self.cfg.keep_max_commits,
-            protected_ts=set(self.savepoint_instants()),
-        )
+        """Trim the active timeline (``HoodieTimelineArchiveLog``). In
+        multi-writer mode this runs under the table lock so two writers'
+        post-commit archivers cannot interleave batch-write/delete; a
+        busy lock just skips this round (archiving is housekeeping — the
+        next commit retries)."""
+        from .concurrency import LockTimeoutError, get_lock_provider
+
+        def _run() -> int:
+            return self.timeline.archive(
+                self.cfg.keep_min_commits,
+                self.cfg.keep_max_commits,
+                protected_ts=set(self.savepoint_instants()),
+            )
+
+        if self.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
+            return _run()
+        lock = get_lock_provider(self)
+        owner = f"archiver-{self.new_instant()}"
+        try:
+            lock.lock(owner, wait_seconds=self.cfg.lock_wait_seconds)
+        except LockTimeoutError:
+            return 0
+        try:
+            return _run()
+        finally:
+            lock.unlock(owner)
 
     def rollback(self, instant: str) -> str:
         from .operators.services import rollback_instant

@@ -58,15 +58,20 @@ def format_query_instant(q: str) -> str:
 
     s = q.strip()
     n = len(s)
+    # Second-granularity inputs pad millis with "999"
+    # (HoodieInstantTimeGenerator.java:57,82,127 DEFAULT_MILLIS_EXT):
+    # "as of 12:30:05" includes every millisecond instant within that
+    # second — 17-char instants with an equal 14-char prefix would
+    # otherwise sort AFTER the query string and be excluded.
     if n in (19, 23):  # yyyy-MM-dd HH:mm:ss[.SSS]
         d = datetime.strptime(s[:19], "%Y-%m-%d %H:%M:%S")
-        ms = s[20:23] if n == 23 else "000"
+        ms = s[20:23] if n == 23 else "999"
         return d.strftime("%Y%m%d%H%M%S") + ms
     if n in (14, 17) and s.isdigit():  # yyyyMMddHHmmss[SSS]
         datetime.strptime(s[:14], "%Y%m%d%H%M%S")  # validate
-        return s
-    if n == 10:  # yyyy-MM-dd -> start of day
-        return datetime.strptime(s, "%Y-%m-%d").strftime("%Y%m%d") + "000000"
+        return s + "999" if n == 14 else s
+    if n == 10:  # yyyy-MM-dd -> start of day (midnight exactly)
+        return datetime.strptime(s, "%Y-%m-%d").strftime("%Y%m%d") + "000000000"
     raise ValueError(
         f"Unsupported query instant time format: {s}, supported formats "
         "are: 'yyyy-MM-dd HH:mm:ss[.SSS]' or 'yyyy-MM-dd' or "
@@ -79,7 +84,14 @@ def new_instant_time() -> str:
     reference's ``HoodieActiveTimeline.createNewInstantTime``)."""
     global _last_ts
     with _lock:
-        ts = time.strftime("%Y%m%d%H%M%S") + f"{int(time.time() * 1000) % 1000:03d}"
+        # one clock read: deriving seconds and millis from two separate
+        # reads can straddle a second rollover and yield a timestamp up
+        # to ~1s in the past (backdated vs another process's instants)
+        now = time.time()
+        ts = (
+            time.strftime("%Y%m%d%H%M%S", time.localtime(now))
+            + f"{int(now * 1000) % 1000:03d}"
+        )
         if ts <= _last_ts:  # clock tie/skew → bump
             ts = str(int(_last_ts) + 1).zfill(17)
         _last_ts = ts
@@ -232,29 +244,53 @@ class Timeline:
         ]
         to_archive.sort(key=lambda i: i.timestamp)
         self.fs.mkdirs(self.archive_dir)
-        records = []
+        # Self-heal after a crash between a previous batch write and its
+        # active-file deletes: instants already in the archive are not
+        # re-serialized — only their residual active files are removed.
+        # (FileSystemView._build also dedupes archived-vs-active, so the
+        # crashed window never double-folds; this completes the repair.)
+        already = {(a["timestamp"], a["action"]) for a in self.archived_instants()}
+        residual = [i for i in to_archive if (i.timestamp, i.action) in already]
+        to_archive = [i for i in to_archive if (i.timestamp, i.action) not in already]
+        records, kept = [], []
         for inst in to_archive:
+            try:
+                md = self.read_metadata(inst)
+            except Exception:
+                continue  # concurrently archived by another writer — skip
+            kept.append(inst)
             records.append(
                 json.dumps(
                     {
                         "timestamp": inst.timestamp,
                         "action": inst.action,
-                        "metadata": self.read_metadata(inst),
+                        "metadata": md,
                     },
                     sort_keys=True,
                 )
             )
-        batch_name = f"{to_archive[0].timestamp}_{to_archive[-1].timestamp}.archive.jsonl"
-        self.fs.write_text_atomic(f"{self.archive_dir}/{batch_name}", "\n".join(records))
-        for inst in to_archive:
+        if kept:
+            batch_name = f"{kept[0].timestamp}_{kept[-1].timestamp}.archive.jsonl"
+            self.fs.write_text_atomic(
+                f"{self.archive_dir}/{batch_name}", "\n".join(records)
+            )
+            for inst in kept:
+                self.delete_instant_files(inst.timestamp, inst.action)
+        for inst in residual:
             self.delete_instant_files(inst.timestamp, inst.action)
-        return len(to_archive)
+        return len(kept) + len(residual)
 
     def archived_instants(self) -> list[dict]:
         out = []
+        seen: set[tuple[str, str]] = set()
         for name in sorted(self.fs.list_names(self.archive_dir)):
             if name.endswith(".archive.jsonl"):
                 for line in self.fs.read_text(f"{self.archive_dir}/{name}").splitlines():
                     if line.strip():
-                        out.append(json.loads(line))
+                        rec = json.loads(line)
+                        key = (rec["timestamp"], rec["action"])
+                        if key in seen:  # overlapping batches (crash repair)
+                            continue
+                        seen.add(key)
+                        out.append(rec)
         return out

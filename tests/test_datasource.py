@@ -71,6 +71,76 @@ def test_write_read_roundtrip(spark, tmp_table_path, orders):
     assert inc.count() == orders.count()  # no begin → everything
 
 
+def test_per_write_options_applied_to_existing_table(spark, tmp_table_path):
+    """The reference builds its write config from the supplied options
+    on EVERY write — a per-write AWS DMS payload + precombine must take
+    effect on an existing table (Op='D' rows delete), not be silently
+    ignored in favor of the creation-time defaults."""
+    p = tmp_table_path + "/t"
+    df = spark.createDataFrame(
+        [(1, "p0", 1, "I"), (2, "p0", 1, "I")], "id long, part string, lsn long, Op string"
+    )
+    datasource.write(df, p, options={
+        "hoodie.table.name": "cdc",
+        "hoodie.datasource.write.recordkey.field": "id",
+        "hoodie.datasource.write.partitionpath.field": "part",
+        "hoodie.datasource.write.precombine.field": "lsn",
+        "hoodie.clean.automatic": "false",
+    })
+    dms = spark.createDataFrame([(1, "p0", 2, "D")], "id long, part string, lsn long, Op string")
+    datasource.write(dms, p, options={
+        "hoodie.datasource.write.payload.class":
+            "org.apache.hudi.common.model.AWSDmsAvroPayload",
+        "hoodie.datasource.write.precombine.field": "lsn",
+    })
+    snap = datasource.read(spark, p)
+    assert snap.count() == 1  # id=1 deleted by the DMS payload
+    assert snap.first().id == 2
+
+
+def test_immutable_option_conflict_raises(spark, tmp_table_path, orders):
+    p = tmp_table_path + "/t"
+    datasource.write(orders, p, options=_opts())
+    with pytest.raises(ValueError, match="record_key_field"):
+        datasource.write(orders, p, options=_opts(**{
+            "hoodie.datasource.write.recordkey.field": "o_custkey"
+        }))
+    with pytest.raises(ValueError, match="table_type"):
+        datasource.write(orders, p, options=_opts(**{
+            "hoodie.datasource.write.table.type": "MERGE_ON_READ"
+        }))
+    # same values are not a conflict
+    datasource.write(orders.limit(5), p, options=_opts())
+
+
+def test_unknown_keygenerator_class_fails():
+    with pytest.raises(ValueError, match="keygenerator"):
+        options_to_config({
+            "hoodie.datasource.write.keygenerator.class":
+                "org.apache.hudi.keygen.GlobalDeleteKeyGenerator",
+        })
+    cfg = options_to_config({
+        "hoodie.datasource.write.keygenerator.class":
+            "org.apache.hudi.keygen.CustomKeyGenerator",
+    })
+    assert cfg.keygen == "custom"
+
+
+def test_schema_cache_sees_external_writers_evolution(spark, tmp_table_path, orders):
+    """table.schema() on handle A must reflect an ALTER committed via
+    handle B without A calling view() first (stale-cache regression)."""
+    from hudi_0_10_0_spark import HudiTable
+
+    p = tmp_table_path + "/t"
+    datasource.write(orders, p, options=_opts())
+    a = HudiTable.load(spark, p)
+    cols_before = set(a.read_schema().fieldNames())
+    b = HudiTable.load(spark, p)
+    b.add_columns([("new_col", "string")])
+    assert "new_col" in set(a.read_schema().fieldNames())
+    assert "new_col" not in cols_before
+
+
 def test_save_modes(spark, tmp_table_path, orders):
     p = tmp_table_path + "/t"
     datasource.write(orders, p, options=_opts())

@@ -52,6 +52,49 @@ def test_archive_moves_old_instants(spark, tmp_table_path):
     assert archived[0]["metadata"]["t"] == archived[0]["timestamp"]
 
 
+def test_archive_crash_between_batch_write_and_deletes(spark, tmp_table_path):
+    """A crash after the archive batch lands but before the active
+    instant files are deleted must not double-fold instants (duplicate
+    deltas in MOR merges), and the next archive run self-heals by
+    removing the residual active files without re-serializing them."""
+    from hudi_0_10_0_spark.metadata import FileSystemView
+
+    fs = FS(spark, tmp_table_path)
+    tl = Timeline(fs, tmp_table_path + "/_hoodie_meta")
+    all_ts = []
+    for k in range(12):
+        ts = new_instant_time()
+        all_ts.append(ts)
+        tl.create_requested(ts, COMMIT)
+        tl.transition_to_completed(
+            ts, COMMIT,
+            {"write_stats": [{"partition": "p", "file_id": "f0", "log": True,
+                              "paths": [f"l{k}"], "rows": 1, "bytes": 1}]},
+        )
+    # simulate the crash: batch write succeeds, deletes never run
+    orig = tl.delete_instant_files
+    tl.delete_instant_files = lambda ts, action: None
+    n = tl.archive(keep_min=5, keep_max=10)
+    tl.delete_instant_files = orig
+    assert n == 7
+    assert len(tl.completed_write_instants()) == 12  # residuals remain
+    assert len(tl.archived_instants()) == 7
+
+    # archived ∪ active folds each instant exactly once
+    view = FileSystemView(tl)
+    assert [ts for ts, _, _ in view.commits] == all_ts
+    logs = view.groups[("p", "f0")].logs
+    assert len(logs) == 12  # one per commit, no duplicates
+
+    # next run self-heals: deletes residuals, re-archives nothing extra
+    n2 = tl.archive(keep_min=5, keep_max=10)
+    assert n2 == 7
+    assert len(tl.completed_write_instants()) == 5
+    assert len(tl.archived_instants()) == 7
+    view2 = FileSystemView(tl)
+    assert [ts for ts, _, _ in view2.commits] == all_ts
+
+
 def test_format_query_instant():
     """HoodieSqlUtils.formatQueryInstant: the three user-facing time
     travel formats normalize to timeline instants; garbage rejected."""
@@ -59,10 +102,12 @@ def test_format_query_instant():
 
     from hudi_0_10_0_spark.timeline import format_query_instant as f
 
-    assert f("2021-07-18 12:30:05") == "20210718123005000"
+    # second-granularity inputs are inclusive of the whole second:
+    # millis pad with "999" (HoodieInstantTimeGenerator DEFAULT_MILLIS_EXT)
+    assert f("2021-07-18 12:30:05") == "20210718123005999"
     assert f("2021-07-18 12:30:05.123") == "20210718123005123"
-    assert f("2021-07-18") == "20210718000000"
-    assert f("20210718123005") == "20210718123005"
+    assert f("2021-07-18") == "20210718000000000"
+    assert f("20210718123005") == "20210718123005999"
     assert f("20210718123005123") == "20210718123005123"
     with pytest.raises(ValueError, match="Unsupported query instant"):
         f("not-an-instant")
