@@ -8,7 +8,18 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
+import re
 import sys
+import time
+
+# Pin the process timezone BEFORE the JVM / DuckDB start: Spark's
+# collect() renders TimestampType in the machine-local zone, while DuckDB
+# returns naive UTC wall clock — on a non-UTC box every timestamp column
+# would falsely hash-mismatch.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -62,6 +73,35 @@ def df_hash(cols, rows):
     return h.hexdigest()
 
 
+def canon_type(t: str) -> str:
+    """Collapse a Spark simpleString / DuckDB description typename into a
+    canonical family so declared result types can be compared without
+    materializing either side through pandas.  The point is to catch the
+    divergences a pandas/arrow-based driver would see — DuckDB HUGEINT or
+    DECIMAL where Spark yields int64, double vs decimal — while treating
+    int widths (int32 vs int64) as equal because the value hash already
+    covers them."""
+    t = t.strip().lower()
+    if t.startswith(("array<", "struct<")) or t.endswith("[]") or t in ("list", "map"):
+        return "list"
+    m = re.match(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long", "ubigint", "uinteger"):
+        return "int"
+    if t in ("hugeint", "uhugeint"):
+        return "hugeint"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t in ("boolean", "bool"):
+        return "bool"
+    return t
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -85,6 +125,12 @@ def main():
         )
 
     qs, oracles = mod.queries(), mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {','.join(sorted(unknown))}")
+        print("       (valid names come from __spark_entry__.queries())")
+        spark.stop()
+        return 2
     failures = []
     checked = 0
     for name, fn in qs.items():
@@ -106,28 +152,23 @@ def main():
         try:
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
+            # Declared-type check (no pandas round trip, no re-execution):
+            # catches e.g. DuckDB HUGEINT or DECIMAL where Spark declares
+            # bigint/double — the divergences a pandas/arrow-comparing
+            # driver would see as float64-vs-int64.
+            odtypes = {d[0]: canon_type(str(d[1])) for d in res.description}
             orows = res.fetchall()
-            # pandas-path dtype check: a driver comparing via pandas/arrow
-            # would see e.g. DuckDB HUGEINT or wide DECIMAL as float64
-            # while Spark yields int64/object — catch that divergence.
-            odtypes = dict(con.execute(sql).df().dtypes.astype(str))
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
             continue
         problems = []
-        try:
-            sdtypes = dict(sdf.toPandas().dtypes.astype(str))
-            for c in sdtypes:
-                if c in odtypes and sdtypes[c] != odtypes[c]:
-                    # datetime64 unit mismatches (ns vs us) are benign
-                    if sdtypes[c].startswith("datetime64") and odtypes[c].startswith("datetime64"):
-                        continue
-                    problems.append(
-                        f"pandas dtype {c}: spark={sdtypes[c]} oracle={odtypes[c]}"
-                    )
-        except Exception as e:
-            print(f"  (dtype check skipped for {name}: {e})")
+        sdtypes = {f.name: canon_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+        for c in sdtypes:
+            if c in odtypes and sdtypes[c] != odtypes[c]:
+                problems.append(
+                    f"declared type {c}: spark={sdtypes[c]} oracle={odtypes[c]}"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
