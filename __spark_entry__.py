@@ -1458,9 +1458,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from hudi_0_10_0_spark.functions.dedup import ngram_jaccard_dedup
 
     docs = _pq(spark, sf_dir, "documents")
-    # explicit exact mode: the engine default caps ultra-common shingles
-    # (max_shingle_doc_freq=10k, approximate at corpus scale) but this
-    # query's DuckDB oracle computes exact Jaccard — keep them aligned
+    # exact mode (the engine default); at corpus scale pass
+    # max_shingle_doc_freq≈10k to cap hot-shingle pair fan-out — this
+    # query's DuckDB oracle computes exact Jaccard so exact it is
     return ngram_jaccard_dedup(
         docs, threshold=0.7, max_shingle_doc_freq=None
     ).select("doc_id", "lang", "source")

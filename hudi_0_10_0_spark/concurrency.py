@@ -76,6 +76,8 @@ class FileSystemLockProvider(LockProvider):
         return (time.time() - held.get("acquired_at", 0)) > self.ttl
 
     def try_lock(self, owner: str) -> bool:
+        import uuid
+
         self.fs.mkdirs(self.path.rsplit("/", 1)[0])
         if self.fs.exists(self.path):
             stale = self._read()
@@ -83,27 +85,50 @@ class FileSystemLockProvider(LockProvider):
                 time.time() - stale.get("acquired_at", 0)
             ) <= self.ttl:
                 return False
-            # expired-lock takeover. Guard against the delete/recreate
-            # race (two takers both saw expiry; the slower one must not
-            # delete the faster one's FRESH lock): re-read immediately
-            # before deleting and bail if the content changed. A
-            # delete-vs-create window remains — filesystem locks have no
-            # CAS — so after creating, verify ownership and back off if
-            # another writer's takeover overlapped ours. (The external
-            # ZK/DynamoDB providers are the fully race-free options; this
-            # matches the reference FileSystemBasedLockProvider posture.)
-            if self._read() != stale:
+            # Expired-lock takeover: atomically MOVE the stale lock aside.
+            # rename's source-must-exist semantics mean exactly ONE taker
+            # succeeds — the delete+recreate scheme had a window where a
+            # slow taker (which read the same stale content) could delete
+            # the fast taker's FRESH lock and both would believe they
+            # held it.
+            tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
+            try:
+                if not self.fs.rename(self.path, tomb):
+                    return False  # another taker moved it first
+            except Exception:
                 return False
-            self.fs.delete(self.path)
+            # Verify we moved the lock we decided was expired and not a
+            # FRESH lock written by a faster taker between our read and
+            # our rename; if fresh, put it back and bail. (The restore
+            # itself can only fail if yet another writer created a new
+            # lock meanwhile — then the moved lock is obsolete anyway.)
+            try:
+                moved = json.loads(self.fs.read_text(tomb))
+            except Exception:
+                moved = None
+            if moved is not None and (
+                time.time() - moved.get("acquired_at", 0)
+            ) <= self.ttl:
+                try:
+                    self.fs.rename(tomb, self.path)
+                except Exception:
+                    pass
+                return False
+            self.fs.delete(tomb)
+        # Acquisition: write a UNIQUELY-named temp (no shared-tmp content
+        # swap possible) then rename onto the lock path — rename fails if
+        # the target exists, so at most one writer's rename lands.
+        tmp = f"{self.path}.{uuid.uuid4().hex}.tmp"
+        self.fs.write_text(
+            tmp, json.dumps({"owner": owner, "acquired_at": time.time()})
+        )
         try:
-            self.fs.write_text_atomic(
-                self.path, json.dumps({"owner": owner, "acquired_at": time.time()})
-            )
-        except IOError:
-            return False  # lost the race
-        held = self._read()
-        if held is None or held.get("owner") != owner:
-            return False  # an overlapping takeover replaced our lock
+            if not self.fs.rename(tmp, self.path):
+                self.fs.delete(tmp)
+                return False  # lost the race
+        except Exception:
+            self.fs.delete(tmp)
+            return False
         return True
 
     def unlock(self, owner: str) -> None:

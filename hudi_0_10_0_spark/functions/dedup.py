@@ -143,7 +143,7 @@ def minhash_dedup(
 def ngram_jaccard_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle: int = 3, threshold: float = 0.7,
-    max_shingle_doc_freq: int | None = 10_000,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup removal via an inverted shingle
     index: explode distinct shingles, self-join on shingle (one shuffle
@@ -156,12 +156,13 @@ def ngram_jaccard_dedup(
     emits k²/2 candidate pairs, so an unbounded inverted index goes
     quadratic on boilerplate n-grams. ``max_shingle_doc_freq`` drops
     shingles appearing in more than that many docs from the index
-    (stop-shingles). The default (10k) caps any one shingle's candidate
-    fan-out at ~5·10⁷ pairs while being far above any real document's
-    distinct-shingle overlap; it is precision-safe (a dropped shingle
-    only lowers the computed intersection — pair sizes stay exact) but
-    can in principle miss pairs whose overlap is MOSTLY stop-shingles.
-    Pass ``None`` for fully exact results."""
+    (stop-shingles) — pass ~10_000 at corpus scale to cap any one
+    shingle's candidate fan-out at ~5·10⁷ pairs (far above any real
+    document's distinct-shingle overlap). The cap is precision-safe (a
+    dropped shingle only lowers the computed intersection — pair sizes
+    stay exact) but can in principle miss pairs whose overlap is MOSTLY
+    stop-shingles, so the DEFAULT is ``None`` (fully exact): going
+    approximate is an explicit caller decision (ADVICE r3)."""
     sh = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(text_col, shingle))).alias("sh"),

@@ -1107,6 +1107,31 @@ def run_batch_write(
                 )
             else:
                 live = all_new
+                gate = payload.pure_insert_gate()
+                if gate is not None:
+                    # merge-kernel bypass (no stored side): the payload
+                    # must still veto pure inserts — e.g. MERGE INTO with
+                    # no WHEN NOT MATCHED drops unmatched source rows.
+                    # Evaluate the gate over the merge-frame column shape.
+                    from ..payloads import HAS_NEW, HAS_OLD, NEW
+
+                    helper = [HAS_OLD, HAS_NEW] + [
+                        NEW + c for c in data_cols if c in live.columns
+                    ]
+                    live = (
+                        live.withColumn(HAS_OLD, F.lit(False))
+                        .withColumn(HAS_NEW, F.lit(True))
+                        .select(
+                            "*",
+                            *[
+                                F.col(c).alias(NEW + c)
+                                for c in data_cols
+                                if c in live.columns
+                            ],
+                        )
+                        .filter(gate)
+                        .drop(*helper)
+                    )
                 if DELETE_MARKER_COL in live.columns:
                     live = live.filter(
                         ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))

@@ -86,6 +86,19 @@ class Payload:
         """Value expression for data column ``col`` when take_new is true."""
         return F.col(NEW + col)
 
+    def pure_insert_gate(self) -> Column | None:
+        """Keep-filter for incoming rows written WITHOUT passing through
+        the merge kernel (the batch touched no existing file group, so
+        there is no stored side to join). Evaluated over the merge-frame
+        shape: ``new__<c>`` columns, ``__has_old`` = false, ``__has_new``
+        = true. ``None`` (default) keeps every insert. ExpressionPayload
+        overrides this — a MERGE INTO with no WHEN NOT MATCHED clause
+        must DROP unmatched source rows even when nothing else in the
+        batch forces a merge (ExpressionPayload.getInsertValue returns
+        EMPTY when no insert condition matches,
+        ExpressionPayload.scala:137-166)."""
+        return None
+
     # -- incoming-batch hooks ---------------------------------------------
     def incoming_delete_expr(self, columns: list[str]) -> Column | None:
         """Optional predicate over the *incoming* batch marking rows that

@@ -89,6 +89,14 @@ class ExpressionPayload(Payload):
             & F.coalesce(self.delete_condition, F.lit(False))
         )
 
+    def pure_insert_gate(self) -> Column | None:
+        # no WHEN NOT MATCHED → insert_condition is lit(False): drop all;
+        # conditional insert → keep only rows satisfying the condition;
+        # unconditional insert (None) → no gate needed
+        if self.insert_condition is None:
+            return None
+        return F.coalesce(self.insert_condition, F.lit(False))
+
     def value(self, col: str) -> Column:
         new_val = F.col(NEW + col)
         if not self.update_assignments:

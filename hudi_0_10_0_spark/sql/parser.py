@@ -149,25 +149,65 @@ class HudiSqlSession:
         # expressions are remapped onto the source frame. Previously the
         # ON text was parsed but silently ignored.
         def _split_top_and(s0: str) -> list[str]:
+            # Paren-depth- and quote-aware scan: ANY whitespace run (space,
+            # tab, newline) on both sides of AND separates conjuncts, so
+            # 'a = b AND\n c = d' splits correctly (previously only a
+            # single leading whitespace char + a literal trailing space
+            # matched, and the first rhs swallowed the rest of the ON
+            # clause as a garbage expression).
             out, depth, cur, i, n = [], 0, [], 0, len(s0)
             while i < n:
                 ch = s0[i]
+                if ch == "'":
+                    # skip string literal ('' is the escaped quote)
+                    j = i + 1
+                    while j < n:
+                        if s0[j] == "'":
+                            if j + 1 < n and s0[j + 1] == "'":
+                                j += 2
+                                continue
+                            break
+                        j += 1
+                    cur.append(s0[i:j + 1])
+                    i = j + 1
+                    continue
                 if ch == "(":
                     depth += 1
                 elif ch == ")":
                     depth -= 1
                 if (
                     depth == 0
-                    and s0[i:i + 5].upper() in (" AND ", "\tAND ", "\nAND ")
+                    and s0[i:i + 3].upper() == "AND"
+                    # token boundary on both sides: not part of an
+                    # identifier like BRAND or ANDREW
+                    and (i == 0 or not (s0[i - 1].isalnum() or s0[i - 1] in "_$"))
+                    and (
+                        i + 3 >= n
+                        or not (s0[i + 3].isalnum() or s0[i + 3] in "_$")
+                    )
                 ):
                     out.append("".join(cur))
                     cur = []
-                    i += 5
+                    i += 3
                     continue
                 cur.append(ch)
                 i += 1
             out.append("".join(cur))
-            return [x.strip() for x in out if x.strip()]
+
+            def _unwrap(x: str) -> str:
+                # strip balanced outer parens: '(t.part = s.part)' -> inner
+                x = x.strip()
+                while x.startswith("(") and x.endswith(")"):
+                    d = 0
+                    for k, c in enumerate(x):
+                        d += c == "("
+                        d -= c == ")"
+                        if d == 0 and k < len(x) - 1:
+                            return x  # parens close early: not one group
+                    x = x[1:-1].strip()
+                return x
+
+            return [y for y in (_unwrap(x) for x in out) if y]
 
         on_text = m.group("on").strip()
         key_map: dict[str, str] = {}

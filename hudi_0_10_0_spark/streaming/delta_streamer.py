@@ -103,15 +103,31 @@ class DeltaStreamer:
         new data — is shared between both paths."""
         import json as _json
 
-        starting: dict = _json.loads(ckpt).get(self.source, {}) if ckpt else {}
+        # 'subscribe' may name several comma-separated topics; the
+        # checkpoint is keyed by TOPIC then partition ({topic:
+        # {partition: next_offset}} — the same shape the real connector's
+        # startingOffsets option takes), so offsets from different topics
+        # never collapse into one map (ADVICE r3).
+        topics = [t.strip() for t in self.source.split(",") if t.strip()]
+        starting: dict[str, dict] = {}
+        if ckpt:
+            stored = _json.loads(ckpt)
+            if set(stored) <= set(topics):
+                starting = {t: dict(stored.get(t, {})) for t in topics}
+            elif self.source in stored and len(topics) == 1:
+                # legacy single-topic checkpoint keyed by the source string
+                starting = {topics[0]: dict(stored[self.source])}
         client = self.source_options.get("client")
         if client is not None:
-            rows = client.scan(self.source, starting)
+            rows = [
+                (t, p, o, v)
+                for t in topics
+                for p, o, v in client.scan(t, starting.get(t, {}))
+            ]
             if not rows:
                 return None, ckpt
             df = self.spark.createDataFrame(
-                [(self.source, p, o, v) for p, o, v in rows],
-                "topic string, partition int, offset long, value string",
+                rows, "topic string, partition int, offset long, value string",
             )
         else:
             opts = {
@@ -120,7 +136,14 @@ class DeltaStreamer:
                 ),
                 "subscribe": self.source,
                 "startingOffsets": (
-                    _json.dumps({self.source: starting}) if starting else "earliest"
+                    _json.dumps(
+                        {
+                            t: {p: int(o) for p, o in starting.get(t, {}).items()}
+                            for t in topics
+                        }
+                    )
+                    if any(starting.get(t) for t in topics)
+                    else "earliest"
                 ),
                 "endingOffsets": "latest",
             }
@@ -134,15 +157,15 @@ class DeltaStreamer:
             if df.isEmpty():
                 return None, ckpt
         # next-offset map: start from the previous round's positions so
-        # partitions with no new data keep their place across rounds
-        ends = dict(starting)
+        # (topic, partition)s with no new data keep their place
+        ends = {t: dict(starting.get(t, {})) for t in topics}
         for r in (
             df.groupBy("topic", "partition").agg(F.max("offset").alias("mx")).collect()
         ):
-            ends[str(r["partition"])] = r["mx"] + 1
+            ends.setdefault(r["topic"], {})[str(r["partition"])] = r["mx"] + 1
         return (
             df.selectExpr("CAST(value AS STRING) AS value"),
-            _json.dumps({self.source: ends}, sort_keys=True),
+            _json.dumps(ends, sort_keys=True),
         )
 
     def _pull_jdbc(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:

@@ -60,6 +60,48 @@ def test_lock_provider_exclusive_and_expiry(spark, tmp_table_path):
     assert stale.try_lock("w4")  # w3's lock expired instantly
 
 
+def test_expired_lock_takeover_single_winner(spark, tmp_table_path):
+    """ADVICE r3: the delete+recreate takeover let two takers that both
+    read the same expired content each believe they held the lock.  The
+    rename-based takeover (source-must-exist) admits exactly one winner —
+    hammer it with concurrent takers over an expired lock."""
+    import threading
+
+    from hudi_0_10_0_spark.fs import FS
+
+    import json
+    import time
+
+    fs = FS(spark, tmp_table_path)
+    fs.mkdirs(tmp_table_path)
+    meta = f"{tmp_table_path}/_hoodie_meta"
+    # leave an EXPIRED lock on disk (backdated beyond every taker's TTL)
+    fs.mkdirs(f"{meta}/locks")
+    fs.write_text(
+        f"{meta}/locks/table.lock",
+        json.dumps({"owner": "dead-writer", "acquired_at": time.time() - 10_000}),
+    )
+
+    winners: list[str] = []
+    barrier = threading.Barrier(8)
+
+    def taker(i: int):
+        lp = FileSystemLockProvider(fs, meta, ttl_seconds=3600.0)
+        barrier.wait()
+        if lp.try_lock(f"taker-{i}"):
+            winners.append(f"taker-{i}")
+
+    threads = [threading.Thread(target=taker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1, f"dual lock hold: {winners}"
+    # and the file on disk names exactly that winner
+    held = json.loads(fs.read_text(f"{meta}/locks/table.lock"))
+    assert held["owner"] == winners[0]
+
+
 def test_find_conflicts_overlap_rules():
     commits = [
         ("005", "commit", {"write_stats": [{"partition": "p0", "file_id": "a"}]}),

@@ -439,8 +439,9 @@ def test_connected_components_long_chain_converges(spark):
 
 
 def test_ngram_jaccard_stop_shingle_cap(spark):
-    """VERDICT r2 #3: `max_shingle_doc_freq` (now defaulting to 10k)
-    drops ultra-common shingles from the inverted index — ONE shingle
+    """VERDICT r2 #3: `max_shingle_doc_freq` (opt-in; the default stays
+    None/exact per ADVICE r3) drops ultra-common shingles from the
+    inverted index — ONE shingle
     shared by k docs otherwise emits k²/2 candidate pairs. With a
     boilerplate tail shared by every doc, the capped index generates
     bounded candidates while the dedup RESULT is unchanged (the cap is

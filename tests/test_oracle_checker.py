@@ -1,0 +1,97 @@
+"""Canary tests for tools/check_oracle.py — the local mimic of the
+driver's correctness gate (VERDICT r3 #1/#2).
+
+Round 3 broke the checker silently: a rewrite read declared types from
+DuckDB's DB-API ``cursor.description``, but duckdb 1.0.0 returns generic
+DB-API type objects there (``str() == "NUMBER"``), so every numeric query
+falsely FAILed — and nothing in the default suite noticed because the
+sweep is opt-in.  These tests run in the DEFAULT suite so a checker
+regression fails CI immediately:
+
+1. a unit test pinning ``canon_type`` agreement between a live DuckDB
+   relation-API type probe and Spark's simpleString families, and
+2. one cheap end-to-end ``check_oracle.py`` invocation on sub-second
+   queries at sf0.001 (numeric + string + float columns covered).
+"""
+
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle import canon_type  # noqa: E402
+
+
+def test_canon_type_matches_live_duckdb_probe():
+    """If DuckDB's type-name surface changes again, this fails loudly."""
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT 1::INT AS i, 1::BIGINT AS l, 1::HUGEINT AS h, "
+        "1.5::DOUBLE AS d, CAST(1 AS DECIMAL(15,2)) AS dec15, "
+        "'x' AS s, DATE '2020-01-01' AS dt, "
+        "TIMESTAMP '2020-01-01 00:00:00' AS ts, "
+        "[1, 2] AS arr, TRUE AS b"
+    )
+    got = {c: canon_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+    con.close()
+    assert got == {
+        "i": "int",
+        "l": "int",
+        "h": "hugeint",
+        "d": "float",
+        "dec15": "decimal(15,2)",
+        "s": "str",
+        "dt": "date",
+        "ts": "ts",
+        "arr": "list",
+        "b": "bool",
+    }
+    # And the Spark-side families these must line up with:
+    assert canon_type("bigint") == "int"
+    assert canon_type("double") == "float"
+    assert canon_type("string") == "str"
+    assert canon_type("timestamp") == "ts"
+    assert canon_type("date") == "date"
+    assert canon_type("array<bigint>") == "list"
+    assert canon_type("decimal(15,2)") == "decimal(15,2)"
+
+
+def test_dbapi_description_is_still_generic_in_this_duckdb():
+    """Documents WHY the checker must not use cursor.description: if this
+    starts failing, duckdb began returning concrete names and the comment
+    in check_oracle.py should be revisited (the relation API stays
+    correct either way)."""
+    con = duckdb.connect()
+    res = con.execute("SELECT 1::INT AS a")
+    name = str(res.description[0][1])
+    con.close()
+    assert canon_type(name) not in ("int",), (
+        "duckdb DB-API description now returns concrete typenames "
+        f"({name!r}); check_oracle.py's relation-API read still works, "
+        "but update this canary."
+    )
+
+
+@pytest.mark.slow
+def test_checker_end_to_end_smoke():
+    """One real check_oracle.py run on cheap queries with numeric, float,
+    and string output columns at sf0.001 — proves the whole pipeline
+    (Spark exec, DuckDB oracle, type check, value hash) is green."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "tools/check_oracle.py",
+            "/root/testdata/sf0.001",
+            "dedup_exact",
+            "text_stats",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-6:])
+    assert proc.returncode == 0, f"checker smoke failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert "RESULT: 2/2 OK" in proc.stdout, tail

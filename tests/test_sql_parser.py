@@ -81,6 +81,61 @@ def test_merge_statement_update_delete_insert(hs, spark):
     assert snap.filter("id = 2").first().name == "n2"
 
 
+def test_merge_on_clause_split_newline_and_parens(spark, tmp_table_path):
+    """ON-conjunct splitting must treat any-whitespace AND and `)AND(` as
+    separators (previously only ' AND ' with a single leading whitespace
+    char matched, so 'AND\\n' swallowed the rest of the ON clause into the
+    first conjunct's rhs)."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(
+            record_key_field="id,part", partition_field="part",
+            precombine_field="v", auto_clean=False, auto_archive=False,
+        ),
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(i, "p0" if i % 2 == 0 else "p1", i, f"n{i}") for i in range(10)],
+            SCHEMA,
+        )
+    )
+    s = HudiSqlSession(spark)
+    s.register("tgt2", t)
+    src = spark.createDataFrame([(0, "p0", 1000, "m0"), (3, "p1", 1003, "m3")], SCHEMA)
+    src.createOrReplaceTempView("src2_v")
+    # newline-separated AND, no space before the second conjunct's AND
+    s.sql(
+        "MERGE INTO tgt2 AS t USING src2_v AS s\n"
+        "ON t.id = s.id AND\n(t.part = s.part)\n"
+        "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v"
+    )
+    snap = t.snapshot()
+    assert snap.filter("name = 'm0'").count() == 1
+    assert snap.filter("name = 'm3'").count() == 1
+    # `(x = y)AND(a = b)` with zero whitespace around AND
+    src2 = spark.createDataFrame([(4, "p0", 2000, "z4")], SCHEMA)
+    src2.createOrReplaceTempView("src2b_v")
+    s.sql(
+        "MERGE INTO tgt2 AS t USING src2b_v AS s "
+        "ON (t.id = s.id)AND(t.part = s.part) "
+        "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v"
+    )
+    assert t.snapshot().filter("name = 'z4'").count() == 1
+    # AND inside a string literal must NOT split: this maps part -> ' AND '
+    # (a constant source expression), which matches no target row — a
+    # naive splitter would instead produce a dangling `'` conjunct and
+    # raise "Invalidate Merge-On condition"
+    src3 = spark.createDataFrame([(5, "p1", 3000, "w5")], SCHEMA)
+    src3.createOrReplaceTempView("src2c_v")
+    s.sql(
+        "MERGE INTO tgt2 AS t USING src2c_v AS s "
+        "ON t.id = s.id AND t.part = ' AND ' "
+        "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v"
+    )
+    assert t.snapshot().filter("name = 'w5'").count() == 0
+
+
 def test_merge_with_subquery_source(hs, spark):
     s, t = hs
     s.sql(

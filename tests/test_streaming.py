@@ -530,6 +530,111 @@ def test_delta_streamer_kafka_inmemory_roundtrip(spark, scratch_dir):
     assert ds2.sync_once() is None
 
 
+def test_delta_streamer_kafka_multi_topic_checkpoint(spark, scratch_dir):
+    """ADVICE r3: 'subscribe' may name several comma-separated topics —
+    the checkpoint must key offsets by (topic, partition), not partition
+    alone, or same-numbered partitions across topics collapse and resume
+    at wrong positions."""
+    import json
+
+    from hudi_0_10_0_spark.streaming.delta_streamer import InMemoryKafka
+
+    log: dict = {}
+    broker = InMemoryKafka(log)
+    for i in range(4):
+        broker.send("ta", json.dumps({"id": i, "part": "p0", "v": i}), partition=0)
+    for i in range(4, 10):
+        broker.send("tb", json.dumps({"id": i, "part": "p0", "v": i}), partition=0)
+
+    t = HudiTable.create(spark, f"{scratch_dir}/ktm", _cfg())
+
+    def parse(df):
+        return df.select(F.from_json("value", SRC_SCHEMA).alias("r")).select("r.*")
+
+    ds = DeltaStreamer(
+        spark, t, "ta, tb", source_format="kafka",
+        source_options={"client": broker}, transformer=parse,
+    )
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 10
+    # same partition number (0) in both topics — distinct positions
+    assert json.loads(ds.last_checkpoint()) == {"ta": {"0": 4}, "tb": {"0": 6}}
+    assert ds.sync_once() is None
+
+    # only topic ta advances; tb must keep its position (no replay)
+    broker.send("ta", json.dumps({"id": 100, "part": "p0", "v": 100}), partition=0)
+    c2 = ds.sync_once()
+    assert c2 is not None
+    assert t.snapshot().count() == 11
+    assert json.loads(ds.last_checkpoint()) == {"ta": {"0": 5}, "tb": {"0": 6}}
+
+
+def test_delta_streamer_kafka_connector_option_translation(spark, scratch_dir):
+    """VERDICT r3 #5: pin the exact options handed to the real
+    spark-sql-kafka connector (jar absent in this container) with a
+    recording fake reader — subscribe list passthrough, startingOffsets
+    as the connector's canonical {topic: {partition: offset}} JSON,
+    endingOffsets=latest, bootstrap servers.
+    Reference: util/sources/JsonKafkaSource.java + KafkaOffsetGen."""
+    import json
+
+    recorded: dict = {}
+
+    fake_batch = spark.createDataFrame(
+        [("ta", 0, 7, '{"id": 1, "part": "p0", "v": 1}'),
+         ("tb", 0, 2, '{"id": 2, "part": "p0", "v": 2}')],
+        "topic string, partition int, offset long, value string",
+    )
+
+    class FakeReader:
+        def format(self, fmt):
+            recorded["format"] = fmt
+            return self
+
+        def options(self, **opts):
+            recorded["options"] = opts
+            return self
+
+        def load(self):
+            return fake_batch
+
+    class FakeSpark:
+        def __init__(self, real):
+            self._real = real
+
+        @property
+        def read(self):
+            return FakeReader()
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    t = HudiTable.create(spark, f"{scratch_dir}/kc", _cfg())
+
+    def parse(df):
+        return df.select(F.from_json("value", SRC_SCHEMA).alias("r")).select("r.*")
+
+    ds = DeltaStreamer(
+        FakeSpark(spark), t, "ta,tb", source_format="kafka",
+        source_options={"bootstrap.servers": "broker1:9092,broker2:9092"},
+        transformer=parse,
+    )
+    # resume from a stored multi-topic checkpoint
+    df, ckpt = ds._pull_kafka(json.dumps({"ta": {"0": 5}, "tb": {"0": 1}}))
+    assert recorded["format"] == "kafka"
+    opts = recorded["options"]
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "ta,tb"
+    assert opts["endingOffsets"] == "latest"
+    assert json.loads(opts["startingOffsets"]) == {"ta": {"0": 5}, "tb": {"0": 1}}
+    # next-offset map advances to max+1 per (topic, partition)
+    assert json.loads(ckpt) == {"ta": {"0": 8}, "tb": {"0": 3}}
+    assert df.count() == 2
+    # cold start (no checkpoint) → earliest
+    ds._pull_kafka(None)
+    assert recorded["options"]["startingOffsets"] == "earliest"
+
+
 def test_delta_streamer_chained_and_dms_transformers(spark, scratch_dir):
     """ChainedTransformer (transformer as a list, applied left→right)
     and AWSDmsTransformer (adds the empty-string Op column DMS

@@ -150,14 +150,20 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            # Declared-type check (no pandas round trip, no re-execution):
-            # catches e.g. DuckDB HUGEINT or DECIMAL where Spark declares
-            # bigint/double — the divergences a pandas/arrow-comparing
-            # driver would see as float64-vs-int64.
-            odtypes = {d[0]: canon_type(str(d[1])) for d in res.description}
-            orows = res.fetchall()
+            # Relation API, NOT DB-API cursor.description: duckdb 1.0.0's
+            # DB-API returns generic type objects (str() == "NUMBER" /
+            # "DATETIME"), never concrete typenames, which would falsely
+            # fail every numeric column.  rel.types yields concrete names
+            # (INTEGER, DECIMAL(15,2), HUGEINT, ...) so the declared-type
+            # check catches e.g. DuckDB HUGEINT or DECIMAL where Spark
+            # declares bigint/double — the divergences a pandas/arrow-
+            # comparing driver would see as float64-vs-int64.
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            odtypes = {
+                c: canon_type(str(t)) for c, t in zip(rel.columns, rel.types)
+            }
+            orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
