@@ -58,22 +58,30 @@ class _StageTimer:
     is set — the feedback loop for keeping the write path's Spark-job
     count and per-job cost honest."""
 
+    # optional programmatic sink for tooling (tools/scale_curve.py):
+    # (op, stage, seconds) appended per mark when set
+    sink: list | None = None
+
     def __init__(self, op: str):
         self.enabled = bool(os.environ.get("HUDI_SPARK_DEBUG_TIMING"))
         self.op = op
         self.last = time.perf_counter()
 
     def mark(self, stage: str) -> None:
-        if not self.enabled:
+        if not self.enabled and _StageTimer.sink is None:
             return
         now = time.perf_counter()
-        import sys
-
-        print(
-            f"## write[{self.op}] {stage}: {now - self.last:.2f}s",
-            file=sys.stderr, flush=True,
-        )
+        dt = now - self.last
         self.last = now
+        if _StageTimer.sink is not None:
+            _StageTimer.sink.append((self.op, stage, dt))
+        if self.enabled:
+            import sys
+
+            print(
+                f"## write[{self.op}] {stage}: {dt:.2f}s",
+                file=sys.stderr, flush=True,
+            )
 
 
 def data_columns(schema: T.StructType) -> list[str]:

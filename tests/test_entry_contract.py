@@ -19,6 +19,68 @@ def test_driver_window_holds_all_operator_queries():
     assert len(q) == len(set(q))
 
 
+def test_driver_window_covers_every_operator_family():
+    """VERDICT r3 #7: the 50-entry window must always contain at least
+    one query per SURVEY §2 operator family, so future additions can't
+    accidentally rotate a whole family out of driver verification."""
+    window = set(list(entry.queries().keys())[:50])
+    families = {
+        "write": {
+            "cow_snapshot_upsert_delete", "merge_into_update_delete",
+            "insert_overwrite_delete_partition", "precombine_dedup",
+            "bootstrap_metadata_only", "bootstrap_full_record",
+        },
+        "services": {
+            "mor_compaction", "clustering_sort", "clustering_zorder",
+            "clustering_hilbert_async",
+        },
+        "read": {
+            "cow_incremental", "cow_time_travel", "mor_snapshot",
+            "mor_read_optimized", "mor_incremental", "mor_skip_merge",
+            "incremental_partition_glob",
+        },
+        "index": {
+            "global_index_partition_move", "bloom_index_upsert_delete",
+            "global_bloom_partition_move", "inmemory_index_upsert_delete",
+            "record_index_upsert_delete",
+        },
+        "schema_cdc": {"schema_evolution_add_column", "cdc_aws_dms"},
+        "llm_dedup": {
+            "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+            "dedup_ngram_jaccard", "dedup_embedding", "dedup_components",
+        },
+        "llm_similarity": {
+            "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+        },
+        "llm_text": {
+            "text_stats", "text_fingerprint_groups", "text_vocab_topk",
+            "text_contamination",
+        },
+        "llm_pipeline": {
+            "sampling_deterministic", "sampling_stratified",
+            "pipeline_pack_sequences", "pipeline_training_data",
+            "multimodal_features", "multimodal_frame_sample",
+        },
+        "events": {
+            "events_latest_per_user", "events_hourly_agg",
+            "events_sessionize", "events_funnel",
+        },
+    }
+    missing = {
+        fam: sorted(names)
+        for fam, names in families.items()
+        if not (names & window)
+    }
+    assert missing == {}, (
+        f"operator families with NO query in the driver window: {missing}"
+    )
+    # and the family map itself must not drift from the registry
+    unknown = {
+        n for names in families.values() for n in names
+    } - set(entry.queries())
+    assert unknown == set(), f"family map names unknown queries: {sorted(unknown)}"
+
+
 def test_every_query_has_an_oracle():
     q = set(entry.queries())
     o = set(entry.oracle_sql())
