@@ -91,6 +91,15 @@ class FileSystemLockProvider(LockProvider):
             # slow taker (which read the same stale content) could delete
             # the fast taker's FRESH lock and both would believe they
             # held it.
+            # Re-read IMMEDIATELY before the move: shrinks the window in
+            # which a rival's already-completed takeover (fresh lock now
+            # at the path) could be mistaken for the expired one from the
+            # read-to-rename gap down to microseconds.
+            cur = self._read()
+            if cur is not None and (
+                time.time() - cur.get("acquired_at", 0)
+            ) <= self.ttl:
+                return False
             tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
             try:
                 if not self.fs.rename(self.path, tomb):
@@ -98,10 +107,8 @@ class FileSystemLockProvider(LockProvider):
             except Exception:
                 return False
             # Verify we moved the lock we decided was expired and not a
-            # FRESH lock written by a faster taker between our read and
-            # our rename; if fresh, put it back and bail. (The restore
-            # itself can only fail if yet another writer created a new
-            # lock meanwhile — then the moved lock is obsolete anyway.)
+            # FRESH lock written by a rival inside the (tiny) read→rename
+            # window; if fresh, put it back and bail.
             try:
                 moved = json.loads(self.fs.read_text(tomb))
             except Exception:
@@ -110,8 +117,21 @@ class FileSystemLockProvider(LockProvider):
                 time.time() - moved.get("acquired_at", 0)
             ) <= self.ttl:
                 try:
-                    self.fs.rename(tomb, self.path)
+                    restored = self.fs.rename(tomb, self.path)
                 except Exception:
+                    restored = False
+                if not restored:
+                    # a third writer created a new lock while the path
+                    # was vacant: the fresh lock we moved is stranded and
+                    # its owner may still believe it holds — dual-hold is
+                    # possible in this triple-race. Plain filesystems
+                    # have no CAS to close it; the tomb is left in place
+                    # as forensic evidence. This needs THREE writers
+                    # interleaving within the microsecond read→rename
+                    # window of a lock past its 600s TTL — use an
+                    # external CAS provider (ZK/DynamoDB) where that risk
+                    # is unacceptable (reference FileSystemBasedLock
+                    # Provider has the same posture).
                     pass
                 return False
             self.fs.delete(tomb)

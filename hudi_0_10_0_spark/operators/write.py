@@ -1120,21 +1120,47 @@ def run_batch_write(
                     # merge-kernel bypass (no stored side): the payload
                     # must still veto pure inserts — e.g. MERGE INTO with
                     # no WHEN NOT MATCHED drops unmatched source rows.
-                    # Evaluate the gate over the merge-frame column shape.
-                    from ..payloads import HAS_NEW, HAS_OLD, NEW
+                    # Build the FULL merge-frame column shape (typed-null
+                    # old__<c> side included) so conditions referencing
+                    # the target alias — 'WHEN NOT MATCHED AND t.v IS
+                    # NULL' — resolve here exactly like in the kernel.
+                    from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD
 
-                    helper = [HAS_OLD, HAS_NEW] + [
-                        NEW + c for c in data_cols if c in live.columns
-                    ]
+                    live_cols = set(live.columns)
+                    helper = (
+                        [HAS_OLD, HAS_NEW,
+                         OLD + COMMIT_TIME_COL, OLD + SEQNO_COL,
+                         NEW + DELETE_MARKER_COL]
+                        + [NEW + c for c in data_cols if c in live_cols]
+                        + [OLD + c for c in data_cols]
+                    )
                     live = (
                         live.withColumn(HAS_OLD, F.lit(False))
                         .withColumn(HAS_NEW, F.lit(True))
+                        .withColumn(
+                            OLD + COMMIT_TIME_COL, F.lit(None).cast("string")
+                        )
+                        .withColumn(OLD + SEQNO_COL, F.lit(None).cast("string"))
+                        .withColumn(
+                            NEW + DELETE_MARKER_COL,
+                            (
+                                F.col(DELETE_MARKER_COL)
+                                if DELETE_MARKER_COL in live_cols
+                                else F.lit(False)
+                            ).cast("boolean"),
+                        )
                         .select(
                             "*",
                             *[
                                 F.col(c).alias(NEW + c)
                                 for c in data_cols
-                                if c in live.columns
+                                if c in live_cols
+                            ],
+                            *[
+                                F.lit(None)
+                                .cast(col_types.get(c, "string"))
+                                .alias(OLD + c)
+                                for c in data_cols
                             ],
                         )
                         .filter(gate)

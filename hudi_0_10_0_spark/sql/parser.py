@@ -52,6 +52,85 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return [x for x in out if x]
 
 
+def _split_top_word(s: str, word: str) -> list[str]:
+    """Split on a WORD separator (case-insensitive, token boundaries —
+    BRAND/ANDREW don't split) outside parens and both quote styles."""
+    out, depth, cur, q, i, n = [], 0, [], None, 0, len(s)
+    wl, wu = len(word), word.upper()
+    while i < n:
+        ch = s[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and s[i:i + wl].upper() == wu
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_$"))
+            and (i + wl >= n or not (s[i + wl].isalnum() or s[i + wl] in "_$"))
+        ):
+            out.append("".join(cur))
+            cur = []
+            i += wl
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def _strip_outer_parens(x: str) -> str:
+    """Strip balanced outer parens — '(a = b)' → 'a = b' — with
+    quote-aware balancing so literals containing parens can't confuse
+    the count (e.g. ``(t.part = ')')``)."""
+    x = x.strip()
+    while x.startswith("(") and x.endswith(")"):
+        depth, q, closes_at_end = 0, None, False
+        for k, c in enumerate(x):
+            if q:
+                if c == q:
+                    q = None
+                continue
+            if c in "'\"":
+                q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    closes_at_end = k == len(x) - 1
+                    break
+        if not closes_at_end:
+            return x  # outer parens close early: not one group
+        x = x[1:-1].strip()
+    return x
+
+
+def _split_top_and(s: str) -> list[str]:
+    """Top-level AND conjuncts of a boolean expression: split outside
+    parens/quotes, strip grouping parens, and RE-SPLIT what the parens
+    hid — ``(a = b AND c = d)`` yields both conjuncts."""
+    out: list[str] = []
+    for part in _split_top_word(s, "AND"):
+        inner = _strip_outer_parens(part)
+        if inner != part:
+            out.extend(_split_top_and(inner))
+        else:
+            out.append(inner)
+    return [x for x in out if x]
+
+
 class HudiSqlSession:
     """``sql(stmt)`` over registered HudiTables — the Python analogue of
     ``HoodieSparkSessionExtension``."""
@@ -148,67 +227,6 @@ class HudiSqlSession:
         # field must be covered, and differently-named source
         # expressions are remapped onto the source frame. Previously the
         # ON text was parsed but silently ignored.
-        def _split_top_and(s0: str) -> list[str]:
-            # Paren-depth- and quote-aware scan: ANY whitespace run (space,
-            # tab, newline) on both sides of AND separates conjuncts, so
-            # 'a = b AND\n c = d' splits correctly (previously only a
-            # single leading whitespace char + a literal trailing space
-            # matched, and the first rhs swallowed the rest of the ON
-            # clause as a garbage expression).
-            out, depth, cur, i, n = [], 0, [], 0, len(s0)
-            while i < n:
-                ch = s0[i]
-                if ch == "'":
-                    # skip string literal ('' is the escaped quote)
-                    j = i + 1
-                    while j < n:
-                        if s0[j] == "'":
-                            if j + 1 < n and s0[j + 1] == "'":
-                                j += 2
-                                continue
-                            break
-                        j += 1
-                    cur.append(s0[i:j + 1])
-                    i = j + 1
-                    continue
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                if (
-                    depth == 0
-                    and s0[i:i + 3].upper() == "AND"
-                    # token boundary on both sides: not part of an
-                    # identifier like BRAND or ANDREW
-                    and (i == 0 or not (s0[i - 1].isalnum() or s0[i - 1] in "_$"))
-                    and (
-                        i + 3 >= n
-                        or not (s0[i + 3].isalnum() or s0[i + 3] in "_$")
-                    )
-                ):
-                    out.append("".join(cur))
-                    cur = []
-                    i += 3
-                    continue
-                cur.append(ch)
-                i += 1
-            out.append("".join(cur))
-
-            def _unwrap(x: str) -> str:
-                # strip balanced outer parens: '(t.part = s.part)' -> inner
-                x = x.strip()
-                while x.startswith("(") and x.endswith(")"):
-                    d = 0
-                    for k, c in enumerate(x):
-                        d += c == "("
-                        d -= c == ")"
-                        if d == 0 and k < len(x) - 1:
-                            return x  # parens close early: not one group
-                    x = x[1:-1].strip()
-                return x
-
-            return [y for y in (_unwrap(x) for x in out) if y]
-
         on_text = m.group("on").strip()
         key_map: dict[str, str] = {}
         for conj in _split_top_and(on_text):

@@ -112,9 +112,12 @@ class DeltaStreamer:
         starting: dict[str, dict] = {}
         if ckpt:
             stored = _json.loads(ckpt)
-            if set(stored) <= set(topics):
-                starting = {t: dict(stored.get(t, {})) for t in topics}
-            elif self.source in stored and len(topics) == 1:
+            # INTERSECT with the current subscription: a topic dropped
+            # from 'subscribe' must not invalidate the remaining topics'
+            # positions (a subset test would replay everything from
+            # earliest after any narrowing)
+            starting = {t: dict(stored[t]) for t in topics if t in stored}
+            if not starting and self.source in stored and len(topics) == 1:
                 # legacy single-topic checkpoint keyed by the source string
                 starting = {topics[0]: dict(stored[self.source])}
         client = self.source_options.get("client")
@@ -130,6 +133,20 @@ class DeltaStreamer:
                 rows, "topic string, partition int, offset long, value string",
             )
         else:
+            with_offsets = [t for t in topics if starting.get(t)]
+            if with_offsets and len(with_offsets) < len(topics):
+                # the connector's specific-offset mode requires EVERY
+                # TopicPartition listed; partitions of a newly added
+                # topic are unknowable without the consumer API (which
+                # needs the connector jar at minimum) — refuse loudly
+                # instead of failing inside KafkaOffsetReader
+                missing = sorted(set(topics) - set(with_offsets))
+                raise ValueError(
+                    f"kafka checkpoint has offsets for {with_offsets} but "
+                    f"not for newly subscribed topic(s) {missing}; reset "
+                    "the checkpoint (or run the new topics as a separate "
+                    "DeltaStreamer) before widening 'subscribe'"
+                )
             opts = {
                 "kafka.bootstrap.servers": self.source_options.get(
                     "bootstrap.servers", ""
@@ -138,11 +155,11 @@ class DeltaStreamer:
                 "startingOffsets": (
                     _json.dumps(
                         {
-                            t: {p: int(o) for p, o in starting.get(t, {}).items()}
-                            for t in topics
+                            t: {p: int(o) for p, o in starting[t].items()}
+                            for t in with_offsets
                         }
                     )
-                    if any(starting.get(t) for t in topics)
+                    if with_offsets
                     else "earliest"
                 ),
                 "endingOffsets": "latest",

@@ -88,6 +88,49 @@ def test_merge_insert_condition(cow, orders):
     assert cow.snapshot().count() == orders.count() + exp
 
 
+def test_merge_pure_insert_bypass_fresh_partition(cow, orders):
+    """code-review r4: a MERGE batch landing ENTIRELY in a fresh
+    partition (no existing file group touched) bypasses the merge
+    kernel — the payload's insert gate must still apply there.
+
+    (a) no WHEN NOT MATCHED → every unmatched row dropped;
+    (b) conditional insert → kept iff the condition holds;
+    (c) a condition referencing the TARGET side (typed-null old__ cols
+        in the bypass frame) resolves instead of crashing."""
+    fresh = (
+        orders.limit(10)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10**7)
+        .withColumn("o_orderstatus", F.lit("ZZ"))  # brand-new partition
+    )
+    n0 = cow.snapshot().count()
+
+    # (a) update-only merge: unmatched rows into a fresh partition vanish
+    cow.merge_into(fresh, matched_update="all", not_matched_insert=False)
+    assert cow.snapshot().count() == n0
+    assert cow.snapshot().filter("o_orderstatus = 'ZZ'").count() == 0
+
+    # (b) conditional insert gates row-by-row
+    cow.merge_into(
+        fresh,
+        matched_update=None,
+        not_matched_insert=True,
+        not_matched_condition=src("o_totalprice") > 100000.0,
+    )
+    exp = orders.limit(10).filter(F.col("o_totalprice") > 100000.0).count()
+    assert cow.snapshot().filter("o_orderstatus = 'ZZ'").count() == exp
+
+    # (c) target-side reference in the insert condition: old__ cols are
+    # null for not-matched rows, so tgt(col).isNull() admits every row
+    fresh2 = fresh.withColumn("o_orderstatus", F.lit("YY"))
+    cow.merge_into(
+        fresh2,
+        matched_update=None,
+        not_matched_insert=True,
+        not_matched_condition=tgt("o_totalprice").isNull(),
+    )
+    assert cow.snapshot().filter("o_orderstatus = 'YY'").count() == 10
+
+
 def test_update_where(cow, orders):
     cow.update_where(
         F.col("o_orderpriority") == "1-URGENT",

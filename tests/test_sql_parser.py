@@ -122,6 +122,16 @@ def test_merge_on_clause_split_newline_and_parens(spark, tmp_table_path):
         "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v"
     )
     assert t.snapshot().filter("name = 'z4'").count() == 1
+    # FULLY parenthesized ON clause: the parens hide the top-level AND —
+    # unwrap must re-split, not return one garbage conjunct
+    src4 = spark.createDataFrame([(6, "p0", 4000, "y6")], SCHEMA)
+    src4.createOrReplaceTempView("src2d_v")
+    s.sql(
+        "MERGE INTO tgt2 AS t USING src2d_v AS s "
+        "ON (t.id = s.id AND t.part = s.part) "
+        "WHEN MATCHED THEN UPDATE SET name = s.name, v = s.v"
+    )
+    assert t.snapshot().filter("name = 'y6'").count() == 1
     # AND inside a string literal must NOT split: this maps part -> ' AND '
     # (a constant source expression), which matches no target row — a
     # naive splitter would instead produce a dangling `'` conjunct and

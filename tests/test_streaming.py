@@ -568,6 +568,18 @@ def test_delta_streamer_kafka_multi_topic_checkpoint(spark, scratch_dir):
     assert t.snapshot().count() == 11
     assert json.loads(ds.last_checkpoint()) == {"ta": {"0": 5}, "tb": {"0": 6}}
 
+    # NARROW the subscription to ta only: ta's stored position must
+    # survive (code-review r4: a subset test replayed everything)
+    ds_narrow = DeltaStreamer(
+        spark, t, "ta", source_format="kafka",
+        source_options={"client": broker}, transformer=parse,
+    )
+    assert ds_narrow.sync_once() is None  # nothing new in ta → no replay
+    broker.send("ta", json.dumps({"id": 101, "part": "p0", "v": 101}), partition=0)
+    assert ds_narrow.sync_once() is not None
+    assert t.snapshot().count() == 12  # only the one new record arrived
+    assert json.loads(ds_narrow.last_checkpoint())["ta"] == {"0": 6}
+
 
 def test_delta_streamer_kafka_connector_option_translation(spark, scratch_dir):
     """VERDICT r3 #5: pin the exact options handed to the real
@@ -633,6 +645,13 @@ def test_delta_streamer_kafka_connector_option_translation(spark, scratch_dir):
     # cold start (no checkpoint) → earliest
     ds._pull_kafka(None)
     assert recorded["options"]["startingOffsets"] == "earliest"
+    # WIDENING the subscription with offsets for only some topics must
+    # refuse loudly — the connector's specific-offset mode requires every
+    # TopicPartition listed, and a new topic's partitions are unknowable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="newly subscribed"):
+        ds._pull_kafka(json.dumps({"ta": {"0": 5}}))
 
 
 def test_delta_streamer_chained_and_dms_transformers(spark, scratch_dir):
