@@ -264,7 +264,10 @@ def guarded_commit(
     (``txn_start`` from :func:`txn_start_marker`; falls back to the
     writer's own instant timestamp), then transition to completed.
     Single-writer mode commits directly."""
+    from .metadata import reconcile_commit_schema
+
     if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
+        reconcile_commit_schema(table, metadata)
         table.timeline.transition_to_completed(instant, action, metadata)
         return
     lock = get_lock_provider(table)
@@ -319,6 +322,10 @@ def guarded_commit(
                 f"instant {instant} conflicts with concurrent commit(s) "
                 f"{losers} on overlapping file groups"
             )
+        # under the lock: fold in any schema evolution committed since
+        # this write began, so a concurrent ALTER cannot be reverted by
+        # our (non-overlapping, hence conflict-free) commit
+        reconcile_commit_schema(table, metadata)
         table.timeline.transition_to_completed(instant, action, metadata)
     finally:
         lock.unlock(owner)

@@ -16,9 +16,11 @@ from __future__ import annotations
 class FS:
     def __init__(self, spark, base_uri: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(base_uri).getFileSystem(self._conf)
+        self._fc = None  # lazy FileContext for atomic rename-overwrite
 
     # -- basic ops ---------------------------------------------------------
     def path(self, p: str):
@@ -35,6 +37,21 @@ class FS:
 
     def rename(self, src: str, dst: str) -> bool:
         return self._fs.rename(self._Path(src), self._Path(dst))
+
+    def rename_overwrite(self, src: str, dst: str) -> None:
+        """ATOMIC replace of ``dst`` with ``src`` via
+        ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — unlike
+        delete-then-rename there is no window with no file at ``dst``
+        (single syscall on local/HDFS; object stores emulate but never
+        expose a missing target)."""
+        if self._fc is None:
+            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._conf
+            )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE
+        self._fc.rename(self._Path(src), self._Path(dst), opts)
 
     def list_names(self, p: str) -> list[str]:
         """Names of direct children of directory ``p`` (empty if missing)."""
@@ -95,12 +112,20 @@ class FS:
     def write_text_atomic(self, p: str, content: str, overwrite: bool = False) -> None:
         """Write-then-rename. ``overwrite=False`` is the create-once
         timeline contract (rename fails if the target exists);
-        ``overwrite=True`` replaces an existing file (config updates —
-        delete+rename, atomic on HDFS-like stores, best-effort locally)."""
+        ``overwrite=True`` replaces an existing file ATOMICALLY via
+        ``FileContext`` rename-overwrite — the previous delete+rename
+        had a crash window with NO file at the target, which for
+        table_config.json would leave the whole table unloadable
+        (code-review r4)."""
         tmp = p + ".tmp"
         self.write_text(tmp, content)
-        if overwrite and self.exists(p):
-            self.delete(p)
+        if overwrite:
+            try:
+                self.rename_overwrite(tmp, p)
+            except Exception as e:
+                self.delete(tmp)
+                raise IOError(f"atomic overwrite failed: {p}") from e
+            return
         if not self.rename(tmp, p):
             self.delete(tmp)
             raise IOError(f"atomic rename failed (already exists?): {p}")

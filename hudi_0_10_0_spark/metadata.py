@@ -85,6 +85,71 @@ def make_commit_metadata(
     }
 
 
+def reconcile_commit_schema(table, metadata: dict) -> None:
+    """Reconcile-on-commit (``HoodieSparkSqlWriter.scala:168`` "reconcile
+    schema"): a write captures the table schema when it STARTS; if a
+    concurrent ``ALTER TABLE`` (add column / widen type) completes before
+    this write commits, committing the stale schema would make
+    ``latest_schema()`` revert the DDL. Merge the about-to-commit schema
+    with the timeline's current latest: missing columns are appended as
+    nullable (data files simply surface typed nulls), narrower types
+    take the already-committed wider type. Mutates ``metadata`` in
+    place; no-op when schemas already agree."""
+    ours = metadata.get("schema")
+    if not ours:
+        return
+    tl = table.timeline
+    theirs = None
+    for inst in reversed(tl.completed_write_instants()):
+        try:
+            md = tl.read_metadata(inst)
+        except Exception:
+            continue
+        if md.get("schema"):
+            theirs = md["schema"]
+            break
+    if not theirs or theirs == ours:
+        return
+    merged = _merge_schema_json(ours, theirs)
+    if merged != ours:
+        metadata["schema"] = merged
+
+
+def _merge_schema_json(ours: str, theirs: str) -> str:
+    from pyspark.sql import types as T
+
+    from .config import DELETE_MARKER_COL
+    from .operators.schema_evolution import _WIDENINGS
+
+    try:
+        sa = T.StructType.fromJson(json.loads(ours))
+        sb = T.StructType.fromJson(json.loads(theirs))
+    except Exception:
+        return ours
+    theirs_by_name = {f.name: f for f in sb.fields}
+    out = []
+    for f in sa.fields:
+        g = theirs_by_name.get(f.name)
+        if g is not None and g.dataType != f.dataType:
+            widened = (f.dataType.typeName(), g.dataType.typeName()) in _WIDENINGS or (
+                isinstance(f.dataType, T.DecimalType)
+                and isinstance(g.dataType, T.DecimalType)
+                and g.dataType.precision >= f.dataType.precision
+                and g.dataType.scale >= f.dataType.scale
+            )
+            if widened:
+                f = T.StructField(f.name, g.dataType, True)
+        out.append(f)
+    ours_names = {f.name for f in sa.fields}
+    missing = [g for g in sb.fields if g.name not in ours_names]
+    if missing:
+        # layout convention: the delete marker stays last
+        marker = [f for f in out if f.name == DELETE_MARKER_COL]
+        rest = [f for f in out if f.name != DELETE_MARKER_COL]
+        out = rest + [T.StructField(g.name, g.dataType, True) for g in missing] + marker
+    return T.StructType(out).json()
+
+
 @dataclass
 class BaseFileVersion:
     instant: str

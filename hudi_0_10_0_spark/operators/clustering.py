@@ -21,7 +21,6 @@ from ..config import (
     FILE_ID_COL,
     PARTITION_PATH_COL,
     RECORD_KEY_COL,
-    TableType,
 )
 from ..functions.zorder import with_hilbert_value, with_zvalue
 from ..metadata import make_commit_metadata
@@ -29,7 +28,7 @@ from ..timeline import REPLACE_COMMIT
 from .merge import mor_merge_window
 from ..payloads import get_payload
 from ..sources.read import base_format as _base_format
-from .write import collect_write_stats, write_instant_files
+from .write import collect_write_stats
 
 
 def pending_clustering_plans(table) -> dict[str, set[tuple[str, str]]]:
@@ -105,10 +104,11 @@ def schedule_cluster(
 
 
 def run_cluster(table, instant: str | None = None) -> str | None:
-    """Execute a scheduled clustering plan (latest pending one when
-    ``instant`` is None). The plan's file groups were frozen at schedule
-    time; groups whose latest slice has since changed identity are
-    re-resolved by (partition, file_id)."""
+    """Execute a scheduled clustering plan (the EARLIEST pending one
+    when ``instant`` is None — plans execute in schedule order, like the
+    reference draining pending clustering oldest-first). The plan's file
+    groups were frozen at schedule time; groups whose latest slice has
+    since changed identity are re-resolved by (partition, file_id)."""
     pending = [
         i
         for i in table.timeline.pending()
@@ -253,6 +253,14 @@ def _execute_cluster(
             out = out.drop(
                 *[f for f in table.cfg.partition_fields() if f in out.columns]
             )
+        # crash recovery: a process killed mid-save leaves a partial
+        # data/<instant>/ dir (rollback_pending_writes deliberately skips
+        # cluster plans so the plan stays retryable) — clear it, or the
+        # retry dies on mode('error') and the except handler would then
+        # discard the scheduled plan
+        leftover = table.instant_data_path(instant)
+        if table.fs.exists(leftover):
+            table.fs.delete(leftover, recursive=True)
         out.write.mode("error").partitionBy(
             LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL
         ).format(_base_format(table)).save(table.instant_data_path(instant))
@@ -271,7 +279,19 @@ def _execute_cluster(
             replaced=replaced,
             extra={"layout": layout, "sort_cols": sort_cols or []},
         )
-        table.timeline.transition_to_completed(instant, REPLACE_COMMIT, md)
+        # commit through the OCC gate like every other write path: in
+        # multi-writer mode a data commit can land on a plan group
+        # between our view read and this point (the write side's REJECT
+        # only fires for plans that existed at ITS profile time), and
+        # replacing the group would silently drop those committed rows —
+        # guarded_commit's overlap check on `replaced` catches it and
+        # the except handler rolls the clustering back
+        from ..concurrency import guarded_commit, txn_start_marker
+
+        guarded_commit(
+            table, instant, REPLACE_COMMIT, md,
+            txn_start=txn_start_marker(table, view),
+        )
     except Exception:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         table.timeline.delete_instant_files(instant, REPLACE_COMMIT)

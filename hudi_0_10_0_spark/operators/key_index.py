@@ -230,16 +230,49 @@ def compact_if_due(table) -> bool:
     ``key_index_compact_deltas`` dirs. Crash-safe: the compacted dir is
     written first (named ``<latest>.base``, instant already completed),
     then superseded delta dirs are removed — a reader interleaving sees
-    duplicate entries that the latest-wins window collapses."""
+    duplicate entries that the latest-wins window collapses.
+
+    Multi-writer (OCC) mode runs under the table lock like ``archive``
+    (code-review r4): two concurrent compactors would otherwise race the
+    delete-base/rename window and each delete delta dirs the other's
+    base doesn't cover — losing index entries and letting tag_location
+    re-insert existing keys as duplicates. A busy lock skips this round
+    (housekeeping; the next commit retries)."""
+    if len(_index_dirs(table)) <= table.cfg.key_index_compact_deltas:
+        return False
+    if table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
+        from ..concurrency import LockTimeoutError, get_lock_provider
+
+        import uuid as _uuid
+
+        lock = get_lock_provider(table)
+        owner = f"key-index-compactor-{_uuid.uuid4().hex[:8]}"
+        try:
+            lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
+        except LockTimeoutError:
+            return False
+        try:
+            return _compact_locked(table)
+        finally:
+            lock.unlock(owner)
+    return _compact_locked(table)
+
+
+def _compact_locked(table) -> bool:
+    import uuid as _uuid
+
     dirs = _index_dirs(table)
     if len(dirs) <= table.cfg.key_index_compact_deltas:
-        return False
+        return False  # another writer compacted while we waited
     latest = max(d[: -len(".base")] if d.endswith(".base") else d for d in dirs)
     live = read_index(table)
     if live is None:
         return False
-    target = f"{index_root(table)}/{latest}.base"
-    tmp = f"{index_root(table)}/.compact_tmp"
+    root = index_root(table)
+    target = f"{root}/{latest}.base"
+    # unique tmp per invocation — a fixed name would interleave two
+    # writers' overwrite output into one mangled dir
+    tmp = f"{root}/.compact_tmp.{_uuid.uuid4().hex[:8]}"
     cfg = table.cfg
     (
         live.withColumn(BUCKET_COL, _bucket_expr(cfg))
@@ -254,7 +287,11 @@ def compact_if_due(table) -> bool:
     table.fs.rename(tmp, target)
     for d in dirs:
         if d != f"{latest}.base":
-            table.fs.delete(f"{index_root(table)}/{d}", recursive=True)
+            table.fs.delete(f"{root}/{d}", recursive=True)
+    # clear any crash-orphaned tmp dirs from previous attempts
+    for n in table.fs.list_names(root) or []:
+        if n.startswith(".compact_tmp"):
+            table.fs.delete(f"{root}/{n}", recursive=True)
     return True
 
 
@@ -273,4 +310,6 @@ def drop_instant(table, instant: str) -> None:
             table.fs.delete(root, recursive=True)
             return
     table.fs.delete(f"{root}/{instant}", recursive=True)
-    table.fs.delete(f"{root}/.compact_tmp", recursive=True)
+    for n in table.fs.list_names(root) or []:
+        if n.startswith(".compact_tmp"):  # crashed-compaction leftovers
+            table.fs.delete(f"{root}/{n}", recursive=True)

@@ -169,9 +169,30 @@ def mor_merge_window(
     order = payload.mor_merge_order() + [F.col(SEQNO_COL).desc_nulls_last()]
     # partition in the window key for the same reason as the merge join:
     # one file_id string may name distinct groups in distinct partitions
-    w = Window.partitionBy(
-        FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL
-    ).orderBy(*order)
+    keys = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+    pc = payload.precombine
+    if pc and pc in union_df.columns:
+        # DELETE-BLOCK semantics (HoodieMergedLogRecordScanner.
+        # processQueuedBlocksAndLogs: a delete block removes the key
+        # POSITIONALLY — unconditionally for everything logged before
+        # it, regardless of ordering value). A key-only tombstone has a
+        # NULL precombine column, so payloads that order by the
+        # precombine FIRST (DefaultPayload family) would rank it below
+        # the stored row via desc_nulls_last and silently ignore the
+        # delete. Model the delete block directly: drop every row from
+        # commits strictly BEFORE the latest null-ordering tombstone;
+        # rows at/after it (including the tombstone itself) fall through
+        # to the payload's ordering. Soft deletes that carry an ordering
+        # value (CDC streams) keep payload-ordered semantics — they are
+        # payload records in the reference, not delete blocks.
+        tomb = F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+        hard_tomb_ct = F.max(
+            F.when(tomb & F.col(pc).isNull(), F.col(COMMIT_TIME_COL))
+        ).over(Window.partitionBy(*keys))
+        union_df = union_df.withColumn("__htct", hard_tomb_ct).filter(
+            F.col("__htct").isNull() | (F.col(COMMIT_TIME_COL) >= F.col("__htct"))
+        ).drop("__htct")
+    w = Window.partitionBy(*keys).orderBy(*order)
     out = (
         union_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

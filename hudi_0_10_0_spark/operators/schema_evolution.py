@@ -32,11 +32,16 @@ _WIDENINGS = {
 
 
 def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
+    from ..concurrency import guarded_commit, txn_start_marker
+
     instant = table.new_instant()
     table.timeline.create_requested(instant, "commit", {"operation": operation})
     table.timeline.transition_to_inflight(instant, "commit")
     md = make_commit_metadata(operation, new_schema.json(), [])
-    table.timeline.transition_to_completed(instant, "commit", md)
+    # through the OCC gate: serializes concurrent DDLs under the table
+    # lock, and the gate's reconcile-on-commit folds in any OTHER schema
+    # change that completed while this one was being prepared
+    guarded_commit(table, instant, "commit", md, txn_start=txn_start_marker(table))
     table._schema_cache = None
     return instant
 

@@ -138,6 +138,12 @@ class OverwriteNonDefaultsPayload(Payload):
 
     name = "overwrite_non_defaults"
 
+    # partial update needs the STORED row at merge time: a standalone MOR
+    # delta row would lose the coalesce-against-old semantics (the read
+    # merge picks whole rows) — route MOR upserts through the stored-merge
+    # rewrite exactly like ExpressionPayload
+    requires_stored_merge = True
+
     def value(self, col: str) -> Column:
         return F.when(
             F.col(HAS_OLD), F.coalesce(F.col(NEW + col), F.col(OLD + col))

@@ -14,7 +14,7 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .config import DELETE_MARKER_COL, META_COLS, TableType, WriteConfig, WriteOperation
+from .config import TableType, WriteConfig, WriteOperation
 from .fs import FS
 from .metadata import FileSystemView
 from .timeline import SAVEPOINT, Timeline, new_instant_time
@@ -328,7 +328,6 @@ class HudiTable:
     def truncate(self) -> str:
         """TRUNCATE TABLE: logical replace of every file group, schema
         kept (``TruncateHoodieTableCommand``)."""
-        from .config import WriteOperation
         from .operators.write import run_replace_write
 
         return run_replace_write(

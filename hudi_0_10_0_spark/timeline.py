@@ -227,7 +227,18 @@ class Timeline:
         comp = self.completed_write_instants()
         if len(comp) <= keep_max:
             return 0
-        to_archive = [i for i in comp[: len(comp) - keep_min] if i.timestamp not in protected_ts]
+        # STOP at the earliest savepoint, don't just skip over it
+        # (HoodieTimelineArchiveLog.getInstantsToArchive:137-141 limits
+        # the commit timeline to instants BEFORE the first savepoint):
+        # restore(savepoint) deletes only ACTIVE instants newer than the
+        # savepoint, so archiving a post-savepoint commit would let its
+        # rows survive the restore via the archived manifests.
+        first_protected = min(protected_ts, default=None)
+        to_archive = [
+            i
+            for i in comp[: len(comp) - keep_min]
+            if first_protected is None or i.timestamp < first_protected
+        ]
         if not to_archive:
             return 0
         # also move SERVICE instants (clean/rollback/restore) older than

@@ -154,3 +154,77 @@ def test_time_elapsed_trigger(spark, tmp_table_path):
     assert not compaction_due(t)
     t.cfg.compact_max_delta_seconds = 0
     assert compaction_due(t)
+
+
+def test_overwrite_non_defaults_partial_update_on_mor(spark, tmp_table_path):
+    """code-review r4: OverwriteNonDefaultsPayload must route MOR upserts
+    through the stored-merge rewrite (requires_stored_merge) — a
+    standalone delta row would lose the coalesce-against-old partial
+    update when the read merge picks whole rows.
+    Reference: OverwriteNonDefaultsWithLatestAvroPayload.java:49-76."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path,
+        WriteConfig(
+            record_key_field="id", partition_field="part",
+            precombine_field="v", payload="overwrite_non_defaults",
+            table_type=TableType.MERGE_ON_READ, inline_compact=False,
+            auto_clean=False, auto_archive=False,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "p", 1, "keepme")], schema))
+    # partial update: note is NULL → stored value must survive
+    t.upsert(spark.createDataFrame([(1, "p", 2, None)], schema))
+    row = t.snapshot().first()
+    assert row["v"] == 2 and row["note"] == "keepme"
+    t.compact()
+    row = t.read_optimized().first()
+    assert row["v"] == 2 and row["note"] == "keepme"
+
+
+def test_default_payload_mor_delete_by_key(spark, tmp_table_path):
+    """code-review r4: a key-only MOR delete under the event-time-ordered
+    DefaultPayload has a NULL precombine value; it must still beat the
+    stored row (the reference's DELETE log block removes the key
+    positionally, regardless of ordering value —
+    HoodieMergedLogRecordScanner.java:136-159)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("part", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    t = HudiTable.create(
+        spark, tmp_table_path,
+        WriteConfig(
+            record_key_field="id", partition_field="part",
+            precombine_field="v", payload="default",
+            table_type=TableType.MERGE_ON_READ, inline_compact=False,
+            auto_clean=False, auto_archive=False,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame([(1, "p", 5), (2, "p", 5)], schema))
+    t.delete(spark.createDataFrame([(1, "p")], "id long, part string"))
+    assert [r["id"] for r in t.snapshot().collect()] == [2]
+    # the delete must survive compaction too
+    t.compact()
+    assert [r["id"] for r in t.read_optimized().collect()] == [2]
+    # and a LATER re-insert resurrects the key (positional delete block:
+    # later log entries win)
+    t.upsert(spark.createDataFrame([(1, "p", 1)], schema))
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2]
+    # same sequence with BOTH the tombstone and the re-insert still
+    # uncompacted deltas over one base row
+    t.delete(spark.createDataFrame([(2, "p")], "id long, part string"))
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1]
+    t.upsert(spark.createDataFrame([(2, "p", 1)], schema))
+    assert sorted(r["id"] for r in t.snapshot().collect()) == [1, 2]
+    assert t.snapshot().filter("id = 2").first()["v"] == 1

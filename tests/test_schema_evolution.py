@@ -185,3 +185,45 @@ def test_change_column_date_to_timestamp_rejected(spark, tmp_table_path):
         t.change_column_type("d", "timestamp")
     # the table stays readable
     assert t.snapshot().count() == 1
+
+
+def test_concurrent_ddl_not_reverted_by_in_flight_write(spark, tmp_table_path, monkeypatch):
+    """code-review r4: OCC mode — a data write that captured the table
+    schema BEFORE an ALTER ADD COLUMNS completes must not commit the
+    stale schema and revert the DDL. guarded_commit reconciles the
+    about-to-commit schema with the timeline's latest (the reference's
+    write-time reconcile, HoodieSparkSqlWriter.scala:168)."""
+    import hudi_0_10_0_spark.operators.write as W
+
+    t = HudiTable.create(
+        spark, tmp_table_path,
+        _cfg(concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+             lock_provider="IN_PROCESS"),
+    )
+    t.bulk_insert(_df(spark, [(1, "p0", 1), (2, "p0", 2)]))
+
+    # inject the DDL between the write's schema capture and its commit
+    real_guard = W.guarded_commit
+    fired = {"done": False}
+
+    def ddl_then_commit(table, instant, action, metadata, txn_start=None):
+        if not fired["done"]:
+            fired["done"] = True
+            t.add_columns([("note", "string")])
+        return real_guard(table, instant, action, metadata, txn_start=txn_start)
+
+    monkeypatch.setattr(W, "guarded_commit", ddl_then_commit)
+    t.upsert(_df(spark, [(1, "p0", 10)]))
+    monkeypatch.undo()
+
+    # the added column survives the interleaved write...
+    assert "note" in t.read_schema().fieldNames()
+    snap = t.snapshot()
+    assert "note" in snap.columns
+    assert snap.filter("id = 1").first()["v"] == 10
+    # ...and stays usable end-to-end
+    t.upsert(
+        spark.createDataFrame([(3, "p0", 3, "hello")],
+                              "id long, part string, v int, note string")
+    )
+    assert t.snapshot().filter("note = 'hello'").count() == 1

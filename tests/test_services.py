@@ -516,11 +516,13 @@ def test_soak_long_timeline_with_auto_services(spark, tmp_table_path):
 
 
 def test_savepoint_plus_archive_keeps_view_ordered(spark, tmp_table_path):
-    """Code-review r3 (confirmed repro): archive() can move instants
-    NEWER than a savepoint-protected commit that stays active, so the
-    view fold must sort by timestamp — otherwise the savepointed OLD
-    base version lands after the newer one in FileGroup.bases and
-    snapshot serves stale data."""
+    """Code-review r3 ordering defense + r4 stop-rule: the archiver
+    STOPS at the earliest savepoint (HoodieTimelineArchiveLog.
+    getInstantsToArchive:137-141 — restore() deletes only ACTIVE
+    instants newer than the savepoint, so archiving a post-savepoint
+    commit would let its rows survive the restore). The view fold still
+    sorts archived+active by timestamp so mixed folds serve the newest
+    version."""
     cfg = WriteConfig(
         record_key_field="id", partition_field="part", precombine_field="v",
         keep_min_commits=3, keep_max_commits=5,
@@ -530,17 +532,22 @@ def test_savepoint_plus_archive_keeps_view_ordered(spark, tmp_table_path):
     df0 = spark.createDataFrame([(i, "p0", 0) for i in range(10)],
                                 "id long, part string, v long")
     t.bulk_insert(df0)
-    c0 = t.commits()[0]
-    t.savepoint(c0)
     for r in range(1, 9):
         t.upsert(spark.createDataFrame([(i, "p0", r) for i in range(10)],
                                        "id long, part string, v long"))
+    c_mid = t.commits()[5]
+    t.savepoint(c_mid)
     archived = t.timeline.archive(
-        cfg.keep_min_commits, cfg.keep_max_commits, protected_ts={c0}
+        cfg.keep_min_commits, cfg.keep_max_commits, protected_ts={c_mid}
     )
+    # commits BEFORE the savepoint archive; nothing at/after it does
     assert archived > 0
-    assert c0 in [i.timestamp for i in t.timeline.completed_write_instants()]
-    # the view must serve the NEWEST version, not the savepointed one
+    assert all(
+        a["timestamp"] < c_mid for a in t.timeline.archived_instants()
+    )
+    active = [i.timestamp for i in t.timeline.completed_write_instants()]
+    assert c_mid in active
+    # the view must serve the NEWEST version across the archived+active mix
     slices = t.view().latest_file_slices()
     newest = max(ts for ts, _, _ in t.view().commits)
     assert all(s.base.instant == newest for s in slices), [
@@ -548,8 +555,34 @@ def test_savepoint_plus_archive_keeps_view_ordered(spark, tmp_table_path):
     ]
     assert t.snapshot().filter("v = 8").count() == 10
     assert t.snapshot().filter("v < 8").count() == 0
-    # time travel to the savepoint still reaches the old version
-    assert t.snapshot(as_of=c0).filter("v = 0").count() == 10
+    # time travel to the savepoint still reaches that version
+    assert t.snapshot(as_of=c_mid).filter("v = 5").count() == 10
+
+
+def test_restore_after_archive_removes_post_savepoint_rows(spark, tmp_table_path):
+    """code-review r4 (the reason for the stop-at-savepoint rule): with
+    heavy post-savepoint traffic and archiving, restore(savepoint) must
+    actually remove every post-savepoint row — previously archived
+    post-savepoint commits survived the restore via archived manifests."""
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        keep_min_commits=3, keep_max_commits=5,
+        auto_clean=False, auto_archive=True,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/rst", cfg)
+    t.bulk_insert(spark.createDataFrame([(i, "p0", 0) for i in range(10)],
+                                        "id long, part string, v long"))
+    sp = t.commits()[-1]
+    t.savepoint(sp)
+    # enough post-savepoint commits that an unbounded archiver would
+    # have moved several of them
+    for r in range(1, 12):
+        t.upsert(spark.createDataFrame([(i, "p0", r) for i in range(10)],
+                                       "id long, part string, v long"))
+    t.restore(sp)
+    snap = t.snapshot()
+    assert snap.count() == 10
+    assert snap.filter("v != 0").count() == 0, "post-savepoint rows survived restore"
 
 
 def test_post_commit_service_failure_preserves_commit(spark, tmp_table_path, orders):
@@ -633,3 +666,95 @@ def test_timestamp_keygen_null_partition_value(spark, tmp_table_path):
     parts = sorted(t.partitions())
     assert "1970-01-01" in parts, parts
     assert t.snapshot().count() == 2
+
+
+def test_clustering_occ_conflict_detected(spark, tmp_table_path):
+    """code-review r4: clustering's replacecommit goes through the OCC
+    gate — a data commit landing on a plan group AFTER clustering read
+    its slices (the window the write-side REJECT cannot see) must fail
+    the clustering, not silently lose the committed rows."""
+    from hudi_0_10_0_spark.concurrency import ConcurrentWriteConflictError
+    from hudi_0_10_0_spark.metadata import WriteStat, make_commit_metadata
+    import hudi_0_10_0_spark.concurrency as C
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/cocc",
+        WriteConfig(
+            record_key_field="id", partition_field="part", precombine_field="v",
+            concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+            lock_provider="IN_PROCESS",
+            auto_clean=False, auto_archive=False,
+        ),
+    )
+    t.bulk_insert(spark.createDataFrame([(i, "p0", i) for i in range(20)],
+                                        "id long, part string, v long"))
+    plan = t.schedule_cluster(sort_cols=["id"])
+    assert plan is not None
+    view = t.view()
+    target_slice = view.latest_file_slices()[0]
+
+    real = C.guarded_commit
+    fired = {"done": False}
+
+    def concurrent_writer_then_commit(table_, instant, action, md, txn_start=None):
+        if action == "replacecommit" and not fired["done"]:
+            fired["done"] = True
+            # a concurrent writer commits a rewrite of one plan group
+            # between clustering's view read and its commit point
+            w_inst = table_.new_instant()
+            table_.timeline.create_requested(w_inst, "commit", {"operation": "upsert"})
+            table_.timeline.transition_to_inflight(w_inst, "commit")
+            real(
+                table_, w_inst, "commit",
+                make_commit_metadata(
+                    "upsert", "",
+                    # the synthetic rewrite re-lists the group's real base
+                    # files so the view keeps serving actual data after
+                    # this commit becomes the group's latest version
+                    [WriteStat(partition=target_slice.partition,
+                               file_id=target_slice.file_id,
+                               paths=list(target_slice.base.paths),
+                               rows=target_slice.base.rows,
+                               bytes=target_slice.base.bytes)],
+                ),
+                txn_start=None,
+            )
+        return real(table_, instant, action, md, txn_start=txn_start)
+
+    C.guarded_commit = concurrent_writer_then_commit
+    try:
+        with pytest.raises(ConcurrentWriteConflictError):
+            t.run_cluster(plan)
+    finally:
+        C.guarded_commit = real
+    # the failed clustering rolled back: data intact, no replacecommit
+    assert t.snapshot().count() == 20
+    assert all(i.action != "replacecommit"
+               for i in t.timeline.completed_write_instants())
+
+
+def test_clustering_crash_retry_succeeds(spark, tmp_table_path):
+    """code-review r4: a process killed mid-clustering leaves inflight
+    state and a partial data/<instant>/ dir; the retry must clean the
+    leftovers and complete instead of dying on mode('error') and
+    discarding the plan."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/ccr",
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="v", auto_clean=False, auto_archive=False),
+    )
+    t.bulk_insert(spark.createDataFrame([(i, "p0", i) for i in range(20)],
+                                        "id long, part string, v long"))
+    plan = t.schedule_cluster(sort_cols=["id"])
+    assert plan is not None
+    # simulate the crash: inflight file exists, partial data dir on disk
+    t.timeline.transition_to_inflight(plan, "replacecommit")
+    partial = t.instant_data_path(plan)
+    t.fs.mkdirs(partial)
+    t.fs.write_text(f"{partial}/garbage.parquet", "partial write")
+    # retry completes the SAME plan
+    done = t.run_cluster(plan)
+    assert done == plan
+    snap = t.snapshot().orderBy("id")
+    assert snap.count() == 20
+    assert [r["id"] for r in snap.collect()] == list(range(20))
