@@ -171,20 +171,28 @@ def mor_merge_window(
     # one file_id string may name distinct groups in distinct partitions
     keys = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
     pc = payload.precombine
-    if pc and pc in union_df.columns:
+    if (
+        getattr(payload, "mor_delete_block_filter", False)
+        and pc
+        and pc in union_df.columns
+    ):
         # DELETE-BLOCK semantics (HoodieMergedLogRecordScanner.
         # processQueuedBlocksAndLogs: a delete block removes the key
         # POSITIONALLY — unconditionally for everything logged before
         # it, regardless of ordering value). A key-only tombstone has a
         # NULL precombine column, so payloads that order by the
-        # precombine FIRST (DefaultPayload family) would rank it below
-        # the stored row via desc_nulls_last and silently ignore the
-        # delete. Model the delete block directly: drop every row from
-        # commits strictly BEFORE the latest null-ordering tombstone;
-        # rows at/after it (including the tombstone itself) fall through
-        # to the payload's ordering. Soft deletes that carry an ordering
-        # value (CDC streams) keep payload-ordered semantics — they are
-        # payload records in the reference, not delete blocks.
+        # precombine FIRST (DefaultPayload family — they opt in via
+        # ``mor_delete_block_filter``) would rank it below the stored
+        # row via desc_nulls_last and silently ignore the delete.
+        # Payloads whose order leads with commit time (overwrite/base)
+        # already rank the newer tombstone first, so they skip this
+        # extra window pass. Model the delete block directly: drop
+        # every row from commits strictly BEFORE the latest
+        # null-ordering tombstone; rows at/after it (including the
+        # tombstone itself) fall through to the payload's ordering.
+        # Soft deletes that carry an ordering value (CDC streams) keep
+        # payload-ordered semantics — they are payload records in the
+        # reference, not delete blocks.
         tomb = F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
         hard_tomb_ct = F.max(
             F.when(tomb & F.col(pc).isNull(), F.col(COMMIT_TIME_COL))

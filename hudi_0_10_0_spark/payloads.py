@@ -113,6 +113,11 @@ class DefaultPayload(Payload):
 
     name = "default"
 
+    # event-time-first ordering would rank a key-only tombstone (NULL
+    # ordering value) below the stored row — the MOR merge must apply
+    # the positional delete-block filter (see merge.mor_merge_window)
+    mor_delete_block_filter = True
+
     def mor_merge_order(self) -> list[Column]:
         # event-time order first: a log row only supersedes the base row
         # if its ordering value is >= (DefaultHoodieRecordPayload rule)
