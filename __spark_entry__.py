@@ -982,7 +982,7 @@ ORDER BY custdist DESC, c_count DESC
 def q_tpch_q9(spark, sf_dir):
     """Q9 adapted (no partsupp in the testdata): product-type profit by
     nation and order year; profit = discounted revenue of lineitems whose
-    part name contains 'green'. Dims (part, supplier, nation) broadcast;
+    part name contains 'red'. Dims (part, supplier, nation) broadcast;
     one shuffle for the final group-by."""
     part = _pq(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     supp = _pq(spark, sf_dir, "supplier")
@@ -1432,7 +1432,11 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup(docs, threshold=0.8).select("doc_id", "lang", "source")
 
 
-_SQL_DEDUP_MINHASH = r"""
+def _sql_jaccard_dedup(threshold: float) -> str:
+    """Shared exact-Jaccard dedup oracle (one template for the MinHash
+    and n-gram entries — they verify the same exact-Jaccard semantics at
+    different thresholds; a single parameterized body can't drift)."""
+    return rf"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
 ), sh AS (
@@ -1445,11 +1449,14 @@ WITH toks AS (
 ), losers AS (
   SELECT DISTINCT b.doc_id
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) >= 0.8 * len(list_distinct(list_concat(a.s, b.s)))
+  WHERE len(list_intersect(a.s, b.s)) >= {threshold} * len(list_distinct(list_concat(a.s, b.s)))
 )
 SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 """
+
+
+_SQL_DEDUP_MINHASH = _sql_jaccard_dedup(0.8)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -1466,24 +1473,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
-_SQL_DEDUP_NGRAM = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-              ELSE list_distinct(list_transform(range(1, len(t) - 1),
-                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-         END AS s
-  FROM toks
-), losers AS (
-  SELECT DISTINCT b.doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) >= 0.7 * len(list_distinct(list_concat(a.s, b.s)))
-)
-SELECT d.doc_id, d.lang, d.source FROM documents d
-WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-"""
+_SQL_DEDUP_NGRAM = _sql_jaccard_dedup(0.7)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1550,32 +1540,44 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-_SQL_TEXT_STATS = r"""
+# Shared lang-ID / quality-score SQL fragments: _SQL_TEXT_STATS and
+# _SQL_PIPELINE verify the same text.py semantics — one copy each of
+# the stopword hit columns, the language CASE, and the quality
+# formula, so a future fix cannot be applied to one oracle and
+# silently miss the other.
+_SQL_HITS_COLS = r"""    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
+    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
+    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
+    len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
+    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+    length(text) AS n_chars"""
+
+_SQL_LANG_CASE = """CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END"""
+
+_SQL_QUALITY_EXPR = """ROUND(
+    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
+    + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
+  , 6)"""
+
+
+_SQL_TEXT_STATS = rf"""
 WITH toks AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
   FROM documents
 ), hits AS (
   SELECT doc_id, text, t, len(t) AS n_tokens,
-    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
-    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
-    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
-    len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
-    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
-    length(text) AS n_chars
+{_SQL_HITS_COLS}
   FROM toks
 )
 SELECT doc_id, n_tokens,
-  CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
-       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-       WHEN h_en >= h_de THEN 'en'
-       ELSE 'de' END AS lang_pred,
+  {_SQL_LANG_CASE} AS lang_pred,
   CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
-  ROUND(
-    0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-    + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
-    + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
-  , 6) AS quality_score
+  {_SQL_QUALITY_EXPR} AS quality_score
 FROM hits
 """
 
@@ -1712,7 +1714,7 @@ def q_pipeline_training_data(spark, sf_dir):
     )
 
 
-_SQL_PIPELINE = r"""
+_SQL_PIPELINE = rf"""
 WITH norm AS (
   SELECT *, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
   FROM documents
@@ -1724,26 +1726,13 @@ WITH norm AS (
   SELECT doc_id, source, text, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
   FROM kept
 ), hits AS (
-  SELECT doc_id, source, len(t) AS n_tokens,
-    len(list_filter(t, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS h_en,
-    len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
-    len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
-    len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
-    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
-    length(text) AS n_chars
+  SELECT doc_id, source, text, len(t) AS n_tokens,
+{_SQL_HITS_COLS}
   FROM toks
 ), scored AS (
   SELECT doc_id, source, n_tokens,
-    CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
-         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
-         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
-         WHEN h_en >= h_de THEN 'en'
-         ELSE 'de' END AS lang_pred,
-    ROUND(
-      0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-      + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
-      + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
-    , 6) AS quality_score
+    {_SQL_LANG_CASE} AS lang_pred,
+    {_SQL_QUALITY_EXPR} AS quality_score
   FROM hits
 )
 SELECT source, COUNT(*) AS n_docs,
@@ -1832,11 +1821,26 @@ def _sql_simhash_dedup() -> str:
     """DuckDB replica of simhash_dedup: FNV-1a per token (list_reduce in
     HUGEINT mod 2^64), per-bit majority vote, 4x16-bit-chunk candidate
     blocking, hamming<=3 losers, survivors = NOT IN losers."""
+    # FNV-1a folds per UTF-8 BYTE like the engine's hash_token
+    # (w.encode('utf-8')) — folding per code point would diverge on any
+    # non-ASCII token, and for code points > 255 the h%256 XOR trick
+    # wouldn't even implement XOR. Expand code points to UTF-8 bytes
+    # arithmetically (1-4 bytes by range), then fold.
+    utf8_bytes = (
+        "flatten(list_transform("
+        "list_transform(range(1, length(t)+1), "
+        "i -> unicode(substr(t, CAST(i AS INT), 1))), "
+        "c -> CASE "
+        "WHEN c < 128 THEN [c] "
+        "WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64] "
+        "WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64] "
+        "ELSE [240 + c // 262144, 128 + (c // 4096) % 64, "
+        "128 + (c // 64) % 64, 128 + c % 64] END))"
+    )
     fnv = (
         "list_reduce("
         "list_prepend(CAST('14695981039346656037' AS HUGEINT), "
-        "list_transform(range(1, length(t)+1), "
-        "i -> CAST(unicode(substr(t, CAST(i AS INT), 1)) AS HUGEINT))), "
+        f"list_transform({utf8_bytes}, b -> CAST(b AS HUGEINT))), "
         "(h, c) -> ((h - h % 256 + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))"
         " * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
     )

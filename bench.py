@@ -111,6 +111,19 @@ def main() -> None:
             mt.compact()
         shutil.rmtree(wtmp, ignore_errors=True)
 
+    from pyspark.sql import functions as F
+
+    def run_query(df):
+        """Materialize EVERY projected column, not just row counts: a
+        bare count() lets the parquet reader drop all columns and answer
+        from row-group metadata, which would time a metadata-only scan
+        instead of the read path. xxhash64 over the full projection
+        forces column decode while adding only cheap per-row hashing."""
+        n, = df.agg(
+            F.count(F.xxhash64(*[F.col(c) for c in df.columns]))
+        ).first()
+        return n
+
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
@@ -118,13 +131,13 @@ def main() -> None:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        n = run_query(df)
         dt = round(time.perf_counter() - t0, 3)
         # table fixtures are memoized per process, so a second run times
         # the QUERY alone; fixture_build_s = first - second separates
         # table-construction cost from read cost per entry
         t1 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run_query(fn(spark, sf_dir))
         q_s = round(time.perf_counter() - t1, 3)
         timings[name] = dt
         detail[name] = {

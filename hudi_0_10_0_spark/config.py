@@ -67,6 +67,9 @@ class WriteConfig:
     # (spark-client/keygen/TimestampBasedAvroKeyGenerator.java:48-60)
     timestamp_output_format: str = "yyyy/MM/dd"
     timestamp_input_type: str = "TIMESTAMP"  # TIMESTAMP | EPOCHMS | EPOCHSECONDS | DATE_STRING | SCALAR
+    # DATE_STRING input parse pattern (hoodie.deltastreamer.keygen.
+    # timestamp.input.dateformat); None → Spark's default to_timestamp
+    timestamp_input_format: str | None = None
     hive_style_partitioning: bool = False
     # hoodie.datasource.write.partitionpath.urlencode — escape special
     # chars in partition values to %XX (PartitionPathEncodeUtils)

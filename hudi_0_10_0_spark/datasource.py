@@ -158,12 +158,27 @@ def options_to_kwargs(options: dict) -> dict:
         "concurrency_mode",
         lambda v: str(v).upper(),
     )
-    take(
-        "hoodie.keygen.timestamp.output.dateformat",
-        "timestamp_output_format",
-        str,
-    )
-    take("hoodie.keygen.timestamp.type", "timestamp_input_type", lambda v: str(v).upper())
+    # TimestampBasedKeyGenerator options: 0.10.0 spells these
+    # hoodie.deltastreamer.keygen.timestamp.* (KeyGeneratorOptions /
+    # TimestampKeyGeneratorConfig kept the legacy deltastreamer prefix);
+    # accept the modern spelling too — silently dropping either would
+    # derive wrong partition paths with no error
+    for prefix in ("hoodie.deltastreamer.keygen", "hoodie.keygen"):
+        take(
+            f"{prefix}.timestamp.output.dateformat",
+            "timestamp_output_format",
+            str,
+        )
+        take(
+            f"{prefix}.timestamp.input.dateformat",
+            "timestamp_input_format",
+            str,
+        )
+        take(
+            f"{prefix}.timestamp.type",
+            "timestamp_input_type",
+            lambda v: str(v).upper(),
+        )
     from .config import BulkInsertSortMode
 
     take(
@@ -241,6 +256,15 @@ def write(
     ``ignore`` guard table existence."""
     o = dict(options or {})
     spark = df.sparkSession
+    # SaveMode matching is case-insensitive like Spark's own
+    # (SaveMode.valueOf ignores case via the DataFrameWriter parser), and
+    # unknown modes FAIL instead of silently falling through to append
+    mode = str(mode).strip().lower()
+    if mode not in ("append", "overwrite", "error", "errorifexists", "ignore"):
+        raise ValueError(
+            f"unknown SaveMode: {mode!r} (expected append | overwrite | "
+            "error | errorifexists | ignore)"
+        )
     operation = str(o.get("hoodie.datasource.write.operation", "upsert")).lower()
     exists = HudiTable.exists(spark, path)
     if exists:

@@ -145,12 +145,15 @@ def _timestamp_partition_expr(cfg: WriteConfig, fld: str) -> Column:
     fmt = cfg.timestamp_output_format
     t = cfg.timestamp_input_type.upper()
     c = F.col(fld)
-    if t == "EPOCHMS":
+    if t in ("EPOCHMS", "EPOCHMILLISECONDS"):
+        # the 0.10 enum spells it EPOCHMILLISECONDS
+        # (keygen/TimestampKeyGeneratorConfig TimestampType)
         ts = F.timestamp_millis(c.cast("long"))
     elif t in ("EPOCHSECONDS", "UNIX_TIMESTAMP", "SCALAR"):
         ts = F.timestamp_seconds(c.cast("long"))
     elif t == "DATE_STRING":
-        ts = F.to_timestamp(c)
+        in_fmt = getattr(cfg, "timestamp_input_format", None)
+        ts = F.to_timestamp(c, in_fmt) if in_fmt else F.to_timestamp(c)
     else:  # TIMESTAMP / DATE column
         ts = c.cast("timestamp")
     # null partition value → the reference's default of epoch 1ms

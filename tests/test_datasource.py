@@ -235,3 +235,57 @@ def test_incremental_path_glob_partition_and_filename(spark, tmp_table_path):
     assert want > 0
     assert globbed.count() == want
     assert globbed.filter("o_orderpriority <> '1-URGENT'").count() == 0
+
+
+def test_save_mode_case_insensitive_and_unknown_rejected(spark, tmp_table_path, orders):
+    """code-review r4: Spark's own SaveMode matching is case-insensitive
+    ('Overwrite' works in the reference); an unrecognized string must
+    FAIL instead of silently falling through to the append path."""
+    opts = {
+        "hoodie.datasource.write.recordkey.field": "o_orderkey",
+        "hoodie.datasource.write.partitionpath.field": "o_orderpriority",
+        "hoodie.datasource.write.precombine.field": "o_orderdate",
+    }
+    datasource.write(orders, tmp_table_path, mode="Append", options=opts)
+    # 'Overwrite' (Spark spelling) → insert_overwrite_table, not upsert
+    datasource.write(orders.limit(7), tmp_table_path, mode="Overwrite", options=opts)
+    assert datasource.read(spark, tmp_table_path).count() == 7
+    with pytest.raises(ValueError, match="unknown SaveMode"):
+        datasource.write(orders, tmp_table_path, mode="overwrote", options=opts)
+    # 'Ignore' on existing table is a no-op
+    datasource.write(orders, tmp_table_path, mode="Ignore", options=opts)
+    assert datasource.read(spark, tmp_table_path).count() == 7
+
+
+def test_deltastreamer_timestamp_keygen_option_names():
+    """code-review r4: 0.10.0 spells the timestamp keygen options
+    hoodie.deltastreamer.keygen.timestamp.* — both spellings translate;
+    silently dropping them would derive wrong partition paths."""
+    cfg = options_to_config(
+        {
+            "hoodie.table.name": "t",
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.datasource.write.partitionpath.field": "ts",
+            "hoodie.datasource.write.keygenerator.class":
+                "org.apache.hudi.keygen.TimestampBasedKeyGenerator",
+            "hoodie.deltastreamer.keygen.timestamp.type": "EPOCHMILLISECONDS",
+            "hoodie.deltastreamer.keygen.timestamp.output.dateformat": "yyyyMM",
+            "hoodie.deltastreamer.keygen.timestamp.input.dateformat": "yyyy-MM-dd",
+        }
+    )
+    assert cfg.keygen == "timestamp"
+    assert cfg.timestamp_input_type == "EPOCHMILLISECONDS"
+    assert cfg.timestamp_output_format == "yyyyMM"
+    assert cfg.timestamp_input_format == "yyyy-MM-dd"
+    # modern spelling still works
+    cfg2 = options_to_config(
+        {
+            "hoodie.table.name": "t",
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.datasource.write.partitionpath.field": "ts",
+            "hoodie.keygen.timestamp.type": "EPOCHMS",
+            "hoodie.keygen.timestamp.output.dateformat": "yyyy/MM",
+        }
+    )
+    assert cfg2.timestamp_input_type == "EPOCHMS"
+    assert cfg2.timestamp_output_format == "yyyy/MM"

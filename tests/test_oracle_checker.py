@@ -95,3 +95,34 @@ def test_checker_end_to_end_smoke():
     tail = "\n".join(proc.stdout.splitlines()[-6:])
     assert proc.returncode == 0, f"checker smoke failed:\n{tail}\n{proc.stderr[-2000:]}"
     assert "RESULT: 2/2 OK" in proc.stdout, tail
+
+
+def test_simhash_oracle_matches_on_non_ascii(spark):
+    """code-review r4: the DuckDB simhash oracle folds FNV-1a per UTF-8
+    BYTE like the engine (hash_token) — per-code-point folding diverged
+    on any non-ASCII token (masked by the all-ASCII testdata)."""
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from hudi_0_10_0_spark.functions.dedup import simhash_dedup
+
+    rows = [
+        (1, "café naïve résumé déjà vu " * 6),
+        (2, "café naïve résumé déjà vu " * 6 + "extra"),  # near-dup of 1
+        (3, "日本語のテキスト 完全に 異なる 内容 です " * 5),
+        (4, "ASCII only words repeated here " * 6),
+        (5, "🎉 emoji héavy Ωmega ünïcode test " * 6),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sdf = spark.createDataFrame(pdf)
+    got = sorted(
+        r["doc_id"] for r in simhash_dedup(sdf).select("doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = sorted(r[0] for r in con.execute(entry._sql_simhash_dedup()).fetchall())
+    con.close()
+    assert got == want
+    assert 2 not in got  # the near-dup was actually removed

@@ -46,6 +46,11 @@ def norm_cell(v):
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collects BinaryType as bytearray, DuckDB returns bytes —
+        # str() of those differ ("bytearray(b'..')" vs "b'..'"); hex is
+        # representation-neutral
+        return "0x" + bytes(v).hex()
     if isinstance(v, decimal.Decimal):
         return str(v)
     if isinstance(v, float):
