@@ -209,11 +209,41 @@ class DeltaStreamer:
         df = self.spark.sql(self.source)
         return df, str(int(ckpt or 0) + 1)
 
+    def _pull_incr_pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """Incremental-pull dump directory source (``util/sources/
+        HiveIncrPullSource.java:89-137``): the source root contains one
+        sub-directory PER SOURCE COMMIT (``<root>/<commitTime>/files``,
+        produced by the reference's HiveIncrementalPuller); each sync
+        consumes exactly the FIRST commit dir greater than the
+        checkpoint — commit-by-commit, so source and target commits stay
+        1:1 across the pipeline ("commits sync across the data
+        pipeline"). Checkpoint = last consumed commit time. Files are
+        read with ``source_options['format']`` (default parquet — the
+        reference reads avro, whose reader jar this build lacks)."""
+        fs = self.target.fs
+        commit_dirs = sorted(
+            n for n in fs.list_names(self.source)
+            if not n.startswith((".", "_"))
+        )
+        if not commit_dirs:
+            return None, ckpt
+        nxt = next((c for c in commit_dirs if ckpt is None or c > ckpt), None)
+        if nxt is None:
+            return None, ckpt
+        reader = self.spark.read
+        if self.source_schema is not None:
+            reader = reader.schema(self.source_schema)
+        fmt = self.source_options.get("format", "parquet")
+        df = reader.format(fmt).load(f"{self.source}/{nxt}")
+        return df, nxt
+
     def _pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         if callable(self.source):
             return self.source(self.spark, ckpt)
         if self.source_format == "hudi":
             return self._pull_hudi_incr(ckpt)
+        if self.source_format in ("incr_pull", "hive_incr_pull"):
+            return self._pull_incr_pull(ckpt)
         if self.source_format == "kafka":
             return self._pull_kafka(ckpt)
         if self.source_format == "jdbc":

@@ -679,3 +679,35 @@ def test_delta_streamer_chained_and_dms_transformers(spark, scratch_dir):
     assert snap.filter("v % 10 != 0").count() == 0  # second stage applied
     # idempotent second transformer application: Op present → untouched
     assert "Op" in aws_dms_transformer(snap).columns
+
+
+def test_delta_streamer_incr_pull_source(spark, scratch_dir):
+    """HiveIncrPullSource analogue (util/sources/HiveIncrPullSource.
+    java:89-137): one sub-dir per source commit, consumed COMMIT BY
+    COMMIT (one per sync) so source and target commits stay 1:1;
+    checkpoint = last consumed commit time; catch-up drains in order."""
+    root = f"{scratch_dir}/incr_root"
+    for c, lo, hi in [("20240101000000", 0, 5), ("20240102000000", 5, 9),
+                      ("20240103000000", 9, 12)]:
+        _mkdf(spark, [(i, "p0", i) for i in range(lo, hi)]).write.parquet(f"{root}/{c}")
+
+    t = HudiTable.create(spark, f"{scratch_dir}/ipt", _cfg())
+    ds = DeltaStreamer(spark, t, root, source_format="incr_pull",
+                       source_schema=SRC_SCHEMA)
+    # exactly ONE source commit per sync, in order
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 5
+    assert ds.last_checkpoint() == "20240101000000"
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 9
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 12
+    assert ds.last_checkpoint() == "20240103000000"
+    # caught up → no-op
+    assert ds.sync_once() is None
+    # a NEW source commit arrives → picked up from the stored checkpoint
+    _mkdf(spark, [(i, "p0", i) for i in range(12, 14)]).write.parquet(
+        f"{root}/20240104000000"
+    )
+    assert ds.sync_once() is not None
+    assert t.snapshot().count() == 14
