@@ -267,7 +267,9 @@ def guarded_commit(
     from .metadata import reconcile_commit_schema
 
     if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
-        reconcile_commit_schema(table, metadata)
+        # no reconcile needed: single-writer mode means no concurrent
+        # DDL can complete between a write's schema capture and its
+        # commit (concurrent writers without OCC is a misconfiguration)
         table.timeline.transition_to_completed(instant, action, metadata)
         return
     lock = get_lock_provider(table)
@@ -324,8 +326,10 @@ def guarded_commit(
             )
         # under the lock: fold in any schema evolution committed since
         # this write began, so a concurrent ALTER cannot be reverted by
-        # our (non-overlapping, hence conflict-free) commit
-        reconcile_commit_schema(table, metadata)
+        # our (non-overlapping, hence conflict-free) commit. Reuses the
+        # candidates already read for the conflict check — no extra
+        # timeline I/O inside the critical section.
+        reconcile_commit_schema(metadata, candidates)
         table.timeline.transition_to_completed(instant, action, metadata)
     finally:
         lock.unlock(owner)

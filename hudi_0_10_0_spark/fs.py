@@ -19,8 +19,10 @@ class FS:
         self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._base_uri = base_uri
         self._fs = self._Path(base_uri).getFileSystem(self._conf)
         self._fc = None  # lazy FileContext for atomic rename-overwrite
+        self._fc_failed = False  # no AbstractFileSystem binding → fall back
 
     # -- basic ops ---------------------------------------------------------
     def path(self, p: str):
@@ -32,6 +34,12 @@ class FS:
     def mkdirs(self, p: str) -> None:
         self._fs.mkdirs(self._Path(p))
 
+    def is_dir(self, p: str) -> bool:
+        try:
+            return self._fs.getFileStatus(self._Path(p)).isDirectory()
+        except Exception:
+            return False
+
     def delete(self, p: str, recursive: bool = False) -> bool:
         return self._fs.delete(self._Path(p), recursive)
 
@@ -39,19 +47,41 @@ class FS:
         return self._fs.rename(self._Path(src), self._Path(dst))
 
     def rename_overwrite(self, src: str, dst: str) -> None:
-        """ATOMIC replace of ``dst`` with ``src`` via
-        ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — unlike
-        delete-then-rename there is no window with no file at ``dst``
-        (single syscall on local/HDFS; object stores emulate but never
-        expose a missing target)."""
-        if self._fc is None:
-            self._fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-                self._conf
-            )
-        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
-        opts = self._gateway.new_array(Rename, 1)
-        opts[0] = Rename.OVERWRITE
-        self._fc.rename(self._Path(src), self._Path(dst), opts)
+        """Replace ``dst`` with ``src``, ATOMICALLY where the store
+        supports it: ``FileContext.rename(..., Options.Rename.OVERWRITE)``
+        is a single syscall on local/HDFS — no window with no file at
+        ``dst``. The FileContext is bound to the TABLE's filesystem URI
+        (not fs.defaultFS, which could name a different store for
+        scheme-less paths). Stores with no AbstractFileSystem binding
+        (s3a://, gs:// by default) fall back to delete+rename — the
+        pre-existing best-effort behavior, remembered so the probe isn't
+        repeated per call."""
+        if not self._fc_failed:
+            try:
+                if self._fc is None:
+                    FC = self._jvm.org.apache.hadoop.fs.FileContext
+                    self._fc = FC.getFileContext(
+                        self._Path(self._base_uri).toUri(), self._conf
+                    )
+                Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+                opts = self._gateway.new_array(Rename, 1)
+                opts[0] = Rename.OVERWRITE
+                self._fc.rename(self._Path(src), self._Path(dst), opts)
+                return
+            except Exception as e:
+                # only fall back when FileContext itself is unsupported
+                # for this store; a real rename failure must surface
+                msg = str(e)
+                if (
+                    "UnsupportedFileSystem" not in msg
+                    and "AbstractFileSystem" not in msg
+                ):
+                    raise
+                self._fc_failed = True
+        if self.exists(dst):
+            self.delete(dst)
+        if not self.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
 
     def list_names(self, p: str) -> list[str]:
         """Names of direct children of directory ``p`` (empty if missing)."""

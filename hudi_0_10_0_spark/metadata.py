@@ -85,26 +85,26 @@ def make_commit_metadata(
     }
 
 
-def reconcile_commit_schema(table, metadata: dict) -> None:
+def reconcile_commit_schema(
+    metadata: dict, candidates: list[tuple[str, str, dict]]
+) -> None:
     """Reconcile-on-commit (``HoodieSparkSqlWriter.scala:168`` "reconcile
     schema"): a write captures the table schema when it STARTS; if a
     concurrent ``ALTER TABLE`` (add column / widen type) completes before
     this write commits, committing the stale schema would make
     ``latest_schema()`` revert the DDL. Merge the about-to-commit schema
-    with the timeline's current latest: missing columns are appended as
-    nullable (data files simply surface typed nulls), narrower types
-    take the already-committed wider type. Mutates ``metadata`` in
-    place; no-op when schemas already agree."""
+    with the newest schema among ``candidates`` — the instants completed
+    since the transaction began, which guarded_commit has ALREADY read
+    for its conflict check (no extra timeline I/O inside the lock; an
+    instant older than the txn start cannot carry schema our write
+    didn't see). Missing columns are appended as nullable (data files
+    simply surface typed nulls); narrower types take the committed wider
+    type. Mutates ``metadata`` in place."""
     ours = metadata.get("schema")
-    if not ours:
+    if not ours or not candidates:
         return
-    tl = table.timeline
     theirs = None
-    for inst in reversed(tl.completed_write_instants()):
-        try:
-            md = tl.read_metadata(inst)
-        except Exception:
-            continue
+    for _ts, _action, md in sorted(candidates, key=lambda c: c[0], reverse=True):
         if md.get("schema"):
             theirs = md["schema"]
             break
@@ -119,7 +119,7 @@ def _merge_schema_json(ours: str, theirs: str) -> str:
     from pyspark.sql import types as T
 
     from .config import DELETE_MARKER_COL
-    from .operators.schema_evolution import _WIDENINGS
+    from .operators.schema_evolution import is_widening
 
     try:
         sa = T.StructType.fromJson(json.loads(ours))
@@ -130,15 +130,10 @@ def _merge_schema_json(ours: str, theirs: str) -> str:
     out = []
     for f in sa.fields:
         g = theirs_by_name.get(f.name)
-        if g is not None and g.dataType != f.dataType:
-            widened = (f.dataType.typeName(), g.dataType.typeName()) in _WIDENINGS or (
-                isinstance(f.dataType, T.DecimalType)
-                and isinstance(g.dataType, T.DecimalType)
-                and g.dataType.precision >= f.dataType.precision
-                and g.dataType.scale >= f.dataType.scale
-            )
-            if widened:
-                f = T.StructField(f.name, g.dataType, True)
+        if g is not None and g.dataType != f.dataType and is_widening(
+            f.dataType, g.dataType
+        ):
+            f = T.StructField(f.name, g.dataType, True)
         out.append(f)
     ours_names = {f.name for f in sa.fields}
     missing = [g for g in sb.fields if g.name not in ours_names]

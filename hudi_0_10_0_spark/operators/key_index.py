@@ -232,44 +232,24 @@ def compact_if_due(table) -> bool:
     then superseded delta dirs are removed — a reader interleaving sees
     duplicate entries that the latest-wins window collapses.
 
-    Multi-writer (OCC) mode runs under the table lock like ``archive``
-    (code-review r4): two concurrent compactors would otherwise race the
-    delete-base/rename window and each delete delta dirs the other's
-    base doesn't cover — losing index entries and letting tag_location
-    re-insert existing keys as duplicates. A busy lock skips this round
-    (housekeeping; the next commit retries)."""
-    if len(_index_dirs(table)) <= table.cfg.key_index_compact_deltas:
-        return False
-    if table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
-        from ..concurrency import LockTimeoutError, get_lock_provider
-
-        import uuid as _uuid
-
-        lock = get_lock_provider(table)
-        owner = f"key-index-compactor-{_uuid.uuid4().hex[:8]}"
-        try:
-            lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
-        except LockTimeoutError:
-            return False
-        try:
-            return _compact_locked(table)
-        finally:
-            lock.unlock(owner)
-    return _compact_locked(table)
-
-
-def _compact_locked(table) -> bool:
+    Multi-writer (OCC) mode: the EXPENSIVE part (reading the live index
+    and writing the compacted copy to a unique tmp dir) runs with NO
+    lock — only the swap (delete old base, rename tmp in, drop
+    superseded deltas) holds the table lock, so concurrent writers'
+    commits are never blocked behind a full-index Spark job. The swap
+    re-checks that no rival compactor got there first and aborts
+    cleanly if one did. A busy lock skips this round (housekeeping; the
+    next commit retries)."""
     import uuid as _uuid
 
     dirs = _index_dirs(table)
     if len(dirs) <= table.cfg.key_index_compact_deltas:
-        return False  # another writer compacted while we waited
+        return False
     latest = max(d[: -len(".base")] if d.endswith(".base") else d for d in dirs)
     live = read_index(table)
     if live is None:
         return False
     root = index_root(table)
-    target = f"{root}/{latest}.base"
     # unique tmp per invocation — a fixed name would interleave two
     # writers' overwrite output into one mangled dir
     tmp = f"{root}/.compact_tmp.{_uuid.uuid4().hex[:8]}"
@@ -283,14 +263,64 @@ def _compact_locked(table) -> bool:
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
+    if cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
+        from ..concurrency import LockTimeoutError, get_lock_provider
+
+        lock = get_lock_provider(table)
+        owner = f"key-index-compactor-{_uuid.uuid4().hex[:8]}"
+        try:
+            lock.lock(owner, wait_seconds=cfg.lock_wait_seconds)
+        except LockTimeoutError:
+            table.fs.delete(tmp, recursive=True)
+            return False
+        try:
+            return _swap_compacted(table, tmp, latest, dirs)
+        finally:
+            lock.unlock(owner)
+    return _swap_compacted(table, tmp, latest, dirs)
+
+
+def _swap_compacted(table, tmp: str, latest: str, dirs: list[str]) -> bool:
+    """Install the compacted dir (lock held in OCC mode): re-verify no
+    rival won the race, swap, then drop exactly the deltas our base
+    covers. Deltas appended while we compacted have newer instants and
+    survive untouched (latest-wins read collapses any overlap)."""
+    root = index_root(table)
+    now_dirs = _index_dirs(table)
+    now_latest = max(
+        (d[: -len(".base")] if d.endswith(".base") else d for d in now_dirs),
+        default="",
+    )
+    if now_latest != latest or (
+        f"{latest}.base" in now_dirs and f"{latest}.base" not in dirs
+    ):
+        # a rival compactor installed a newer base (or the same one,
+        # APPEARING only after our snapshot of dirs) while we were
+        # writing — our tmp is stale; abort without touching deltas.
+        # A base that was already in our original dirs list is NOT a
+        # rival: read_index folded it into our tmp, so replacing it is
+        # safe (crash-leftover completion).
+        table.fs.delete(tmp, recursive=True)
+        return False
+    target = f"{root}/{latest}.base"
     table.fs.delete(target, recursive=True)
-    table.fs.rename(tmp, target)
+    renamed = False
+    try:
+        renamed = table.fs.rename(tmp, target)
+    except Exception:
+        renamed = False
+    if not renamed:
+        # MUST NOT delete delta dirs when the base didn't land — they
+        # are the only copy of those index entries
+        table.fs.delete(tmp, recursive=True)
+        return False
     for d in dirs:
         if d != f"{latest}.base":
             table.fs.delete(f"{root}/{d}", recursive=True)
-    # clear any crash-orphaned tmp dirs from previous attempts
+    # clear any crash-orphaned tmp dirs (safe here: in OCC mode we hold
+    # the lock, so no OTHER compactor's live tmp can be among them)
     for n in table.fs.list_names(root) or []:
-        if n.startswith(".compact_tmp"):
+        if n.startswith(".compact_tmp") and f"{root}/{n}" != target:
             table.fs.delete(f"{root}/{n}", recursive=True)
     return True
 
@@ -302,14 +332,16 @@ def drop_instant(table, instant: str) -> None:
     an instant >= the one being dropped, the rolled-back entries live
     INSIDE that base and cannot be carved out — wipe the whole index dir
     (read_index then returns None and the next tag rebuilds from live
-    slices via build_full). Also clears an orphaned ``.compact_tmp`` from
-    a crashed compaction."""
+    slices via build_full). Crash-orphaned ``.compact_tmp.*`` dirs are
+    NOT swept here (no lock held) — ``_swap_compacted`` clears them
+    under the table lock."""
     root = index_root(table)
     for n in table.fs.list_names(root) or []:
         if n.endswith(".base") and n[: -len(".base")] >= instant:
             table.fs.delete(root, recursive=True)
             return
     table.fs.delete(f"{root}/{instant}", recursive=True)
-    for n in table.fs.list_names(root) or []:
-        if n.startswith(".compact_tmp"):  # crashed-compaction leftovers
-            table.fs.delete(f"{root}/{n}", recursive=True)
+    # deliberately NO .compact_tmp* sweep here: rollback does not hold
+    # the table lock, so it could delete a LIVE compactor's tmp dir —
+    # orphan cleanup belongs to _swap_compacted, which runs under the
+    # lock in multi-writer mode

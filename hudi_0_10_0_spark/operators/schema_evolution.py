@@ -31,6 +31,21 @@ _WIDENINGS = {
 }
 
 
+def is_widening(old: T.DataType, new: T.DataType) -> bool:
+    """THE single definition of a legal column-type widening — used by
+    both ``change_column_type`` validation and commit-time schema
+    reconcile (metadata._merge_schema_json), so the two can't drift."""
+    if (old.typeName(), new.typeName()) in _WIDENINGS:
+        return True
+    return (
+        isinstance(old, T.DecimalType)
+        and isinstance(new, T.DecimalType)
+        and new.precision >= old.precision
+        and new.scale >= old.scale
+        and (new.precision - new.scale) >= (old.precision - old.scale)
+    )
+
+
 def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
     from ..concurrency import guarded_commit, txn_start_marker
 
@@ -87,14 +102,7 @@ def change_column_type(table, name: str, new_type: str | T.DataType) -> str:
         found = True
         if f.dataType == tgt:
             raise ValueError(f"column {name} already has type {tgt.simpleString()}")
-        ok = (f.dataType.typeName(), tgt.typeName()) in _WIDENINGS or (
-            isinstance(f.dataType, T.DecimalType)
-            and isinstance(tgt, T.DecimalType)
-            and tgt.precision >= f.dataType.precision
-            and tgt.scale >= f.dataType.scale
-            and (tgt.precision - tgt.scale) >= (f.dataType.precision - f.dataType.scale)
-        )
-        if not ok:
+        if not is_widening(f.dataType, tgt):
             raise ValueError(
                 f"unsupported type change for {name}: "
                 f"{f.dataType.simpleString()} → {tgt.simpleString()}"

@@ -221,9 +221,12 @@ class DeltaStreamer:
         read with ``source_options['format']`` (default parquet — the
         reference reads avro, whose reader jar this build lacks)."""
         fs = self.target.fs
+        # DIRECTORIES only: a stray file beside the commit dirs (README,
+        # half-uploaded data file) would otherwise become the permanent
+        # "next commit" and wedge the sync
         commit_dirs = sorted(
             n for n in fs.list_names(self.source)
-            if not n.startswith((".", "_"))
+            if not n.startswith((".", "_")) and fs.is_dir(f"{self.source}/{n}")
         )
         if not commit_dirs:
             return None, ckpt
