@@ -15,7 +15,7 @@ import __spark_entry__ as mod
 # tables (minutes each) and their write plans are covered by the
 # operator tests
 READ_QUERIES = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q8",
     "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
     "events_latest_per_user", "events_hourly_agg", "events_sessionize",
@@ -29,6 +29,35 @@ READ_QUERIES = [
     "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
     "dedup_components",
 ]
+
+# table-format fixture queries: each builds a whole Hudi table (minutes
+# of write ops); their write plans are covered by the operator tests and
+# their read plans by the pushdown test below, so they are exempt here.
+TABLE_FORMAT_QUERIES = {
+    "cow_snapshot_upsert_delete", "cow_incremental", "cow_time_travel",
+    "mor_snapshot", "mor_read_optimized", "mor_compaction",
+    "mor_incremental", "mor_skip_merge",
+    "merge_into_update_delete", "insert_overwrite_delete_partition",
+    "precombine_dedup", "bootstrap_metadata_only", "bootstrap_full_record",
+    "global_index_partition_move", "bloom_index_upsert_delete",
+    "global_bloom_partition_move", "inmemory_index_upsert_delete",
+    "record_index_upsert_delete", "incremental_partition_glob",
+    "clustering_sort", "clustering_zorder", "clustering_hilbert_async",
+    "schema_evolution_add_column", "cdc_aws_dms",
+}
+
+
+def test_every_registered_query_is_plan_gated():
+    """Every queries() entry is either plan-gated here or explicitly
+    exempted as a table-format fixture query — a new read query can't
+    silently skip the scale-killer gate."""
+    registered = set(mod.queries())
+    gated = set(READ_QUERIES) | TABLE_FORMAT_QUERIES
+    missing = registered - gated
+    assert not missing, f"queries not plan-gated nor exempted: {sorted(missing)}"
+    stale = gated - registered
+    assert not stale, f"gate lists unregistered queries: {sorted(stale)}"
+
 
 SF = "/root/testdata/sf0.001"
 
