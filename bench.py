@@ -156,6 +156,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "detail": detail,
+        # Methodology marker: since r4 (commit 5fae513) query timing
+        # materializes every projected column via xxhash64; earlier rounds
+        # used bare count() which parquet answered from row-group metadata.
+        # Series with different timing_method values are NOT comparable.
+        "timing_method": "xxhash64-materialize",
+        "timing_method_version": 2,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     print(json.dumps(out))

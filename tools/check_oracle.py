@@ -3,6 +3,11 @@ query on Spark and its oracle SQL on DuckDB at the given sf dir, compare
 row count, column names, and an order-insensitive value hash.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [--sf-dir=PATH] [query ...]
+
+The first positional arg is treated as the sf dir only when it is an
+existing directory; otherwise all positionals are query names and the
+default sf dir (/root/testdata/sf0.01) is used.
 """
 
 from __future__ import annotations
@@ -108,8 +113,29 @@ def canon_type(t: str) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # argv[1] is the sf dir ONLY if it is an existing directory (or an
+    # explicit --sf-dir=PATH); otherwise every positional arg is a query
+    # name, so `python tools/check_oracle.py tpch_q6` runs the subset at
+    # the default sf instead of dying with a misleading DuckDB IOException.
+    sf_dir = "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    rest = []
+    for a in args:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--"):
+            print(f"ERROR: unknown flag {a}")
+            print(__doc__.strip())
+            return 2
+        else:
+            rest.append(a)
+    if rest and os.path.isdir(rest[0]):
+        sf_dir = rest[0]
+        rest = rest[1:]
+    only = set(rest)
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf dir does not exist: {sf_dir}")
+        return 2
 
     import __spark_entry__ as mod
 
