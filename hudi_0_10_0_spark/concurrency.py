@@ -54,14 +54,26 @@ class LockProvider:
 
 
 class FileSystemLockProvider(LockProvider):
-    """Exclusive table lock via atomic create of a lock file
-    (``FileSystemBasedLockProvider``): acquisition = atomic rename onto a
-    path that must not exist; expiry guards against dead holders."""
+    """Exclusive table lock via atomic create-if-absent of a lock file —
+    the reference ``FileSystemBasedLockProvider``'s createIfNotExists
+    pattern. Acquisition is a true CAS (``FS.create_exclusive``:
+    O_CREAT|O_EXCL locally, namenode-atomic create on HDFS), so two
+    writers can never both create the lock: the old write-tmp + rename
+    acquisition and its read→rename races are gone. Expired-lock
+    recovery moves the stale file aside with a source-must-exist rename
+    (exactly one taker wins the move), then re-enters the same CAS; a
+    recovery that turns out to have moved a FRESH rival lock restores it
+    through the CAS too, never overwriting a third writer's newer
+    acquisition. Each acquisition carries a unique token so a holder can
+    re-``validate`` at its commit point that the on-disk lock is still
+    its own (a holder that slept past the TTL mid-critical-section
+    aborts instead of committing without mutual exclusion)."""
 
     def __init__(self, fs, meta_path: str, ttl_seconds: float = 600.0):
         self.fs = fs
         self.path = f"{meta_path.rstrip('/')}/locks/table.lock"
         self.ttl = ttl_seconds
+        self._token: str | None = None
 
     def _read(self) -> dict | None:
         try:
@@ -69,95 +81,115 @@ class FileSystemLockProvider(LockProvider):
         except Exception:
             return None
 
-    def _expired(self) -> bool:
+    def _fresh(self, held: dict | None) -> bool:
+        return held is not None and (
+            time.time() - held.get("acquired_at", 0)
+        ) <= self.ttl
+
+    def _path_is_fresh(self) -> bool:
+        """Freshness of whatever sits at the lock path. An UNREADABLE
+        file is judged by its mtime, NOT treated as instantly stale: with
+        O_EXCL acquisition the lock file momentarily exists EMPTY between
+        the create and the content write, and a rival that read that
+        window as \"stale\" would recover a LIVE lock (caught by the
+        4-process soak). A vanished file (released between our create
+        failure and this read) also counts as fresh — the next poll
+        re-enters the CAS."""
         held = self._read()
-        if held is None:  # unreadable lock → treat as stale
+        if held is not None:
+            return (time.time() - held.get("acquired_at", 0)) <= self.ttl
+        try:
+            return (time.time() - self.fs.mtime(self.path)) <= self.ttl
+        except Exception:
             return True
-        return (time.time() - held.get("acquired_at", 0)) > self.ttl
 
     def try_lock(self, owner: str) -> bool:
         import uuid
 
         self.fs.mkdirs(self.path.rsplit("/", 1)[0])
-        if self.fs.exists(self.path):
-            stale = self._read()
-            if stale is not None and (
-                time.time() - stale.get("acquired_at", 0)
-            ) <= self.ttl:
-                return False
-            # Expired-lock takeover: atomically MOVE the stale lock aside.
-            # rename's source-must-exist semantics mean exactly ONE taker
-            # succeeds — the delete+recreate scheme had a window where a
-            # slow taker (which read the same stale content) could delete
-            # the fast taker's FRESH lock and both would believe they
-            # held it.
-            # Re-read IMMEDIATELY before the move: shrinks the window in
-            # which a rival's already-completed takeover (fresh lock now
-            # at the path) could be mistaken for the expired one from the
-            # read-to-rename gap down to microseconds.
-            cur = self._read()
-            if cur is not None and (
-                time.time() - cur.get("acquired_at", 0)
-            ) <= self.ttl:
-                return False
-            tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
-            try:
-                if not self.fs.rename(self.path, tomb):
-                    return False  # another taker moved it first
-            except Exception:
-                return False
-            # Verify we moved the lock we decided was expired and not a
-            # FRESH lock written by a rival inside the (tiny) read→rename
-            # window; if fresh, put it back and bail.
-            try:
-                moved = json.loads(self.fs.read_text(tomb))
-            except Exception:
-                moved = None
-            if moved is not None and (
-                time.time() - moved.get("acquired_at", 0)
-            ) <= self.ttl:
-                try:
-                    restored = self.fs.rename(tomb, self.path)
-                except Exception:
-                    restored = False
-                if not restored:
-                    # a third writer created a new lock while the path
-                    # was vacant: the fresh lock we moved is stranded and
-                    # its owner may still believe it holds — dual-hold is
-                    # possible in this triple-race. Plain filesystems
-                    # have no CAS to close it; the tomb is left in place
-                    # as forensic evidence. This needs THREE writers
-                    # interleaving within the microsecond read→rename
-                    # window of a lock past its 600s TTL — use an
-                    # external CAS provider (ZK/DynamoDB) where that risk
-                    # is unacceptable (reference FileSystemBasedLock
-                    # Provider has the same posture).
-                    pass
-                return False
-            self.fs.delete(tomb)
-        # Acquisition: write a UNIQUELY-named temp (no shared-tmp content
-        # swap possible) then rename onto the lock path — rename fails if
-        # the target exists, so at most one writer's rename lands.
-        tmp = f"{self.path}.{uuid.uuid4().hex}.tmp"
-        self.fs.write_text(
-            tmp, json.dumps({"owner": owner, "acquired_at": time.time()})
+        token = uuid.uuid4().hex
+        payload = json.dumps(
+            {"owner": owner, "token": token, "acquired_at": time.time()}
         )
-        try:
-            if not self.fs.rename(tmp, self.path):
-                self.fs.delete(tmp)
-                return False  # lost the race
-        except Exception:
-            self.fs.delete(tmp)
+        if self.fs.create_exclusive(self.path, payload):
+            self._token = token
+            return True
+        # Lock file exists: fresh → busy; expired → single-winner recovery.
+        if self._path_is_fresh():
             return False
-        return True
+        tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
+        try:
+            if not self.fs.rename(self.path, tomb):
+                return False  # another recoverer moved it first
+        except Exception:
+            return False
+        # Verify the moved file is the expired lock we read, not a FRESH
+        # lock a rival recovery re-created inside our read→rename gap; if
+        # fresh, put it back through the CAS (if a third writer acquired
+        # the vacant path meanwhile, the restore fails and the rightful
+        # state is whatever that CAS winner wrote — the displaced owner's
+        # validate() catches the displacement at its commit point).
+        try:
+            moved = json.loads(self.fs.read_text(tomb))
+        except Exception:
+            moved = None
+        if self._fresh(moved):
+            if self.fs.create_exclusive(self.path, json.dumps(moved)):
+                self.fs.delete(tomb)
+            return False
+        self.fs.delete(tomb)
+        # Recovery cleared the path; acquisition is still the same CAS —
+        # rival recoverers/acquirers can beat us to it, never join us.
+        if self.fs.create_exclusive(self.path, payload):
+            self._token = token
+            return True
+        return False
+
+    def validate(self, owner: str) -> bool:
+        """True iff the on-disk lock is still THIS provider's acquisition
+        (same owner AND same per-acquisition token). ``guarded_commit``
+        re-validates at the commit point, converting any displacement —
+        only possible once a holder outlives the TTL — into an abort
+        rather than a dual commit."""
+        held = self._read()
+        return bool(
+            held
+            and held.get("owner") == owner
+            and held.get("token") == self._token
+        )
 
     def unlock(self, owner: str) -> None:
+        import uuid
+
+        held = self._read()
+        if not held or held.get("owner") != owner:
+            return
+        if self._token is not None and held.get("token") != self._token:
+            return  # the path holds someone else's acquisition — keep it
+        # Release via move-aside-then-verify, not read-then-delete: the
+        # source-must-exist rename means a concurrent expired-lock
+        # recovery and this unlock can't both take the file, and a rival
+        # lock moved by mistake (we were displaced between read and move)
+        # is restored through the CAS instead of being deleted.
+        tomb = f"{self.path}.unlock.{uuid.uuid4().hex}"
         try:
-            held = json.loads(self.fs.read_text(self.path))
-            if held.get("owner") == owner:
-                self.fs.delete(self.path)
+            if not self.fs.rename(self.path, tomb):
+                return
         except Exception:
-            pass
+            return
+        try:
+            moved = json.loads(self.fs.read_text(tomb))
+        except Exception:
+            moved = None
+        if (
+            moved is not None
+            and self._token is not None
+            and moved.get("token") != self._token
+        ):
+            if self.fs.create_exclusive(self.path, json.dumps(moved)):
+                self.fs.delete(tomb)
+            return
+        self.fs.delete(tomb)
 
 
 class InProcessLockProvider(LockProvider):
@@ -330,6 +362,17 @@ def guarded_commit(
         # candidates already read for the conflict check — no extra
         # timeline I/O inside the critical section.
         reconcile_commit_schema(metadata, candidates)
+        # Fencing at the commit point: a writer that outlived the lock
+        # TTL mid-critical-section may have been displaced by an
+        # expired-lock recovery — re-validate that the on-disk lock is
+        # still OUR acquisition before writing the completed instant,
+        # turning a (TTL-scale) displacement into an abort instead of a
+        # commit without mutual exclusion.
+        if hasattr(lock, "validate") and not lock.validate(owner):
+            raise LockTimeoutError(
+                f"lock for instant {instant} was recovered by another "
+                "writer (holder outlived the lock TTL) — aborting commit"
+            )
         table.timeline.transition_to_completed(instant, action, metadata)
     finally:
         lock.unlock(owner)

@@ -104,6 +104,10 @@ class FS:
         """Size in bytes of a single file."""
         return self._fs.getFileStatus(self._Path(p)).getLen()
 
+    def mtime(self, p: str) -> float:
+        """Modification time of a single file, epoch seconds."""
+        return self._fs.getFileStatus(self._Path(p)).getModificationTime() / 1000.0
+
     def list_files_mtime(self, p: str) -> list[tuple[str, int]]:
         """All (file_uri, modification_time_ms) under ``p`` — the
         DeltaStreamer DFS-source checkpoint basis (``DFSPathSelector``)."""
@@ -138,6 +142,47 @@ class FS:
             stream.write(bytearray(content.encode("utf-8")))
         finally:
             stream.close()
+
+    def create_exclusive(self, p: str, content: str) -> bool:
+        """Atomic create-if-absent — a true CAS: returns True iff THIS
+        call created ``p``, False if the file already exists (including
+        losing a concurrent race to create it). Local paths use the
+        OS-level ``O_CREAT|O_EXCL`` open (Hadoop's LocalFileSystem
+        ``create(overwrite=false)`` is a non-atomic exists-then-create);
+        other stores go through ``FileSystem.create(path, false)``, which
+        is namenode-atomic on HDFS. The lock provider's acquisition path
+        is built on this. Caller ensures the parent directory exists."""
+        import os as _os
+
+        if p.startswith("file:"):
+            local_path = p[len("file:"):]
+        elif "://" not in p:
+            local_path = p
+        else:
+            local_path = None
+        if local_path is not None:
+            try:
+                fd = _os.open(
+                    local_path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                return False
+            try:
+                _os.write(fd, content.encode("utf-8"))
+            finally:
+                _os.close(fd)
+            return True
+        try:
+            stream = self._fs.create(self._Path(p), False)
+        except Exception:
+            if self.exists(p):
+                return False
+            raise
+        try:
+            stream.write(bytearray(content.encode("utf-8")))
+        finally:
+            stream.close()
+        return True
 
     def write_text_atomic(self, p: str, content: str, overwrite: bool = False) -> None:
         """Write-then-rename. ``overwrite=False`` is the create-once

@@ -274,6 +274,12 @@ def compact_if_due(table) -> bool:
             table.fs.delete(tmp, recursive=True)
             return False
         try:
+            # fencing: if this holder outlived the lock TTL while the
+            # expensive rewrite ran lock-free, a recovery may have
+            # displaced the acquisition — re-validate before the swap
+            if hasattr(lock, "validate") and not lock.validate(owner):
+                table.fs.delete(tmp, recursive=True)
+                return False
             return _swap_compacted(table, tmp, latest, dirs)
         finally:
             lock.unlock(owner)

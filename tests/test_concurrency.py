@@ -102,6 +102,75 @@ def test_expired_lock_takeover_single_winner(spark, tmp_table_path):
     assert held["owner"] == winners[0]
 
 
+def test_expired_lock_takeover_single_winner_processes(tmp_path):
+    """VERDICT r4 #4: 4 OS PROCESSES race an expired lock through the
+    O_EXCL-CAS acquisition + rename-aside recovery — exactly one winner,
+    no mistaken steal, and the on-disk lock names the winner."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    meta = str(tmp_path / "meta")
+    os.makedirs(f"{meta}/locks")
+    with open(f"{meta}/locks/table.lock", "w") as f:
+        json.dump({"owner": "dead-writer", "acquired_at": time.time() - 10_000}, f)
+
+    worker = os.path.join(os.path.dirname(__file__), "helpers", "lock_hammer.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "takeover", meta, f"taker-{i}"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(4)
+    ]
+    outs = [(p.wait(timeout=120), p.stdout.read().strip(), p.stderr.read()) for p in procs]
+    assert all(rc == 0 for rc, _, _ in outs), outs
+    wins = [o for _, o, _ in outs if o == "WIN"]
+    assert len(wins) == 1, outs
+    held = json.loads(open(f"{meta}/locks/table.lock").read())
+    winner_idx = [i for i, (_, o, _) in enumerate(outs) if o == "WIN"][0]
+    assert held["owner"] == f"taker-{winner_idx}"
+    # no stranded tombs that still look like live locks
+    leftovers = [n for n in os.listdir(f"{meta}/locks") if n != "table.lock"]
+    assert leftovers == [], leftovers
+
+
+def test_lock_mutual_exclusion_soak_processes(tmp_path):
+    """4 processes × 20 acquire/release cycles against one lock path:
+    the hold intervals recorded by each worker must never overlap —
+    cross-process mutual exclusion of the CAS acquisition under real
+    contention (each worker also validate()s its own hold)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    meta = str(tmp_path / "meta")
+    log = str(tmp_path / "holds.jsonl")
+    worker = os.path.join(os.path.dirname(__file__), "helpers", "lock_hammer.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "soak", meta, f"w{i}", "20", log],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(4)
+    ]
+    outs = [(p.wait(timeout=300), p.stderr.read()) for p in procs]
+    assert all(rc == 0 for rc, _ in outs), outs
+    holds = [json.loads(line) for line in open(log)]
+    assert len(holds) == 80
+    holds.sort(key=lambda h: h["a"])
+    for prev, cur in zip(holds, holds[1:]):
+        assert prev["r"] <= cur["a"], (
+            f"overlapping holds: {prev['o']} [{prev['a']}, {prev['r']}] vs "
+            f"{cur['o']} [{cur['a']}, {cur['r']}]"
+        )
+    # lock fully released at the end
+    assert not os.path.exists(f"{meta}/locks/table.lock")
+
+
 def test_find_conflicts_overlap_rules():
     commits = [
         ("005", "commit", {"write_stats": [{"partition": "p0", "file_id": "a"}]}),
