@@ -35,6 +35,14 @@ _FIXTURES: dict[tuple, tuple] = {}
 
 
 def _pq(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin the session timezone on every table load: string→timestamp
+    # literals (F.lit('1998-09-02') <= l_shipdate), date_trunc buckets,
+    # and collected timestamp renderings are all session-TZ-dependent in
+    # Spark, while the DuckDB oracles are naive/UTC — on a non-UTC
+    # driver host every timestamp-sensitive query would silently shift
+    # (code-review r5).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -1828,7 +1836,7 @@ _SQL_HITS_COLS = r"""    len(list_filter(t, x -> list_contains(['the','and','of'
     len(list_filter(t, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','zu','den'], x))) AS h_de,
     len(list_filter(t, x -> list_contains(['le','la','les','et','est','un','une','dans','que','pour'], x))) AS h_fr,
     len(list_filter(t, x -> list_contains(['el','la','los','las','y','es','un','una','en','que'], x))) AS h_es,
-    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct,
     length(text) AS n_chars"""
 
 _SQL_LANG_CASE = """CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
@@ -1837,11 +1845,11 @@ _SQL_LANG_CASE = """CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
        WHEN h_en >= h_de THEN 'en'
        ELSE 'de' END"""
 
-_SQL_QUALITY_EXPR = """ROUND(
+_SQL_QUALITY_EXPR = """FLOOR((
     0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
     + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END * 5, 1.0))
     + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN CAST(h_en AS DOUBLE)/n_tokens ELSE 0.0 END * 5, 1.0)
-  , 6)"""
+  ) * 1000000) / 1000000.0"""
 
 
 _SQL_TEXT_STATS = rf"""
@@ -2046,12 +2054,14 @@ WITH dots AS (
   FROM embeddings q, embeddings c
   WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
 ), ranked AS (
-  SELECT query_id, neighbor_id, ROUND(dp / (nq * nc), 6) AS cos_sim,
+  SELECT query_id, neighbor_id,
+         CAST(FLOOR(dp / (nq * nc) * 1000000) AS BIGINT) AS cos_sim_u6,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY ROUND(dp / (nq * nc), 6) DESC, neighbor_id) AS rank
+                            ORDER BY CAST(FLOOR(dp / (nq * nc) * 1000000) AS BIGINT) DESC,
+                                     neighbor_id) AS rank
   FROM dots
 )
-SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+SELECT query_id, neighbor_id, cos_sim_u6, rank FROM ranked WHERE rank <= 5
 """
 
 

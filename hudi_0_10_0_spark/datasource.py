@@ -203,6 +203,10 @@ _IMMUTABLE_FIELDS = (
     "drop_partition_columns",
     "timestamp_output_format",
     "timestamp_input_type",
+    # input format shapes the parsed value and hence the partition path a
+    # DATE_STRING source lands in — a per-write override would scatter
+    # the same record across partitions (code-review r5)
+    "timestamp_input_format",
 )
 
 
@@ -266,6 +270,16 @@ def write(
             "error | errorifexists | ignore)"
         )
     operation = str(o.get("hoodie.datasource.write.operation", "upsert")).lower()
+    # validate the operation BEFORE any table creation: a typo'd
+    # operation on a fresh path must not leave a created-but-empty table
+    # behind (which would make the retry fail with "already exists")
+    if operation not in (
+        "upsert", "insert", "bulk_insert", "delete", "insert_overwrite",
+        "insert_overwrite_table", "delete_partition", "bootstrap",
+    ):
+        raise ValueError(
+            f"unknown hoodie.datasource.write.operation: {operation}"
+        )
     exists = HudiTable.exists(spark, path)
     if exists:
         if mode == "ignore":

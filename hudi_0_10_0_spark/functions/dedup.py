@@ -12,11 +12,16 @@ Scale design (100 TB posture):
 - SimHash is one vectorized Pandas UDF (numpy bit-twiddling over Arrow
   batches), bucketed by 16-bit chunks for Hamming-distance blocking
   (pigeonhole: hamming<=3 ⇒ at least one of 4 chunks equal).
-- "Drop" rule everywhere: a doc is a duplicate if ANY kept doc with a
-  smaller id is similar — greedy min-id survivor, deterministic without
-  iterative connected components (documented deviation: true CC would
-  also drop transitively-linked docs whose direct similarity is below
-  threshold).
+- "Drop" rule everywhere: a doc is dropped iff ANY smaller-id doc
+  (kept or itself dropped) is DIRECTLY similar to it — survivors are
+  the local minima of the similarity graph, computed in ONE pass with
+  no iteration. Documented deviations from the alternatives: greedy
+  kept-survivor scanning would KEEP a doc whose only smaller similar
+  neighbors were themselves dropped (inherently sequential — not
+  computable in one distributed pass); full connected components would
+  additionally DROP docs linked only transitively through a shared
+  larger-id neighbor (available explicitly via
+  ``connected_components`` / the dedup_components query).
 """
 
 from __future__ import annotations
@@ -52,7 +57,11 @@ def _perm_params(k: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep the min-id row per exact key; adds ``dup_count``."""
+    """Survivor TABLE per exact key: (key_cols..., id_col = min id,
+    dup_count) — one row per distinct key, NOT the original rows (other
+    payload columns are not carried through the aggregate). To
+    materialize full surviving rows, join the result back to ``df`` on
+    (key_cols + id_col)."""
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
     )
@@ -333,6 +342,15 @@ def simhash_udf(k_bits: int = 64):
     """Vectorized SimHash over Arrow batches: per doc, sum ±1 per bit of
     each token hash (weight 1), sign → bit."""
 
+    import re
+
+    # RE2-compatible tokenization: DuckDB's regexp '\S+' splits on ASCII
+    # whitespace [\t\n\f\r ] ONLY, while Python str.split() also splits
+    # on \x0b and Unicode whitespace (U+00A0, U+2028, ...) — the two
+    # must agree or simhashes diverge on any non-ASCII-whitespace doc
+    # (code-review r5)
+    tok_re = re.compile(r"[^ \t\n\f\r]+")
+
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -340,7 +358,7 @@ def simhash_udf(k_bits: int = 64):
             if not t:
                 continue
             toks = np.array(
-                [hash_token(w) for w in str(t).lower().split()], dtype=np.uint64
+                [hash_token(w) for w in tok_re.findall(str(t).lower())], dtype=np.uint64
             )
             if toks.size == 0:
                 continue
@@ -421,8 +439,9 @@ def embedding_dedup(
     driver query uses n_planes=4, n_tables=32, empirically recall-1 on
     that data — verified against brute force in tests/test_llm_ops.py).
     """
-    from .similarity import _hyperplanes, _rhp_bucket, cosine
+    from .similarity import _check_dim, _hyperplanes, _rhp_bucket, cosine
 
+    _check_dim(df, vec_col, dim, "embedding_dedup")
     all_planes = _hyperplanes(n_tables * n_planes, dim)
     bucketed = df.select(
         F.col(id_col),

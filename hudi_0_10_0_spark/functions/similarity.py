@@ -52,8 +52,10 @@ def brute_force_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query row. Queries are
-    broadcast; ranking is by rounded similarity with id tie-break so the
-    result is stable under float noise."""
+    broadcast; ranking is by FIXED-POINT similarity (floor of cos*1e6,
+    BIGINT) with id tie-break: engines' ROUND(double) implementations
+    provably disagree on 6th-decimal ties (HALF_UP-on-shortest-repr vs
+    float-multiply), while floor of the identical product is stable."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -61,14 +63,32 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cos_sim_u6",
+            F.floor(cosine(F.col("__qvec"), F.col("__cvec")) * F.lit(1e6)).cast("long"),
+        )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim_u6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+        .select(query_id_col, "neighbor_id", "cos_sim_u6", "rank")
     )
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int, who: str) -> None:
+    """Fail LOUDLY when the vectors don't have length ``dim``: zip_with
+    null-pads mismatched lengths, so every RHP projection goes null and
+    every vector lands in bucket 0 of every table — the LSH self-join
+    silently degenerates to ~n²/2 candidate pairs. One metadata-sized
+    job (first row only — a best-effort guard, not a full-column scan)."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if row is not None and row["n"] is not None and row["n"] != dim:
+        raise ValueError(
+            f"{who}: dim={dim} but {vec_col!r} vectors have length "
+            f"{row['n']} — a mismatched RHP projection degenerates every "
+            f"vector to one LSH bucket (quadratic join); pass dim={row['n']}"
+        )
 
 
 def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -114,6 +134,7 @@ def rhp_signature(
 ) -> DataFrame:
     """Append ``bucket``: random-hyperplane LSH bucket id (table-th
     deterministic plane set)."""
+    _check_dim(df, vec_col, dim, "rhp_signature")
     planes = _hyperplanes((table + 1) * n_planes, dim)[table * n_planes :]
     return df.withColumn("bucket", _rhp_bucket(vec_col, planes))
 
@@ -141,6 +162,8 @@ def ann_topk(
     then provably identical to ``brute_force_topk`` (every corpus row is a
     candidate), which makes the same pipeline exactly verifiable against a
     brute-force SQL oracle while exercising the bucketed join shape."""
+    _check_dim(corpus, vec_col, dim, "ann_topk(corpus)")
+    _check_dim(queries, vec_col, dim, "ann_topk(queries)")
     all_planes = _hyperplanes(n_tables * n_planes, dim)
     c_buckets = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -186,14 +209,17 @@ def ann_topk(
         c_buckets.join(qb, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .dropDuplicates([query_id_col, "neighbor_id"])
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cos_sim_u6",
+            F.floor(cosine(F.col("__qvec"), F.col("__cvec")) * F.lit(1e6)).cast("long"),
+        )
         .drop("__qvec", "__cvec", "bucket", "table")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim_u6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+        .select(query_id_col, "neighbor_id", "cos_sim_u6", "rank")
     )
 
 
@@ -310,12 +336,15 @@ def ivf_topk(
     scored = (
         c_cells.join(qb, ["cell"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .withColumn(
+            "cos_sim_u6",
+            F.floor(cosine(F.col("__qvec"), F.col("__cvec")) * F.lit(1e6)).cast("long"),
+        )
         .drop("__qvec", "__cvec", "cell")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim_u6"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cos_sim", "rank")
+        .select(query_id_col, "neighbor_id", "cos_sim_u6", "rank")
     )

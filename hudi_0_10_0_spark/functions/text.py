@@ -64,9 +64,9 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of per-language stopword hit counts;
-    'und' (undetermined) when no list scores > 0. Deterministic tie-break
-    by language code order en < de < es < fr (via struct max on
-    (hits, -ord))."""
+    'und' (undetermined) when no list scores > 0. Deterministic tie-break:
+    the lexicographically LARGEST language code wins (struct max over
+    (hits, code)) — e.g. equal en/fr hits return 'fr'."""
     scored = []
     for code in sorted(LANG_STOPWORDS):  # de, en, es, fr — alphabetical
         scored.append(F.struct(stopword_hits(col, code).alias("hits"), F.lit(code).alias("code")))
@@ -83,7 +83,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
-    punct = F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+    # explicit ASCII whitespace class, not \s: Java \s includes \x0B but
+    # RE2 (DuckDB oracle) \s does not — spelling the class out keeps the
+    # punct count identical across engines (code-review r5)
+    punct = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z0-9 \\t\\n\\x0B\\f\\r]", "")
+    )
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     mean_tok_len = F.when(n_tok > 0, (F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)))
@@ -101,7 +106,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("mean_token_len", mean_tok_len)
         .withColumn("punct_ratio", punct_ratio)
         .withColumn("stopword_ratio", sw_ratio)
-        .withColumn("quality_score", F.round(score, 6))
+        # fixed-point truncation, not ROUND: engines' ROUND(double, 6)
+        # implementations disagree on 6th-decimal ties (Java HALF_UP on
+        # the shortest repr vs float-multiply), while floor of the same
+        # product is bit-stable across engines (code-review r5)
+        .withColumn("quality_score", F.floor(score * F.lit(1e6)) / F.lit(1e6))
     )
 
 
@@ -170,11 +179,14 @@ def vocabulary(
     one row per DISTINCT token per task, not one per occurrence. Skewed
     head tokens ("the") are exactly the case partial aggregation
     flattens."""
-    src = f"lower({text_col})" if lowercase else text_col
+    c = F.col(text_col)
+    src = F.lower(c) if lowercase else c
+    # Column API, not an f-string into F.expr: interpolating the pattern
+    # into SQL text broke on any pattern containing a quote (e.g.
+    # "[a-z']+") and let a crafted pattern/column string inject arbitrary
+    # SQL expressions (code-review r5)
     toks = df.select(
-        F.explode(
-            F.expr(f"regexp_extract_all({src}, '{pattern}', 0)")
-        ).alias("token")
+        F.explode(F.regexp_extract_all(src, F.lit(pattern), 0)).alias("token")
     )
     return toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
 

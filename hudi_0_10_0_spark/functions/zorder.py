@@ -175,11 +175,17 @@ def with_hilbert_value(
     bits: int = 16,
     method: str = "sample",
 ) -> DataFrame:
-    df, norm_cols = _NORMALIZERS[method](df, cols, bits)
+    """Add the Hilbert-curve index of ``cols``. Same 63-bit total-width
+    cap as :func:`with_zvalue`: dims*bits beyond 63 overflows — at
+    exactly 64 the int64 cast flips the sign (the curve's top half sorts
+    FIRST), beyond it the uint64 interleave wraps and collapses distinct
+    coordinates — so the per-column budget shrinks with column count."""
+    eff_bits = min(bits, 63 // max(1, len(cols)))
+    df, norm_cols = _NORMALIZERS[method](df, cols, eff_bits)
 
     @F.pandas_udf(T.LongType())
     def _hv(*series: pd.Series) -> pd.Series:
         coords = np.stack([s.fillna(0).to_numpy(dtype=np.uint64) for s in series], axis=1)
-        return pd.Series(_hilbert_index_np(coords, bits).astype(np.int64))
+        return pd.Series(_hilbert_index_np(coords, eff_bits).astype(np.int64))
 
     return df.withColumn(out_col, _hv(*[F.col(c) for c in norm_cols])).drop(*norm_cols)

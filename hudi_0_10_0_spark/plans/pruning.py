@@ -52,7 +52,11 @@ def pred_to_column(pred):
 
 
 def leaf_possible(col_stats: dict, pred: tuple) -> bool:
-    """True if a slice with these stats might contain a matching row."""
+    """True if a slice with these stats might contain a matching row.
+    Any (literal, stats) pair that cannot be aligned to a SAFELY
+    comparable type keeps the slice — pruning must be conservative,
+    because dropped slices are gone for good (the post-scan row filter
+    only re-checks kept slices)."""
     col, op, val = pred
     st = col_stats.get(col)
     if not st:
@@ -61,12 +65,18 @@ def leaf_possible(col_stats: dict, pred: tuple) -> bool:
     if mn is None or mx is None:
         return True
     if op == "in":
-        return any(
-            (v := _coerce(x, mn)) is not None and mn <= v <= mx for x in val
-        )
-    v = _coerce(val, mn)
-    if v is None:
+        for x in val:
+            a = _aligned(mn, mx, x)
+            if a is None:
+                return True  # un-comparable element → cannot prune
+            m, big, v = a
+            if m <= v <= big:
+                return True
+        return False
+    a = _aligned(mn, mx, val)
+    if a is None:
         return True
+    mn, mx, v = a
     if op in ("=", "=="):
         return mn <= v <= mx
     if op == "<":
@@ -197,24 +207,60 @@ def prune_slices_by_stats(table, slices, filters) -> list:
     return kept
 
 
-def _coerce(val, template):
-    """Align the literal's type with the JSON-roundtripped stat value.
+def _aligned(mn, mx, val):
+    """Align (min, max, literal) to ONE safely comparable type; None when
+    no safe alignment exists (caller keeps the slice).
 
-    Numeric literals are kept as-is when the stat is numeric: Python
-    compares int/float exactly, and truncating a float literal to int
-    (``int(3.5) -> 3``) would make strict-comparison pruning drop files
-    that contain matching rows (``col < 3.5`` vs min=3)."""
+    Stats arrive JSON-roundtripped (footer stats via write.py ``_js``:
+    Decimal/date/datetime stored as ``str(v)``, bools as bools) or as
+    partition-path strings, so cross-type pairs are common and several
+    are traps:
+
+    - numeric literals stay numeric vs numeric stats (truncating a float
+      literal to int — ``int(3.5) -> 3`` — would falsely prune
+      ``col < 3.5`` vs min=3); Decimal literals compare exactly with
+      int/float in Python, no conversion needed;
+    - a numeric/Decimal literal vs NUMERIC-STRING stats (Decimal footer
+      stats, numeric partition values of undeclared type) parses the
+      stats as Decimal — lexicographic '12.5' > '9.9' is False and would
+      falsely prune;
+    - a bool literal vs 'true'/'false' string stats maps the stats to
+      bools — Python ``str(True) == 'True'`` never equals Spark's
+      ``'true'`` rendering and falsely pruned every boolean match;
+    - date/datetime literals vs string stats use isoformat (both sides
+      are ISO-rendered, where lexicographic order IS chronological);
+    - anything else cross-type → None (cannot prune)."""
+    import datetime
+    import decimal
+
     try:
-        if isinstance(template, bool):
-            return val if isinstance(val, bool) else None
-        if isinstance(template, (int, float)) and not isinstance(
-            template, bool
-        ):
-            if isinstance(val, (int, float)) and not isinstance(val, bool):
-                return val
-            return float(val)  # string literal against numeric stats
-        if isinstance(template, str):
-            return str(val)
-    except (TypeError, ValueError):
+        if isinstance(mn, bool):
+            return (mn, mx, val) if isinstance(val, bool) else None
+        if isinstance(mn, (int, float)):
+            if isinstance(val, bool):
+                return None
+            if isinstance(val, (int, float, decimal.Decimal)):
+                return (mn, mx, val)
+            return (mn, mx, float(val))  # string literal vs numeric stats
+        if isinstance(mn, str):
+            if isinstance(val, str):
+                return (mn, mx, val)
+            if isinstance(val, bool):
+                lo, hi = mn.strip().lower(), mx.strip().lower()
+                if lo in ("true", "false") and hi in ("true", "false"):
+                    return (lo == "true", hi == "true", val)
+                return None
+            if isinstance(val, (int, float, decimal.Decimal)):
+                return (
+                    decimal.Decimal(mn.strip()),
+                    decimal.Decimal(mx.strip()),
+                    decimal.Decimal(str(val)),
+                )
+            if isinstance(val, datetime.datetime):
+                return (mn, mx, val.isoformat(sep=" "))
+            if isinstance(val, datetime.date):
+                return (mn, mx, val.isoformat())
+            return None
+    except (TypeError, ValueError, decimal.InvalidOperation):
         return None
-    return val
+    return (mn, mx, val)

@@ -113,6 +113,46 @@ def test_immutable_option_conflict_raises(spark, tmp_table_path, orders):
     datasource.write(orders.limit(5), p, options=_opts())
 
 
+def test_timestamp_input_format_is_immutable(spark, tmp_table_path, orders):
+    """Code-review r5: a per-write override of the DATE_STRING input
+    format would re-parse the same source value into a different
+    partition path — it must conflict like the other identity fields."""
+    from hudi_0_10_0_spark import datasource as ds
+
+    p = tmp_table_path + "/tsfmt"
+    base = _opts(**{
+        "hoodie.datasource.write.keygenerator.class":
+            "org.apache.hudi.keygen.TimestampBasedKeyGenerator",
+        "hoodie.deltastreamer.keygen.timestamp.timestamp.type": "DATE_STRING",
+        "hoodie.deltastreamer.keygen.timestamp.input.dateformat": "yyyy-MM-dd",
+        "hoodie.deltastreamer.keygen.timestamp.output.dateformat": "yyyy/MM/dd",
+        "hoodie.datasource.write.partitionpath.field": "o_orderdate",
+    })
+    ds.write(orders.withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")), p, options=base)
+    with pytest.raises(ValueError, match="timestamp_input_format"):
+        ds.write(orders.withColumn("o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd")), p, options={
+            **base,
+            "hoodie.deltastreamer.keygen.timestamp.input.dateformat": "ddMMyyyy",
+        })
+
+
+def test_bad_operation_does_not_create_table(spark, tmp_table_path, orders):
+    """Code-review r5: a typo'd write operation on a FRESH path used to
+    commit an empty table before raising, making the retry fail with
+    'already exists'; the operation is now validated before creation."""
+    from hudi_0_10_0_spark import HudiTable, datasource as ds
+
+    p = tmp_table_path + "/typo"
+    with pytest.raises(ValueError, match="unknown hoodie.datasource.write.operation"):
+        ds.write(orders, p, options=_opts(**{
+            "hoodie.datasource.write.operation": "upssert"
+        }))
+    assert not HudiTable.exists(spark, p)
+    # the corrected retry works on the same path
+    ds.write(orders, p, options=_opts())
+    assert HudiTable.exists(spark, p)
+
+
 def test_unknown_keygenerator_class_fails():
     with pytest.raises(ValueError, match="keygenerator"):
         options_to_config({

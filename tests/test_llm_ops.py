@@ -167,7 +167,9 @@ def test_brute_force_topk_matches_numpy(emb):
             continue
         q = vecs[qid]
         sims[vid] = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
-    expect = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:5]
+    import math
+
+    expect = sorted(sims, key=lambda i: (-math.floor(sims[i] * 1e6), i))[:5]
 
     queries = emb.filter(F.col("vec_id") == qid).withColumnRenamed("vec_id", "query_id")
     got = (
@@ -507,6 +509,93 @@ def test_zvalue_bit_budget_capped(spark):
 
     assert z.filter(F.col("__zvalue") < 0).count() == 0
     assert z.select("__zvalue").distinct().count() > 100  # still discriminates
+
+
+def test_hilbert_bit_budget_capped(spark):
+    """Code-review r5: with_hilbert_value must cap dims*bits at 63 like
+    with_zvalue — 4 cols x 16 bits hit exactly 64 and the int64 cast
+    flipped the sign, sorting the top half of the curve FIRST."""
+    from hudi_0_10_0_spark.functions.zorder import with_hilbert_value
+
+    df = spark.range(2000).selectExpr(
+        "id * 7 % 1000 AS a", "id * 13 % 1000 AS b",
+        "id * 17 % 1000 AS c", "id * 19 % 1000 AS d",
+    )
+    h = with_hilbert_value(df, ["a", "b", "c", "d"], bits=16)
+    assert h.filter(F.col("__hvalue") < 0).count() == 0
+    assert h.select("__hvalue").distinct().count() > 100
+
+
+def test_vocabulary_pattern_with_quote(spark):
+    """Code-review r5: vocabulary() built SQL via f-string, so a pattern
+    containing a quote (apostrophe tokens — a natural request) was a
+    parse error / injection vector; the Column API handles it."""
+    from hudi_0_10_0_spark.functions.text import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "don't stop don't"), (2, "won't")], "doc_id int, text string"
+    )
+    got = {r.token: r.n for r in vocabulary(df, pattern="[a-z']+").collect()}
+    assert got == {"don't": 2, "stop": 1, "won't": 1}
+
+
+def test_embedding_dim_mismatch_raises(spark):
+    """Code-review r5: a vector length != dim used to null-pad every RHP
+    projection, sending ALL vectors to bucket 0 (quadratic LSH join);
+    now it raises loudly naming the actual length."""
+    from hudi_0_10_0_spark.functions.dedup import embedding_dedup
+    from hudi_0_10_0_spark.functions.similarity import ann_topk, rhp_signature
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="length 3"):
+        embedding_dedup(df, dim=64).collect()
+    with pytest.raises(ValueError, match="length 3"):
+        rhp_signature(df, dim=64)
+    with pytest.raises(ValueError, match="length 3"):
+        ann_topk(df, df.withColumnRenamed("vec_id", "query_id"), dim=64)
+    # matching dim works; orthogonal vectors are no near-dups
+    assert embedding_dedup(df, dim=3, threshold=0.999).count() == 2
+
+
+def test_simhash_tokenization_matches_re2(spark):
+    """Code-review r5: simhash tokenization must match the DuckDB
+    oracle's RE2 '\\S+' (ASCII whitespace [\\t\\n\\f\\r ] only) — Python
+    str.split() also split on \\x0b and Unicode whitespace, so docs
+    containing U+00A0 / U+2028 / vertical tab hashed differently."""
+    from hudi_0_10_0_spark.functions.dedup import simhash_udf
+
+    # under RE2 semantics NBSP and \x0b are NOT separators: 'foo\u00a0bar'
+    # is ONE token — the old str.split() tokenizer made it equal the
+    # two-token 'foo bar'
+    df = spark.createDataFrame(
+        [
+            (1, "foo\u00a0bar"), (2, "foo bar"),
+            (3, "a\x0bb"), (4, "a b"),
+            (5, "x\ty"), (6, "x y"),
+        ],
+        "doc_id int, text string",
+    )
+    h = {r.doc_id: r.h for r in df.select(
+        "doc_id", simhash_udf()(F.col("text")).alias("h")).collect()}
+    assert h[1] != h[2]  # NBSP is part of the token
+    assert h[3] != h[4]  # vertical tab is part of the token
+    assert h[5] == h[6]  # real ASCII whitespace still separates
+
+
+def test_punct_count_ascii_class(spark):
+    """Code-review r5: the punct count must use an explicit ASCII
+    whitespace class — Java \\s includes \\x0B but the oracle's RE2 \\s
+    does not, so a vertical tab flipped punct_ratio between engines.
+    Pin the chosen semantics: \\x0B is whitespace (NOT punctuation)."""
+    from hudi_0_10_0_spark.functions.text import quality_features
+
+    df = spark.createDataFrame([(1, "ab\x0bcd!")], "doc_id int, text string")
+    row = quality_features(df).select("punct_ratio").first()
+    # 6 chars, exactly one non-[alnum/ws] char: '!'
+    assert abs(row.punct_ratio - 1 / 6) < 1e-9
 
 
 def test_sampling_rejects_non_numeric_key(spark):

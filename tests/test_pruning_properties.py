@@ -111,6 +111,44 @@ def test_float_literal_truncation_regression():
     assert not leaf_possible({"c": (3, 3, 0)}, ("c", ">", "3.5"))
 
 
+def test_cross_type_alignment_regression():
+    """Code-review r5: cross-type (literal, stats) pairs must either be
+    compared in VALUE order or keep the slice — never compared through
+    Python str()/lexicographic renderings."""
+    import datetime
+    from decimal import Decimal
+
+    # bool literal vs partition-path string stats: str(True)='True' never
+    # equalled Spark's 'true' rendering → every boolean match was pruned
+    assert leaf_possible({"flag": ("true", "true", 0)}, ("flag", "=", True))
+    assert not leaf_possible({"flag": ("false", "false", 0)}, ("flag", "=", True))
+    assert leaf_possible({"flag": ("true", "true", 0)}, ("flag", "in", [True]))
+    # bool vs non-boolean string stats: un-comparable → keep
+    assert leaf_possible({"flag": ("x", "y", 0)}, ("flag", "=", True))
+    # Decimal/float literal vs numeric-STRING stats (Decimal footer stats
+    # json-roundtrip as strings): '12.5' > '9.9' is lexicographically
+    # False and pruned a file whose rows match
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("9.9")))
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", 9.9))
+    assert not leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("12.5")))
+    # Decimal literal vs numeric stats compares exactly, no truncation
+    assert leaf_possible({"c": (3, 3, 0)}, ("c", "<", Decimal("3.5")))
+    assert not leaf_possible({"c": (3, 3, 0)}, ("c", ">", Decimal("3.5")))
+    # date/datetime literals vs ISO string stats: lexicographic == chrono
+    assert leaf_possible(
+        {"dt": ("2020-01-01", "2020-06-01", 0)},
+        ("dt", ">=", datetime.date(2020, 3, 1)),
+    )
+    assert not leaf_possible(
+        {"dt": ("2020-01-01", "2020-06-01", 0)},
+        ("dt", ">", datetime.date(2020, 6, 1)),
+    )
+    # 'in' with an un-comparable element keeps the slice (the scalar ops
+    # already did; 'in' used to treat coercion failure as a non-match)
+    assert leaf_possible({"flag": (True, True, 0)}, ("flag", "in", [1]))
+    assert leaf_possible({"s": ("a", "z", 0)}, ("s", "in", [object()]))
+
+
 @settings(max_examples=200)
 @given(op=OPS, lit=INTS, lo=INTS, hi=INTS)
 def test_missing_or_null_stats_never_prune(op, lit, lo, hi):

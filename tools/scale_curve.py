@@ -1,15 +1,22 @@
-"""Write-path scale curve (VERDICT r3 #4): time one upsert commit's
-stages at two data scales and show the fixed per-commit overhead
-shrinking as a fraction of total — the evidence behind SCALE.md's
-"O(groups) driver work" claim at the largest scale the sandbox allows.
+"""Write/read-path scale curves (VERDICT r3 #4 + r4 #5): time one
+commit's stages at two data scales and show the fixed per-commit
+overhead shrinking as a fraction of total — the evidence behind
+SCALE.md's "O(groups) driver work" claim at the largest scale the
+sandbox allows.
 
-Usage: python tools/scale_curve.py [sf_dir] [multipliers...]
-Defaults: /root/testdata/sf0.1, multipliers 1 and 10
+Modes:
+  cow           (default) COW upsert commit stage curve
+  mor           MOR deltacommit + snapshot-merge read at each scale
+  record_index  RECORD_INDEX-tagged SMALL-batch upsert at each scale —
+                the decisive claim: tag I/O ∝ touched index buckets,
+                so a fixed-size batch costs ~the same against a 10×
+                larger base table
+
+Usage: python tools/scale_curve.py [mode] [sf_dir] [multipliers...]
+Defaults: cow, /root/testdata/sf0.1, multipliers 1 and 10
 (sf0.1 lineitem ≈ 600k rows → points at ~600k and ~6M rows).
 
-Prints one JSON line:
-  {"points": [{"mult": 1, "base_rows": N, "batch_rows": M,
-               "upsert_s": S, "rows_per_s": R, "stages": {...}}, ...]}
+Prints one JSON line: {"mode": ..., "points": [...]}.
 """
 
 from __future__ import annotations
@@ -26,9 +33,128 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _build(spark, sf_dir: str, mult: int):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate",
+    )
+    # scale by unioning key-shifted copies — same key/partition
+    # distribution shape at every point
+    df = li
+    for i in range(1, mult):
+        df = df.unionByName(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+            )
+        )
+    return df.withColumn(
+        "uid", F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    )
+
+
+def _timed_upsert(t, batch) -> tuple[float, dict]:
+    from hudi_0_10_0_spark.operators.write import _StageTimer
+
+    records: list = []
+    _StageTimer.sink = records
+    t0 = time.perf_counter()
+    t.upsert(batch)
+    upsert_s = time.perf_counter() - t0
+    _StageTimer.sink = None
+    stages: dict = {}
+    for _op, stage, dt in records:
+        stages[stage] = round(stages.get(stage, 0.0) + dt, 3)
+    return upsert_s, stages
+
+
+def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
+    from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
+
+    df = _build(spark, sf_dir, mult)
+    base_rows = df.count()
+    cfg_kw = dict(
+        record_key_field="uid",
+        partition_field="l_returnflag",
+        precombine_field="l_quantity",
+        auto_clean=False,
+        auto_archive=False,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        if mode == "cow":
+            t = HudiTable.create(spark, f"{tmp}/t", WriteConfig(**cfg_kw))
+            t.bulk_insert(df)
+            # update batch: ~10% of rows, spread across every partition —
+            # the shape of a steady-state ingest commit
+            batch = df.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+                "l_quantity", F.col("l_quantity") + 1
+            )
+            batch_rows = batch.count()
+            upsert_s, stages = _timed_upsert(t, batch)
+            return {
+                "mult": mult, "base_rows": base_rows, "batch_rows": batch_rows,
+                "upsert_s": round(upsert_s, 3),
+                "rows_per_s": int(batch_rows / upsert_s),
+                "stages": stages,
+            }
+        if mode == "mor":
+            t = HudiTable.create(
+                spark, f"{tmp}/t",
+                WriteConfig(table_type=TableType.MERGE_ON_READ,
+                            inline_compact=False, **cfg_kw),
+            )
+            t.bulk_insert(df)
+            batch = df.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+                "l_quantity", F.col("l_quantity") + 1
+            )
+            batch_rows = batch.count()
+            delta_s, stages = _timed_upsert(t, batch)
+            # snapshot-merge read: every delta-bearing slice merges its
+            # log rows; log-free groups stay a plain scan
+            t0 = time.perf_counter()
+            n = t.snapshot().agg(
+                F.count(F.xxhash64("uid", "l_quantity"))
+            ).first()[0]
+            read_s = time.perf_counter() - t0
+            assert n == base_rows
+            return {
+                "mult": mult, "base_rows": base_rows, "batch_rows": batch_rows,
+                "deltacommit_s": round(delta_s, 3),
+                "delta_rows_per_s": int(batch_rows / delta_s),
+                "snapshot_merge_read_s": round(read_s, 3),
+                "read_rows_per_s": int(base_rows / read_s),
+                "stages": stages,
+            }
+        if mode == "record_index":
+            t = HudiTable.create(
+                spark, f"{tmp}/t",
+                WriteConfig(index_type="RECORD_INDEX", **cfg_kw),
+            )
+            t.bulk_insert(df)
+            # FIXED-SIZE small batch regardless of base scale: steady-state
+            # trickle ingest against an ever-growing table. Tag cost must
+            # track the touched index buckets (≈ batch keys), NOT base_rows.
+            batch = (
+                df.filter((F.col("l_orderkey") % 997 == 0))
+                .limit(5000)
+                .withColumn("l_quantity", F.col("l_quantity") + 1)
+            )
+            batch_rows = batch.count()
+            upsert_s, stages = _timed_upsert(t, batch)
+            return {
+                "mult": mult, "base_rows": base_rows, "batch_rows": batch_rows,
+                "upsert_s": round(upsert_s, 3),
+                "stages": stages,
+            }
+    raise SystemExit(f"unknown mode: {mode}")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    mults = [int(x) for x in sys.argv[2:]] or [1, 10]
+    args = sys.argv[1:]
+    mode = "cow"
+    if args and args[0] in ("cow", "mor", "record_index"):
+        mode = args.pop(0)
+    sf_dir = args.pop(0) if args and not args[0].isdigit() else "/root/testdata/sf0.1"
+    mults = [int(x) for x in args] or [1, 10]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     spark = (
@@ -43,74 +169,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from hudi_0_10_0_spark import HudiTable, WriteConfig
-    from hudi_0_10_0_spark.operators.write import _StageTimer
-
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-        "l_returnflag", "l_shipdate",
-    )
-    base_count = li.count()
-
     points = []
     for mult in mults:
-        # scale by unioning key-shifted copies — same key/partition
-        # distribution shape at every point
-        df = li
-        for i in range(1, mult):
-            df = df.unionByName(
-                li.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
-                )
-            )
-        df = df.withColumn(
-            "uid",
-            F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber")),
-        )
-        with tempfile.TemporaryDirectory() as tmp:
-            t = HudiTable.create(
-                spark,
-                f"{tmp}/t",
-                WriteConfig(
-                    record_key_field="uid",
-                    partition_field="l_returnflag",
-                    precombine_field="l_quantity",
-                    auto_clean=False,
-                    auto_archive=False,
-                ),
-            )
-            t.bulk_insert(df)
+        points.append(run_point(spark, sf_dir, mode, mult))
+        print(f"# {mode} mult={mult}: {json.dumps(points[-1])}", file=sys.stderr)
 
-            # update batch: ~10% of rows, spread across every partition —
-            # the shape of a steady-state ingest commit
-            batch = df.filter(F.col("l_orderkey") % 10 == 0).withColumn(
-                "l_quantity", F.col("l_quantity") + 1
-            )
-            batch_rows = batch.count()
-
-            records: list = []
-            _StageTimer.sink = records
-            t0 = time.perf_counter()
-            t.upsert(batch)
-            upsert_s = time.perf_counter() - t0
-            _StageTimer.sink = None
-
-            stages = {}
-            for _op, stage, dt in records:
-                stages[stage] = round(stages.get(stage, 0.0) + dt, 3)
-            points.append(
-                {
-                    "mult": mult,
-                    "base_rows": base_count * mult,
-                    "batch_rows": batch_rows,
-                    "upsert_s": round(upsert_s, 3),
-                    "rows_per_s": int(batch_rows / upsert_s),
-                    "stages": stages,
-                }
-            )
-            print(f"# mult={mult}: {json.dumps(points[-1])}", file=sys.stderr)
-
-    print(json.dumps({"points": points}))
+    print(json.dumps({"mode": mode, "points": points}))
     spark.stop()
 
 
