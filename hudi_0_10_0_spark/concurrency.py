@@ -30,6 +30,71 @@ class ConcurrentWriteConflictError(Exception):
     """A concurrent commit touched the same file groups."""
 
 
+class Heartbeat:
+    """Writer-liveness signal for LAZY failed-write cleaning under OCC.
+
+    Reference: ``HoodieHeartbeatClient`` + ``HeartbeatUtils`` — the
+    reference REJECTS the eager failed-write cleaning policy in
+    multi-writer mode precisely because a rival's write-start sweep
+    would delete a live writer's in-flight instant (found by the r5
+    3-writer soak: a rival's ``rollback_pending_writes`` removed another
+    writer's ``data/<instant>/_temporary`` mid-write). A daemon thread
+    refreshes ``<meta>/heartbeat/<instant>`` every interval; liveness =
+    file mtime younger than 3 intervals. Start the heartbeat BEFORE the
+    requested instant file becomes visible so there is no window where
+    a pending instant exists without a heartbeat."""
+
+    def __init__(self, table, instant: str):
+        self.table = table
+        self.instant = instant
+        self.path = f"{table.meta_path}/heartbeat/{instant}"
+        self.interval = float(
+            getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
+        )
+        self._stop_evt = threading.Event()
+
+    def start(self) -> "Heartbeat":
+        self.table.fs.mkdirs(f"{self.table.meta_path}/heartbeat")
+        self.table.fs.write_text(self.path, str(time.time()))
+        threading.Thread(
+            target=self._run, daemon=True, name=f"heartbeat-{self.instant}"
+        ).start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop_evt.wait(self.interval):
+            try:
+                self.table.fs.write_text(self.path, str(time.time()))
+            except Exception:
+                pass  # transient refresh failure → mtime ages toward expiry
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+        try:
+            self.table.fs.delete(self.path)
+        except Exception:
+            pass
+
+
+def start_heartbeat(table, instant: str) -> Heartbeat | None:
+    """Heartbeat for a write instant — OCC mode only (single-writer has
+    no rivals, and its eager sweep of pending instants stays valid)."""
+    if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
+        return None
+    return Heartbeat(table, instant).start()
+
+
+def heartbeat_live(table, instant: str) -> bool:
+    """True iff a live writer's heartbeat guards this pending instant."""
+    expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
+    try:
+        return (
+            time.time() - table.fs.mtime(f"{table.meta_path}/heartbeat/{instant}")
+        ) <= expiry
+    except Exception:
+        return False  # no heartbeat file → not live (crashed or legacy)
+
+
 class LockTimeoutError(Exception):
     pass
 

@@ -117,6 +117,11 @@ class WriteConfig:
     # multi-writer — WriteConcurrencyMode.java:30-32; OCC = lock + overlap check
     concurrency_mode: str = "SINGLE_WRITER"  # | OPTIMISTIC_CONCURRENCY_CONTROL
     lock_wait_seconds: float = 60.0
+    # writer-liveness heartbeat refresh period (OCC only): a pending
+    # instant whose heartbeat mtime is younger than 3 intervals belongs
+    # to a LIVE concurrent writer and must not be swept as a failed
+    # write (hoodie.client.heartbeat.interval_in_ms analogue)
+    heartbeat_interval_seconds: float = 60.0
     # FILESYSTEM | IN_PROCESS | "module:Class" (concurrency.get_lock_provider)
     lock_provider: str = "FILESYSTEM"
     # REJECT (SparkRejectUpdateStrategy) | ALLOW_ROLLBACK

@@ -337,11 +337,21 @@ def rollback_instant(table, timestamp: str) -> str:
 
 
 def rollback_pending_writes(table) -> list[str]:
-    """Eager failed-write cleanup at write start
-    (``HoodieFailedWritesCleaningPolicy.EAGER``). Scheduled clustering
-    plans are pending replacecommits too but are NOT failed writes — the
-    reference skips them the same way (``ClusteringUtils`` identifies
-    clustering instants by the plan in the requested file)."""
+    """Failed-write cleanup at write start. Single-writer mode is the
+    reference's EAGER policy (any pending write instant at write start
+    IS failed — there are no rivals). OCC mode is the reference's LAZY
+    policy: the reference REJECTS eager cleaning with multi-writer
+    because this sweep would delete a LIVE rival's in-flight data
+    (``HoodieWriteConfig`` validation; caught here by the r5 3-writer
+    soak — a rival's sweep removed another writer's ``_temporary`` dir
+    mid-write), so pending instants with a live heartbeat are skipped
+    and only heartbeat-expired (crashed) writers are swept. Scheduled
+    clustering plans are pending replacecommits too but are NOT failed
+    writes — the reference skips them the same way (``ClusteringUtils``
+    identifies clustering instants by the plan in the requested file)."""
+    from ..concurrency import heartbeat_live
+
+    occ = table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
     rolled = []
     for inst in table.timeline.pending():
         if inst.action not in WRITE_ACTIONS:
@@ -354,6 +364,8 @@ def rollback_pending_writes(table) -> list[str]:
             == "cluster"
         ):
             continue
+        if occ and heartbeat_live(table, inst.timestamp):
+            continue  # a live rival is still writing this instant
         table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
         table.timeline.delete_instant_files(inst.timestamp, inst.action)
         from .key_index import drop_instant as _ki_drop

@@ -40,7 +40,7 @@ from ..config import (
     WriteConfig,
     WriteOperation,
 )
-from ..concurrency import guarded_commit, txn_start_marker
+from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
@@ -902,6 +902,9 @@ def run_batch_write(
     )
     txn_start = txn_start_marker(table, view)
     instant = instant_time or table.new_instant()
+    # heartbeat BEFORE the requested file is visible: rivals' lazy
+    # failed-write sweep must never see a pending instant without one
+    hb = start_heartbeat(table, instant)
     table.timeline.create_requested(instant, action, {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, action)
     committed = False
@@ -1228,6 +1231,8 @@ def run_batch_write(
         key_index.drop_instant(table, instant)
         raise
     finally:
+        if hb is not None:
+            hb.stop()
         try:
             incoming.unpersist()  # no-op when never persisted
             tagged.unpersist()
@@ -1391,6 +1396,7 @@ def run_replace_write(
     table_schema = table.schema()
     txn_start = txn_start_marker(table, view)
     instant = table.new_instant()
+    hb = start_heartbeat(table, instant)  # before the requested file is visible
     table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
     table.timeline.transition_to_inflight(instant, "replacecommit")
     try:
@@ -1443,5 +1449,8 @@ def run_replace_write(
 
         _ki.drop_instant(table, instant)
         raise
+    finally:
+        if hb is not None:
+            hb.stop()
     table.run_post_commit_services()
     return instant
