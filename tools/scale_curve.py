@@ -47,9 +47,12 @@ def _build(spark, sf_dir: str, mult: int):
                 "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
             )
         )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic testdata
+    # (sf0.1: 600k rows, ~457k distinct pairs) — dedup so uid is a true
+    # record key and merged row counts are exactly predictable
     return df.withColumn(
         "uid", F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
-    )
+    ).dropDuplicates(["uid"])
 
 
 def _timed_upsert(t, batch) -> tuple[float, dict]:
@@ -133,9 +136,13 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
             # FIXED-SIZE small batch regardless of base scale: steady-state
             # trickle ingest against an ever-growing table. Tag cost must
             # track the touched index buckets (≈ batch keys), NOT base_rows.
+            # Keys come from the FIRST key-shifted copy only, so the batch
+            # is IDENTICAL at every multiplier.
             batch = (
-                df.filter((F.col("l_orderkey") % 997 == 0))
-                .limit(5000)
+                df.filter(
+                    (F.col("l_orderkey") % 997 == 0)
+                    & (F.col("l_orderkey") < 100_000_000)
+                )
                 .withColumn("l_quantity", F.col("l_quantity") + 1)
             )
             batch_rows = batch.count()
