@@ -52,13 +52,15 @@ class Heartbeat:
             getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
         )
         self._stop_evt = threading.Event()
+        self._thread: threading.Thread | None = None
 
     def start(self) -> "Heartbeat":
         self.table.fs.mkdirs(f"{self.table.meta_path}/heartbeat")
         self.table.fs.write_text(self.path, str(time.time()))
-        threading.Thread(
+        self._thread = threading.Thread(
             target=self._run, daemon=True, name=f"heartbeat-{self.instant}"
-        ).start()
+        )
+        self._thread.start()
         return self
 
     def _run(self) -> None:
@@ -70,6 +72,11 @@ class Heartbeat:
 
     def stop(self) -> None:
         self._stop_evt.set()
+        # JOIN before deleting: an in-flight refresh write racing the
+        # delete would resurrect the file with a fresh mtime, delaying
+        # rival cleanup by a full expiry window (diff-review r5)
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
         try:
             self.table.fs.delete(self.path)
         except Exception:
@@ -85,14 +92,20 @@ def start_heartbeat(table, instant: str) -> Heartbeat | None:
 
 
 def heartbeat_live(table, instant: str) -> bool:
-    """True iff a live writer's heartbeat guards this pending instant."""
+    """True iff a live writer's heartbeat guards this pending instant.
+    The caller's next step is DESTRUCTIVE (sweeping the instant), so
+    only a CONFIRMED-absent heartbeat file reads as not-live; a
+    transient metadata error (namenode failover, object-store 503) must
+    not be mistaken for a crashed writer (diff-review r5)."""
+    path = f"{table.meta_path}/heartbeat/{instant}"
     expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
     try:
-        return (
-            time.time() - table.fs.mtime(f"{table.meta_path}/heartbeat/{instant}")
-        ) <= expiry
+        return (time.time() - table.fs.mtime(path)) <= expiry
     except Exception:
-        return False  # no heartbeat file → not live (crashed or legacy)
+        try:
+            return table.fs.exists(path)
+        except Exception:
+            return True  # unknown state → assume live, skip the sweep
 
 
 class LockTimeoutError(Exception):

@@ -167,10 +167,19 @@ class FS:
                 )
             except FileExistsError:
                 return False
+            # a failed CONTENT write must not leave the created (empty)
+            # file behind: for a lock path that would be an ownerless
+            # lock nobody can release until the TTL expires
             try:
                 _os.write(fd, content.encode("utf-8"))
-            finally:
+            except BaseException:
                 _os.close(fd)
+                try:
+                    _os.unlink(local_path)
+                except OSError:
+                    pass
+                raise
+            _os.close(fd)
             return True
         try:
             stream = self._fs.create(self._Path(p), False)
@@ -180,8 +189,14 @@ class FS:
             raise
         try:
             stream.write(bytearray(content.encode("utf-8")))
-        finally:
             stream.close()
+        except BaseException:
+            try:
+                stream.close()
+            except Exception:
+                pass
+            self.delete(p)
+            raise
         return True
 
     def write_text_atomic(self, p: str, content: str, overwrite: bool = False) -> None:

@@ -349,30 +349,77 @@ def rollback_pending_writes(table) -> list[str]:
     clustering plans are pending replacecommits too but are NOT failed
     writes — the reference skips them the same way (``ClusteringUtils``
     identifies clustering instants by the plan in the requested file)."""
-    from ..concurrency import heartbeat_live
+    from ..concurrency import LockTimeoutError, get_lock_provider, heartbeat_live
 
     occ = table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
-    rolled = []
-    for inst in table.timeline.pending():
-        if inst.action not in WRITE_ACTIONS:
-            continue
-        if (
-            inst.action == REPLACE_COMMIT
-            and table.timeline.read_requested_metadata(
-                inst.timestamp, inst.action
-            ).get("operation")
-            == "cluster"
-        ):
-            continue
-        if occ and heartbeat_live(table, inst.timestamp):
-            continue  # a live rival is still writing this instant
-        table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
-        table.timeline.delete_instant_files(inst.timestamp, inst.action)
-        from .key_index import drop_instant as _ki_drop
 
-        _ki_drop(table, inst.timestamp)
-        rolled.append(inst.timestamp)
-    return rolled
+    def _sweep() -> list[str]:
+        rolled = []
+        # listed INSIDE the critical section in OCC mode: a rival's
+        # transition-to-completed holds the same table lock, so an
+        # instant listed as pending here cannot concurrently commit
+        # while we sweep it (a commit-then-hb.stop between a stale
+        # listing and the delete would otherwise look like a crash and
+        # erase COMMITTED data — diff-review r5)
+        for inst in table.timeline.pending():
+            if inst.action not in WRITE_ACTIONS:
+                continue
+            if (
+                inst.action == REPLACE_COMMIT
+                and table.timeline.read_requested_metadata(
+                    inst.timestamp, inst.action
+                ).get("operation")
+                == "cluster"
+            ):
+                continue
+            if occ and heartbeat_live(table, inst.timestamp):
+                continue  # a live rival is still writing this instant
+            table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
+            # pending states ONLY — even a wrong staleness judgement must
+            # never erase a completed instant
+            table.timeline.delete_pending_instant_files(inst.timestamp, inst.action)
+            table.fs.delete(f"{table.meta_path}/heartbeat/{inst.timestamp}")
+            from .key_index import drop_instant as _ki_drop
+
+            _ki_drop(table, inst.timestamp)
+            rolled.append(inst.timestamp)
+        # orphan heartbeats (writer died between heartbeat start and
+        # create_requested, or crashed after commit before stop): no
+        # pending instant will ever sweep them, so collect any EXPIRED
+        # heartbeat whose instant is no longer pending
+        if occ:
+            import time as _time
+
+            expiry = 3.0 * float(
+                getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
+            )
+            still_pending = {i.timestamp for i in table.timeline.pending()}
+            hb_dir = f"{table.meta_path}/heartbeat"
+            for name in table.fs.list_names(hb_dir):
+                if name in still_pending:
+                    continue
+                try:
+                    stale = (
+                        _time.time() - table.fs.mtime(f"{hb_dir}/{name}")
+                    ) > expiry
+                except Exception:
+                    stale = False
+                if stale:
+                    table.fs.delete(f"{hb_dir}/{name}")
+        return rolled
+
+    if not occ:
+        return _sweep()
+    lock = get_lock_provider(table)
+    owner = f"failed-write-sweep-{table.new_instant()}"
+    try:
+        lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
+    except LockTimeoutError:
+        return []  # housekeeping: a busy lock just skips this round
+    try:
+        return _sweep()
+    finally:
+        lock.unlock(owner)
 
 
 def savepoint(table, timestamp: str | None = None) -> str:

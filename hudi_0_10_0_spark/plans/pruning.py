@@ -51,12 +51,15 @@ def pred_to_column(pred):
     raise ValueError(f"unsupported predicate op: {op!r}")
 
 
-def leaf_possible(col_stats: dict, pred: tuple) -> bool:
+def leaf_possible(col_stats: dict, pred: tuple, dtypes: dict | None = None) -> bool:
     """True if a slice with these stats might contain a matching row.
     Any (literal, stats) pair that cannot be aligned to a SAFELY
     comparable type keeps the slice — pruning must be conservative,
     because dropped slices are gone for good (the post-scan row filter
-    only re-checks kept slices)."""
+    only re-checks kept slices). ``dtypes`` (column → declared Spark
+    simpleString) lets numeric literals prune against the string-encoded
+    stats of DECIMAL columns; without it such pairs only prune on
+    point ranges (min == max)."""
     col, op, val = pred
     st = col_stats.get(col)
     if not st:
@@ -64,16 +67,17 @@ def leaf_possible(col_stats: dict, pred: tuple) -> bool:
     mn, mx, _ = st
     if mn is None or mx is None:
         return True
+    dtype = (dtypes or {}).get(col)
     if op == "in":
         for x in val:
-            a = _aligned(mn, mx, x)
+            a = _aligned(mn, mx, x, dtype)
             if a is None:
                 return True  # un-comparable element → cannot prune
             m, big, v = a
             if m <= v <= big:
                 return True
         return False
-    a = _aligned(mn, mx, val)
+    a = _aligned(mn, mx, val, dtype)
     if a is None:
         return True
     mn, mx, v = a
@@ -90,7 +94,7 @@ def leaf_possible(col_stats: dict, pred: tuple) -> bool:
     return True
 
 
-def pred_possible(col_stats: dict, pred) -> bool:
+def pred_possible(col_stats: dict, pred, dtypes: dict | None = None) -> bool:
     """Evaluate a predicate tree against file stats, mirroring the
     reference's translated-filter evaluation
     (``DataSkippingUtils.scala:49-229``: ``col = v → min<=v<=max``,
@@ -98,10 +102,10 @@ def pred_possible(col_stats: dict, pred) -> bool:
     ``(col, op, value)`` leaves, ``("and", [preds])``, ``("or", [preds])``.
     """
     if isinstance(pred, tuple) and len(pred) == 2 and pred[0] in ("and", "or"):
-        kids = [pred_possible(col_stats, p) for p in pred[1]]
+        kids = [pred_possible(col_stats, p, dtypes) for p in pred[1]]
         return all(kids) if pred[0] == "and" else any(kids)
     if isinstance(pred, tuple) and len(pred) == 3:
-        return leaf_possible(col_stats, pred)
+        return leaf_possible(col_stats, pred, dtypes)
     return True  # unknown shape — must read
 
 
@@ -194,6 +198,10 @@ def prune_slices_by_stats(table, slices, filters) -> list:
     if not preds:
         return slices
     ctx = _pseudo_stats_ctx(table)
+    try:
+        dtypes = {f.name: f.dataType.simpleString() for f in table.read_schema().fields}
+    except Exception:
+        dtypes = {}
     kept = []
     for s in slices:
         stats = _partition_pseudo_stats(table, s.partition, ctx)
@@ -202,12 +210,18 @@ def prune_slices_by_stats(table, slices, filters) -> list:
             # both exist; pseudo-stats only fill columns absent from the
             # file (drop.partition.columns)
             stats = {**stats, **s.base.col_stats}
-        if all(pred_possible(stats, p) for p in preds):
+        if all(pred_possible(stats, p, dtypes) for p in preds):
             kept.append(s)
     return kept
 
 
-def _aligned(mn, mx, val):
+_NUMERIC_DTYPES = (
+    "decimal", "int", "bigint", "smallint", "tinyint", "long",
+    "float", "double",
+)
+
+
+def _aligned(mn, mx, val, dtype: str | None = None):
     """Align (min, max, literal) to ONE safely comparable type; None when
     no safe alignment exists (caller keeps the slice).
 
@@ -220,10 +234,14 @@ def _aligned(mn, mx, val):
       literal to int — ``int(3.5) -> 3`` — would falsely prune
       ``col < 3.5`` vs min=3); Decimal literals compare exactly with
       int/float in Python, no conversion needed;
-    - a numeric/Decimal literal vs NUMERIC-STRING stats (Decimal footer
-      stats, numeric partition values of undeclared type) parses the
-      stats as Decimal — lexicographic '12.5' > '9.9' is False and would
-      falsely prune;
+    - a numeric/Decimal literal vs STRING stats parses the stats as
+      Decimal ONLY when the declared column type is numeric/decimal
+      (Decimal footer stats are ``str(v)``) or the range is a single
+      point (partition pseudo-stats): the min/max of a true STRING
+      column are LEXICOGRAPHIC bounds ('10' < '9'), not a numeric
+      range, and reinterpreting them numerically falsely prunes;
+      non-finite literals (NaN/inf) keep the slice — Decimal NaN
+      comparisons raise instead of ordering;
     - a bool literal vs 'true'/'false' string stats maps the stats to
       bools — Python ``str(True) == 'True'`` never equals Spark's
       ``'true'`` rendering and falsely pruned every boolean match;
@@ -232,6 +250,7 @@ def _aligned(mn, mx, val):
     - anything else cross-type → None (cannot prune)."""
     import datetime
     import decimal
+    import math
 
     try:
         if isinstance(mn, bool):
@@ -251,6 +270,15 @@ def _aligned(mn, mx, val):
                     return (lo == "true", hi == "true", val)
                 return None
             if isinstance(val, (int, float, decimal.Decimal)):
+                if isinstance(val, float) and not math.isfinite(val):
+                    return None
+                if isinstance(val, decimal.Decimal) and not val.is_finite():
+                    return None
+                numeric_col = dtype is not None and dtype.lower().startswith(
+                    _NUMERIC_DTYPES
+                )
+                if not numeric_col and mn != mx:
+                    return None  # lexicographic string range — cannot prune
                 return (
                     decimal.Decimal(mn.strip()),
                     decimal.Decimal(mx.strip()),

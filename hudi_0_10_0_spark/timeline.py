@@ -219,6 +219,13 @@ class Timeline:
         for state in (REQUESTED, INFLIGHT, COMPLETED):
             self.fs.delete(f"{self.dir}/{Instant(timestamp, action, state).filename()}")
 
+    def delete_pending_instant_files(self, timestamp: str, action: str) -> None:
+        """Remove only the requested/inflight state files — the
+        failed-write sweep's variant: even if its staleness judgement is
+        wrong, it can never erase a COMPLETED (committed) instant."""
+        for state in (REQUESTED, INFLIGHT):
+            self.fs.delete(f"{self.dir}/{Instant(timestamp, action, state).filename()}")
+
     # -- archive (client/table/HoodieTimelineArchiveLog.java:74-196) -------
     def archive(self, keep_min: int, keep_max: int, protected_ts: set[str] | None = None) -> int:
         """When > keep_max completed write instants, move the oldest down

@@ -127,10 +127,27 @@ def test_cross_type_alignment_regression():
     assert leaf_possible({"flag": ("x", "y", 0)}, ("flag", "=", True))
     # Decimal/float literal vs numeric-STRING stats (Decimal footer stats
     # json-roundtrip as strings): '12.5' > '9.9' is lexicographically
-    # False and pruned a file whose rows match
-    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("9.9")))
-    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", 9.9))
-    assert not leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("12.5")))
+    # False and pruned a file whose rows match. The numeric
+    # interpretation needs the declared column type (diff-review r5: a
+    # true STRING column's min/max are lexicographic bounds — '10'<'9' —
+    # and reinterpreting them numerically falsely prunes).
+    dt = {"d": "decimal(10,2)"}
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("9.9")), dt)
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", 9.9), dt)
+    assert not leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("12.5")), dt)
+    # same stats WITHOUT a numeric dtype: un-prunable range → keep
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("12.5")))
+    # string-column lexicographic stats: min='10' > max='9'; a numeric
+    # reinterpretation would prune the matching row c='9'
+    assert leaf_possible({"c": ("10", "9", 0)}, ("c", "=", 9), {"c": "string"})
+    # point range (partition pseudo-stats) stays numerically comparable
+    # even without a dtype
+    assert leaf_possible({"p": ("7", "7", 0)}, ("p", "=", 7))
+    assert not leaf_possible({"p": ("7", "7", 0)}, ("p", "=", 8))
+    # non-finite literals keep the slice instead of raising
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", float("nan")), dt)
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", "<", float("inf")), dt)
+    assert leaf_possible({"d": ("10.0", "12.5", 0)}, ("d", ">", Decimal("NaN")), dt)
     # Decimal literal vs numeric stats compares exactly, no truncation
     assert leaf_possible({"c": (3, 3, 0)}, ("c", "<", Decimal("3.5")))
     assert not leaf_possible({"c": (3, 3, 0)}, ("c", ">", Decimal("3.5")))
