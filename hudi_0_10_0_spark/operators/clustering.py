@@ -103,12 +103,20 @@ def schedule_cluster(
     return instant
 
 
-def run_cluster(table, instant: str | None = None) -> str | None:
+def run_cluster(
+    table, instant: str | None = None, keep_plan_on_failure: bool = True
+) -> str | None:
     """Execute a scheduled clustering plan (the EARLIEST pending one
     when ``instant`` is None — plans execute in schedule order, like the
     reference draining pending clustering oldest-first). The plan's file
     groups were frozen at schedule time; groups whose latest slice has
-    since changed identity are re-resolved by (partition, file_id)."""
+    since changed identity are re-resolved by (partition, file_id).
+
+    ``keep_plan_on_failure`` (default, the async-service contract): a
+    failed EXECUTION reverts the instant to REQUESTED so the scheduled
+    plan — and its update-REJECT protection on the pinned groups — stays
+    retryable instead of being silently cancelled (diff-review r5).
+    Inline ``cluster()`` passes False to restore its pre-call state."""
     pending = [
         i
         for i in table.timeline.pending()
@@ -142,6 +150,7 @@ def run_cluster(table, instant: str | None = None) -> str | None:
         curve_bits=params.get("curve_bits", 16),
         target_file_size=params.get("target_file_size"),
         target_file_groups=params.get("target_file_groups"),
+        keep_plan_on_failure=keep_plan_on_failure,
     )
 
 
@@ -171,7 +180,10 @@ def cluster(
     )
     if instant is None:
         return None
-    return run_cluster(table, instant)
+    # inline schedule+run: a failure discards the just-created plan,
+    # restoring the pre-call state (the async retry contract applies
+    # only to plans scheduled separately)
+    return run_cluster(table, instant, keep_plan_on_failure=False)
 
 
 def _execute_cluster(
@@ -184,6 +196,7 @@ def _execute_cluster(
     curve_bits: int,
     target_file_size: int | None,
     target_file_groups: int | None,
+    keep_plan_on_failure: bool = False,
 ) -> str:
     cfg = table.cfg
     view = table.view()
@@ -195,10 +208,11 @@ def _execute_cluster(
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
         df = slices_to_df(table, slices)
         if log_paths:  # MOR: fold deltas while clustering
-            df = df.unionByName(
+            df = df.withColumn("__log", F.lit(0)).unionByName(
                 table.spark.read.schema(table.read_schema())
                 .format(_base_format(table))
                 .load([table.abs_path(p) for p in log_paths])
+                .withColumn("__log", F.lit(1))
             )
             df = mor_merge_window(
                 df, get_payload(cfg.payload, cfg.precombine_field)
@@ -294,7 +308,14 @@ def _execute_cluster(
         )
     except Exception:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
-        table.timeline.delete_instant_files(instant, REPLACE_COMMIT)
+        if keep_plan_on_failure:
+            # return the scheduled plan to REQUESTED: the failure was in
+            # EXECUTION; cancelling the plan would silently drop both the
+            # scheduled work and the pending-clustering update-REJECT
+            # protection on its file groups
+            table.timeline.revert_to_requested(instant, REPLACE_COMMIT)
+        else:
+            table.timeline.delete_instant_files(instant, REPLACE_COMMIT)
         from .key_index import drop_instant as _ki_drop
 
         _ki_drop(table, instant)

@@ -116,23 +116,29 @@ def append_from_written(table, instant: str, tombstones: DataFrame | None = None
     location forever (the reference's record-level index emits deletion
     records on this path too)."""
     entries = None
-    try:
+    # explicit emptiness check, NOT try/except-all: a transient storage
+    # error on this read must FAIL the write — silently skipping would
+    # leave the committed keys unindexed forever, and every later upsert
+    # of them would tag as an insert and write duplicates (diff-review
+    # r5). Only a genuinely file-less instant dir (every affected group
+    # came out empty) legitimately has nothing to record.
+    data_path = table.instant_data_path(instant)
+    has_files = any(
+        not uri.rsplit("/", 1)[-1].startswith(("_", "."))
+        for uri, _ in table.fs.list_files_recursive(data_path)
+    )
+    if has_files:
         from ..sources.read import base_format
 
-        df = table.spark.read.format(base_format(table)).load(
-            table.instant_data_path(instant)
-        )
+        df = table.spark.read.format(base_format(table)).load(data_path)
         entries = df.select(
             F.col(RECORD_KEY_COL),
             F.col(PARTITION_PATH_COL),
             F.col(FILE_ID_COL),
             F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)).alias(DELETED_COL),
         )
-    except Exception:
-        # the instant dir exists but holds no parquet (e.g. every affected
-        # group came out empty) — only tombstones remain to record
-        if tombstones is None:
-            return
+    elif tombstones is None:
+        return
     if entries is None:
         entries = tombstones.select(
             F.col(RECORD_KEY_COL),
@@ -154,9 +160,17 @@ def append_from_written(table, instant: str, tombstones: DataFrame | None = None
 
 def build_full(table, view) -> None:
     """One-shot index bootstrap for a table that predates the index:
-    scan the live slices' meta columns once, file under the latest
-    completed instant."""
-    from ..sources.read import slices_to_df
+    scan the live view's meta columns once, file under the latest
+    completed instant.
+
+    Uses the MERGED snapshot, not a base-file scan: on MOR, uncompacted
+    log rows carry deletes and partition moves — a base-only rebuild
+    would record a logged-deleted key as live in its OLD location, so a
+    moved key would map to TWO live locations and the next upsert could
+    resurrect the deleted copy (diff-review r5). The merged view drops
+    tombstoned keys entirely (no entry → next write tags them as
+    inserts — exactly right for a rebuild)."""
+    from ..sources.read import snapshot
 
     comp = table.timeline.completed_write_instants()
     if not comp:
@@ -164,11 +178,11 @@ def build_full(table, view) -> None:
     slices = view.latest_file_slices()
     if not any(s.base.paths for s in slices):
         return
-    entries = slices_to_df(table, slices).select(
+    entries = snapshot(table).select(
         F.col(RECORD_KEY_COL),
         F.col(PARTITION_PATH_COL),
         F.col(FILE_ID_COL),
-        F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)).alias(DELETED_COL),
+        F.lit(False).alias(DELETED_COL),
     )
     append_delta(table, comp[-1].timestamp, entries)
 
@@ -246,10 +260,39 @@ def compact_if_due(table) -> bool:
     if len(dirs) <= table.cfg.key_index_compact_deltas:
         return False
     latest = max(d[: -len(".base")] if d.endswith(".base") else d for d in dirs)
+    root = index_root(table)
+    if f"{latest}.base" in dirs:
+        # crash-leftover COMPLETION: a prior compaction installed this
+        # base (it covers every delta <= latest — instants only grow, so
+        # no delta at or below it can appear later) but crashed before
+        # finishing the delta cleanup. No rewrite needed — and rewriting
+        # would have to delete the old base before renaming the new one
+        # in, a crash window that loses the already-deleted deltas'
+        # entries permanently (diff-review r5). Just drop the covered
+        # deltas (under the lock in OCC mode).
+        def _finish() -> bool:
+            for d in _index_dirs(table):
+                if d != f"{latest}.base" and d <= latest:
+                    table.fs.delete(f"{root}/{d}", recursive=True)
+            return True
+
+        if table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
+            from ..concurrency import LockTimeoutError, get_lock_provider
+
+            lock = get_lock_provider(table)
+            owner = f"key-index-completer-{_uuid.uuid4().hex[:8]}"
+            try:
+                lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
+            except LockTimeoutError:
+                return False
+            try:
+                return _finish()
+            finally:
+                lock.unlock(owner)
+        return _finish()
     live = read_index(table)
     if live is None:
         return False
-    root = index_root(table)
     # unique tmp per invocation — a fixed name would interleave two
     # writers' overwrite output into one mangled dir
     tmp = f"{root}/.compact_tmp.{_uuid.uuid4().hex[:8]}"
@@ -297,19 +340,16 @@ def _swap_compacted(table, tmp: str, latest: str, dirs: list[str]) -> bool:
         (d[: -len(".base")] if d.endswith(".base") else d for d in now_dirs),
         default="",
     )
-    if now_latest != latest or (
-        f"{latest}.base" in now_dirs and f"{latest}.base" not in dirs
-    ):
-        # a rival compactor installed a newer base (or the same one,
-        # APPEARING only after our snapshot of dirs) while we were
-        # writing — our tmp is stale; abort without touching deltas.
-        # A base that was already in our original dirs list is NOT a
-        # rival: read_index folded it into our tmp, so replacing it is
-        # safe (crash-leftover completion).
+    if now_latest != latest or f"{latest}.base" in now_dirs:
+        # a rival compactor installed a newer base — or this very one —
+        # while we were writing: our tmp is stale; abort without
+        # touching deltas. (A pre-existing <latest>.base never reaches
+        # here: compact_if_due takes the completion path instead, so the
+        # rename target below never exists and no delete-before-rename
+        # crash window can lose the old base — diff-review r5.)
         table.fs.delete(tmp, recursive=True)
         return False
     target = f"{root}/{latest}.base"
-    table.fs.delete(target, recursive=True)
     renamed = False
     try:
         renamed = table.fs.rename(tmp, target)

@@ -84,6 +84,7 @@ def merge_stored_and_incoming(
         *jk,
         F.lit(True).alias("__om"),
         F.lit(False).alias("__nm"),
+        F.lit(None).cast("long").alias("__ord"),
         F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
         F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
         F.lit(None).cast("boolean").alias(NEW + DELETE_MARKER_COL),
@@ -99,6 +100,7 @@ def merge_stored_and_incoming(
         *jk,
         F.lit(False).alias("__om"),
         F.lit(True).alias("__nm"),
+        F.monotonically_increasing_id().alias("__ord"),
         F.lit(None).cast("string").alias(OLD + COMMIT_TIME_COL),
         F.lit(None).cast("string").alias(OLD + SEQNO_COL),
         (
@@ -116,21 +118,38 @@ def merge_stored_and_incoming(
     if num_partitions:
         u = u.repartition(num_partitions, F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL))
     # each group holds ≤1 stored row (keys are unique within a file
-    # group) and ≤1 incoming row (preCombine dedup / the caller's
-    # update-collapse ran upstream) — any_value(ignoreNulls) therefore
-    # selects exactly the side's value, and tolerates map-typed columns
-    # that max()/struct comparison cannot order
+    # group); the STORED side therefore uses any_value(ignoreNulls),
+    # which also tolerates map-typed columns that struct comparison
+    # cannot order. The INCOMING side may hold >1 row per key when
+    # preCombine is disabled: pick ONE WHOLE row via max_by on arrival
+    # order — the reference merge-handle's keyToNewRecords map-put-last
+    # semantics — never per-column any_value, which could fabricate a
+    # row mixing columns of two duplicates (diff-review r5). Duplicates
+    # headed to brand-new file groups collapse the same way when the
+    # batch also touches existing groups (documented divergence: the
+    # reference's create handle writes every duplicate).
     def _side(c: str):
         return F.any_value(F.col(c), True).alias(c)
 
+    new_side = [NEW + DELETE_MARKER_COL] + [NEW + c for c in data_cols]
     j = u.groupBy(*jk).agg(
         F.max("__om").alias(HAS_OLD),
         F.max("__nm").alias(HAS_NEW),
         _side(OLD + COMMIT_TIME_COL),
         _side(OLD + SEQNO_COL),
-        _side(NEW + DELETE_MARKER_COL),
         *[_side(OLD + c) for c in data_cols],
-        *[_side(NEW + c) for c in data_cols],
+        F.max_by(
+            F.struct(*[F.col(c) for c in new_side]), F.col("__ord")
+        ).alias("__new"),
+    )
+    j = j.select(
+        *jk,
+        HAS_OLD,
+        HAS_NEW,
+        OLD + COMMIT_TIME_COL,
+        OLD + SEQNO_COL,
+        *[OLD + c for c in data_cols],
+        *[F.col(f"__new.`{c}`").alias(c) for c in new_side],
     )
     take_new = payload.take_new()
     is_delete = payload.is_delete()
@@ -167,6 +186,15 @@ def mor_merge_window(
     same thing shuffle-free per file group.
     """
     order = payload.mor_merge_order() + [F.col(SEQNO_COL).desc_nulls_last()]
+    if "__log" in union_df.columns and getattr(
+        payload, "mor_log_wins_over_base", False
+    ):
+        # overwrite-family combineAndGetUpdateValue ignores the stored
+        # value entirely: ANY log record beats the base record, and the
+        # ordering value only resolves log-vs-log (the reference's
+        # scanner applies preCombine among log records, then the final
+        # winner overwrites the base row unconditionally)
+        order = [F.col("__log").desc()] + order
     # partition in the window key for the same reason as the merge join:
     # one file_id string may name distinct groups in distinct partitions
     keys = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
@@ -204,7 +232,7 @@ def mor_merge_window(
     out = (
         union_df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__log")
     )
     if drop_tombstones:
         out = out.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))

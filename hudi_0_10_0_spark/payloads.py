@@ -62,12 +62,32 @@ class Payload:
             cols.append(F.col(self.precombine).desc_nulls_last())
         return cols
 
+    # Overwrite semantics make the stored (base) row lose to ANY log
+    # record: combineAndGetUpdateValue returns the incoming value
+    # unconditionally (OverwriteWithLatestAvroPayload.java:55-62), so
+    # only log-vs-log resolution consults the ordering value. The MOR
+    # merge window prepends an is-log rank when the caller provides the
+    # ``__log`` marker (merge.mor_merge_window).
+    mor_log_wins_over_base = True
+
+    # with the ordering below leading on the precombine value among log
+    # rows, a key-only NULL-ordering tombstone would rank below older
+    # live log rows — the positional delete-BLOCK pass applies here too
+    # (HoodieMergedLogRecordScanner: a delete block removes everything
+    # logged before it regardless of ordering)
+    mor_delete_block_filter = True
+
     def mor_merge_order(self) -> list[Column]:
-        """Version order for MOR read-merge (latest first). Overwrite
-        semantics: the most recent commit wins; precombine breaks ties."""
-        cols = [F.col(COMMIT_TIME_COL).desc()]
+        """Version order for MOR read-merge (latest first). Log-vs-log
+        follows preCombine — the LARGER ordering value wins even when it
+        arrived in an EARLIER deltacommit
+        (``HoodieMergedLogRecordScanner.processNextRecord`` calls
+        ``payload.preCombine``; commit order only breaks ties). The
+        base-beats-nothing rule is the separate ``__log`` rank above."""
+        cols = []
         if self.precombine:
             cols.append(F.col(self.precombine).desc_nulls_last())
+        cols.append(F.col(COMMIT_TIME_COL).desc())
         return cols
 
     # -- storage merge ----------------------------------------------------
@@ -113,27 +133,31 @@ class DefaultPayload(Payload):
 
     name = "default"
 
-    # event-time-first ordering would rank a key-only tombstone (NULL
-    # ordering value) below the stored row — the MOR merge must apply
-    # the positional delete-block filter (see merge.mor_merge_window)
-    mor_delete_block_filter = True
-
-    def mor_merge_order(self) -> list[Column]:
-        # event-time order first: a log row only supersedes the base row
-        # if its ordering value is >= (DefaultHoodieRecordPayload rule)
-        cols = []
-        if self.precombine:
-            cols.append(F.col(self.precombine).desc_nulls_last())
-        cols.append(F.col(COMMIT_TIME_COL).desc())
-        return cols
+    # the event-time guard lets the STORED row beat a lower-ordered log
+    # row (needUpdatingPersistedRecord) — no unconditional log-wins rank;
+    # the inherited precombine-first order IS the guard, and the
+    # positional delete-block filter (inherited) rescues key-only
+    # NULL-ordering tombstones
+    mor_log_wins_over_base = False
 
     def take_new(self) -> Column:
         if not self.precombine:
             return F.col(HAS_NEW)
-        newer = F.coalesce(
-            F.col(NEW + self.precombine) >= F.col(OLD + self.precombine), F.lit(True)
+        pc = self.precombine
+        # NULL incoming ordering cannot prove the incoming row is newer:
+        # it LOSES to a non-null stored value — the same verdict the MOR
+        # window's desc_nulls_last reaches, so COW and MOR agree
+        # (diff-review r5: coalesce(True) made the same upsert win on COW
+        # and lose on MOR). Key-only tombstones (null ordering + delete
+        # marker) still delete positionally, mirroring the MOR
+        # delete-BLOCK rule.
+        newer = F.col(OLD + pc).isNull() | F.coalesce(
+            F.col(NEW + pc) >= F.col(OLD + pc), F.lit(False)
         )
-        return F.col(HAS_NEW) & (~F.col(HAS_OLD) | newer)
+        null_tomb = F.coalesce(
+            F.col(NEW + DELETE_MARKER_COL), F.lit(False)
+        ) & F.col(NEW + pc).isNull()
+        return F.col(HAS_NEW) & (~F.col(HAS_OLD) | newer | null_tomb)
 
 
 class OverwriteNonDefaultsPayload(Payload):

@@ -291,9 +291,15 @@ def _merge_slices(
     logs = _read_paths(
         table, [p for s in with_logs for l in s.logs for p in l.paths]
     )
-    both = base.unionByName(logs)
     if merge_type == "skip_merge":
+        both = base.unionByName(logs)
         return both.unionByName(plain) if plain is not None else both
+    # __log marker: overwrite-family payloads rank ANY log record above
+    # the base record (combineAndGetUpdateValue ignores the stored value);
+    # the ordering value then resolves only log-vs-log (preCombine)
+    both = base.withColumn("__log", F.lit(0)).unionByName(
+        logs.withColumn("__log", F.lit(1))
+    )
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
     merged = mor_merge_window(both, payload)
     return merged.unionByName(plain) if plain is not None else merged

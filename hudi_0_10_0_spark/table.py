@@ -44,7 +44,36 @@ class HudiTable:
         if t.fs.exists(cfg_path):
             if not exist_ok:
                 raise ValueError(f"table already exists at {base_path}")
-            return HudiTable.load(spark, base_path)
+            existing = HudiTable.load(spark, base_path)
+            # exist_ok returns the STORED config — but silently returning
+            # a table whose identity/layout disagrees with what the
+            # caller just asked for is a trap (wrong merge semantics,
+            # index buckets disagreeing with on-disk bucket dirs, ...):
+            # identity fields must match (diff-review r5)
+            def _norm(v):
+                if isinstance(v, (list, tuple)):
+                    return [str(x) for x in v]
+                return [p.strip() for p in str(v).split(",") if p.strip()]
+
+            for f in (
+                "table_type", "record_key_field", "partition_field",
+                "keygen", "payload", "precombine_field", "index_type",
+                "hive_style_partitioning", "url_encode_partitioning",
+                "drop_partition_columns", "key_index_buckets",
+            ):
+                new_v, cur_v = getattr(cfg, f), getattr(existing.cfg, f)
+                if f in ("record_key_field", "partition_field"):
+                    clash = _norm(new_v) != _norm(cur_v)
+                else:
+                    clash = new_v != cur_v
+                if clash:
+                    raise ValueError(
+                        f"create(exist_ok=True) at {base_path}: supplied "
+                        f"config conflicts with the stored table on {f} "
+                        f"(stored {cur_v!r}, supplied {new_v!r}) — "
+                        "identity/layout fields are fixed at creation"
+                    )
+            return existing
         t.fs.mkdirs(f"{t.meta_path}/timeline")
         t.fs.write_text_atomic(cfg_path, cfg.to_json())
         return t
@@ -154,7 +183,16 @@ class HudiTable:
         table. ``METADATA_ONLY``: register the source files in the
         manifest without rewriting anything; meta columns are derived at
         read time and groups are rewritten lazily on first upsert."""
-        if mode.upper() == "METADATA_ONLY":
+        m = mode.strip().upper()
+        if m not in ("METADATA_ONLY", "FULL_RECORD"):
+            # reject typos loudly: silently falling through to
+            # FULL_RECORD would launch a full read-and-rewrite of a
+            # dataset the caller explicitly asked NOT to rewrite
+            raise ValueError(
+                f"unknown bootstrap mode {mode!r} "
+                "(expected METADATA_ONLY | FULL_RECORD)"
+            )
+        if m == "METADATA_ONLY":
             from .operators.write import bootstrap_metadata_only
 
             return bootstrap_metadata_only(self, parquet_path)

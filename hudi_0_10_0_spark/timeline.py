@@ -226,6 +226,12 @@ class Timeline:
         for state in (REQUESTED, INFLIGHT):
             self.fs.delete(f"{self.dir}/{Instant(timestamp, action, state).filename()}")
 
+    def revert_to_requested(self, timestamp: str, action: str) -> None:
+        """Drop only the INFLIGHT marker: a failed execution of a
+        scheduled plan (async clustering) returns the instant to
+        REQUESTED so the plan stays retryable."""
+        self.fs.delete(f"{self.dir}/{Instant(timestamp, action, INFLIGHT).filename()}")
+
     # -- archive (client/table/HoodieTimelineArchiveLog.java:74-196) -------
     def archive(self, keep_min: int, keep_max: int, protected_ts: set[str] | None = None) -> int:
         """When > keep_max completed write instants, move the oldest down
