@@ -437,7 +437,33 @@ class HudiSqlSession:
             ).lower() == "true",
         )
         exists = HudiTable.exists(self.spark, m.group("loc"))
-        t = HudiTable.create(self.spark, m.group("loc"), cfg, exist_ok=True)
+        if exists:
+            # 'Test Create Table From Exist Hoodie Table': adopting an
+            # existing table loads the STORED config. Explicitly supplied
+            # identity TBLPROPERTIES must still agree with it — the
+            # defaults the statement did NOT set must not be validated
+            # (create(exist_ok=True) compares every identity field, and a
+            # bare CREATE ... LOCATION carries defaults for all of them).
+            t = HudiTable.load(self.spark, m.group("loc"))
+            stored_keys = ",".join(t.cfg.key_fields())
+            if "primarykey" in props and [
+                p.strip() for p in props["primarykey"].split(",")
+            ] != t.cfg.key_fields():
+                raise ValueError(
+                    f"CREATE TABLE {name}: primaryKey "
+                    f"{props['primarykey']!r} conflicts with the existing "
+                    f"table's record key {stored_keys!r} at {m.group('loc')}"
+                )
+            if (
+                "precombinefield" in props
+                and props["precombinefield"] != t.cfg.precombine_field
+            ):
+                raise ValueError(
+                    f"CREATE TABLE {name}: preCombineField conflicts with "
+                    f"the existing table at {m.group('loc')}"
+                )
+        else:
+            t = HudiTable.create(self.spark, m.group("loc"), cfg)
         self.register(name, t)
         if m.group("cols") and not exists:
             # declared columns seed the table schema via an empty schema
