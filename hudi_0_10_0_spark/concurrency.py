@@ -452,5 +452,30 @@ def guarded_commit(
                 "writer (holder outlived the lock TTL) — aborting commit"
             )
         table.timeline.transition_to_completed(instant, action, metadata)
+        # Close the validate→complete TOCTOU (verdict r5): a holder that
+        # stalls BETWEEN the validate above and the completion write for
+        # longer than the TTL could still publish after being displaced.
+        # Re-validate AFTER the write: if the token changed, a rival
+        # recovered the lock before our re-read — it may have run its
+        # conflict check without seeing our instant — so UNDO the
+        # completion (delete only the COMPLETED file; pending files are
+        # cleaned by the caller's abort path) and abort. If the token is
+        # unchanged, no takeover happened before this read, so every
+        # rival that enters the critical section afterward re-lists the
+        # timeline and sees our completed instant. Worst remaining case
+        # is a spurious rival abort (rival conflict-checked against a
+        # commit we then undid) — conservative, never a dual commit.
+        if hasattr(lock, "validate") and not lock.validate(owner):
+            from .timeline import COMPLETED, Instant
+
+            table.fs.delete(
+                f"{table.timeline.dir}/"
+                f"{Instant(instant, action, COMPLETED).filename()}"
+            )
+            raise LockTimeoutError(
+                f"lock for instant {instant} was taken over during the "
+                "completion write (holder outlived the lock TTL) — "
+                "commit undone and aborted"
+            )
     finally:
         lock.unlock(owner)

@@ -129,6 +129,12 @@ class WriteConfig:
     clustering_updates_strategy: str = "REJECT"
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
+    # MOR snapshot log-key bypass: when the manifests say the uncompacted
+    # log volume is at most this many rows, the distinct log keys are
+    # BROADCAST and base rows with no log record skip the merge shuffle
+    # entirely (reference scanner semantics — only log keys merge).
+    # Above it, the read falls back to the full window merge.
+    mor_log_key_broadcast_max_rows: int = 1_000_000
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field

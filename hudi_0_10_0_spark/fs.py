@@ -28,6 +28,15 @@ class FS:
     def path(self, p: str):
         return self._Path(p)
 
+    def _resolved_scheme(self) -> str:
+        """Scheme of the Hadoop FileSystem scheme-less paths resolve to
+        (``fs.defaultFS``-derived). ``file`` / empty means local."""
+        try:
+            s = self._fs.getUri().getScheme()
+            return s if s is not None else ""
+        except Exception:
+            return ""
+
     def exists(self, p: str) -> bool:
         return self._fs.exists(self._Path(p))
 
@@ -151,12 +160,20 @@ class FS:
         ``create(overwrite=false)`` is a non-atomic exists-then-create);
         other stores go through ``FileSystem.create(path, false)``, which
         is namenode-atomic on HDFS. The lock provider's acquisition path
-        is built on this. Caller ensures the parent directory exists."""
+        is built on this. Caller ensures the parent directory exists.
+
+        Whether a path is "local" is decided by the RESOLVED Hadoop
+        FileSystem scheme, never by the path string: a scheme-less path
+        resolves through ``fs.defaultFS`` (exists/mtime/read already go
+        there), so on a cluster with ``defaultFS=hdfs://`` treating it
+        as a driver-local file would put the lock on a different store
+        than every other lock operation — silently breaking OCC mutual
+        exclusion."""
         import os as _os
 
         if p.startswith("file:"):
             local_path = p[len("file:"):]
-        elif "://" not in p:
+        elif "://" not in p and self._resolved_scheme() in ("file", ""):
             local_path = p
         else:
             local_path = None

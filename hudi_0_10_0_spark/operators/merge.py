@@ -28,6 +28,12 @@ from ..config import (
 )
 from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD, Payload
 
+# Arrival-order column stamped on the raw incoming batch by
+# run_batch_write before any join/shuffle; consumed by the duplicate
+# collapse below and precombine_dedup's tie-break. Never written to
+# storage (data_columns excludes it; _finalize projects it away).
+ARRIVAL_ORDER_COL = "__ord"
+
 
 def seqno_expr(instant: str):
     # reference: commitTime + "_" + partitionId + "_" + rowId
@@ -100,7 +106,15 @@ def merge_stored_and_incoming(
         *jk,
         F.lit(False).alias("__om"),
         F.lit(True).alias("__nm"),
-        F.monotonically_increasing_id().alias("__ord"),
+        # arrival order: prefer the ``__ord`` stamped on the RAW input by
+        # run_batch_write (deterministic w.r.t. the user's input layout);
+        # an id generated here would run after the tag join's shuffle,
+        # whose partition layout is nondeterministic (advice r5)
+        (
+            F.col(ARRIVAL_ORDER_COL)
+            if ARRIVAL_ORDER_COL in new.columns
+            else F.monotonically_increasing_id()
+        ).alias("__ord"),
         F.lit(None).cast("string").alias(OLD + COMMIT_TIME_COL),
         F.lit(None).cast("string").alias(OLD + SEQNO_COL),
         (
@@ -244,7 +258,14 @@ def precombine_dedup(incoming: DataFrame, payload: Payload, global_key: bool) ->
     ``SparkWriteHelper.deduplicateRecords`` reduces by (key[, partition])
     keeping the larger ordering value (SparkWriteHelper.java:60-75)."""
     keys = [RECORD_KEY_COL] if global_key else [RECORD_KEY_COL, PARTITION_PATH_COL]
-    order = payload.precombine_order() or [F.lit(1)]
+    order = payload.precombine_order() or []
+    if ARRIVAL_ORDER_COL in incoming.columns:
+        # deterministic tie-break: equal (or absent) ordering values
+        # resolve to the LAST-arriving duplicate, matching the merge
+        # kernel's map-put-last semantics
+        order = order + [F.col(ARRIVAL_ORDER_COL).desc_nulls_last()]
+    if not order:
+        order = [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         incoming.withColumn("__rn", F.row_number().over(w))

@@ -47,16 +47,27 @@ def is_widening(old: T.DataType, new: T.DataType) -> bool:
 
 
 def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
-    from ..concurrency import guarded_commit, txn_start_marker
+    from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 
     instant = table.new_instant()
-    table.timeline.create_requested(instant, "commit", {"operation": operation})
-    table.timeline.transition_to_inflight(instant, "commit")
-    md = make_commit_metadata(operation, new_schema.json(), [])
-    # through the OCC gate: serializes concurrent DDLs under the table
-    # lock, and the gate's reconcile-on-commit folds in any OTHER schema
-    # change that completed while this one was being prepared
-    guarded_commit(table, instant, "commit", md, txn_start=txn_start_marker(table))
+    # heartbeat-guard the pending window (advice r5): without it a
+    # rival's lazy failed-write sweep could judge this pending commit
+    # crashed and delete its files mid-DDL
+    hb = start_heartbeat(table, instant)
+    try:
+        table.timeline.create_requested(instant, "commit", {"operation": operation})
+        table.timeline.transition_to_inflight(instant, "commit")
+        md = make_commit_metadata(operation, new_schema.json(), [])
+        # through the OCC gate: serializes concurrent DDLs under the table
+        # lock, and the gate's reconcile-on-commit folds in any OTHER schema
+        # change that completed while this one was being prepared
+        guarded_commit(table, instant, "commit", md, txn_start=txn_start_marker(table))
+    except BaseException:
+        table.timeline.delete_pending_instant_files(instant, "commit")
+        raise
+    finally:
+        if hb is not None:
+            hb.stop()
     table._schema_cache = None
     return instant
 

@@ -156,7 +156,22 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         timeline.delete_instant_files(instant, COMPACTION)
         return None
 
-    timeline.transition_to_inflight(instant, COMPACTION)
+    # Heartbeat for the COMPLETION swap below: between
+    # delete_instant_files(COMPACTION) and transition_to_completed(COMMIT)
+    # there is a pending COMMIT on the timeline; a rival's lazy
+    # failed-write sweep treats any heartbeat-less pending WRITE_ACTION
+    # as crashed and would delete the compacted data dir out from under
+    # the unconditional completion write (advice r5). The heartbeat spans
+    # the whole run so the window is covered no matter how slow the swap.
+    from ..concurrency import start_heartbeat
+
+    hb = start_heartbeat(table, instant)
+    try:
+        timeline.transition_to_inflight(instant, COMPACTION)
+    except BaseException:
+        if hb is not None:
+            hb.stop()
+        raise
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
         from ..sources.read import base_format, slices_to_df
@@ -210,6 +225,9 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         timeline.delete_instant_files(instant, COMMIT)
         raise
+    finally:
+        if hb is not None:
+            hb.stop()
     return instant
 
 

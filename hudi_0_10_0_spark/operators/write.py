@@ -44,7 +44,13 @@ from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
-from .merge import merge_stored_and_incoming, mor_merge_window, precombine_dedup, seqno_expr
+from .merge import (
+    ARRIVAL_ORDER_COL,
+    merge_stored_and_incoming,
+    mor_merge_window,
+    precombine_dedup,
+    seqno_expr,
+)
 
 _STATS_TYPES = (
     T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
@@ -88,7 +94,9 @@ def data_columns(schema: T.StructType) -> list[str]:
     return [
         f.name
         for f in schema.fields
-        if f.name not in META_COLS and f.name != DELETE_MARKER_COL
+        if f.name not in META_COLS
+        and f.name != DELETE_MARKER_COL
+        and f.name != ARRIVAL_ORDER_COL
     ]
 
 
@@ -885,6 +893,17 @@ def run_batch_write(
         if f.name in data_cols
     }
 
+    # Arrival order for precombine-DISABLED duplicate collapse (reference
+    # merge-handle map-put-last semantics): captured HERE, on the raw
+    # aligned input BEFORE the tag join / profile shuffles — an id taken
+    # after those shuffles would depend on a nondeterministic partition
+    # layout, so which duplicate wins could vary across runs (advice r5).
+    # Stamped after ``data_cols`` so it is never treated as a data column.
+    if operation != WriteOperation.BULK_INSERT:
+        incoming = incoming.withColumn(
+            ARRIVAL_ORDER_COL, F.monotonically_increasing_id()
+        )
+
     needs_combine = (
         operation in (WriteOperation.UPSERT, WriteOperation.DELETE)
         and cfg.combine_before_upsert
@@ -905,8 +924,17 @@ def run_batch_write(
     # heartbeat BEFORE the requested file is visible: rivals' lazy
     # failed-write sweep must never see a pending instant without one
     hb = start_heartbeat(table, instant)
-    table.timeline.create_requested(instant, action, {"operation": operation.value})
-    table.timeline.transition_to_inflight(instant, action)
+    try:
+        table.timeline.create_requested(instant, action, {"operation": operation.value})
+        table.timeline.transition_to_inflight(instant, action)
+    except BaseException:
+        # a failure HERE is outside the main try/finally below: stop the
+        # refresh thread (else it keeps the heartbeat file perpetually
+        # fresh, making any half-created pending instant unsweepable)
+        # and remove whatever pending files did get created
+        hb.stop()
+        table.timeline.delete_instant_files(instant, action)
+        raise
     committed = False
     try:
         if operation == WriteOperation.BULK_INSERT:
@@ -1339,10 +1367,19 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
     )
 
     instant = table.new_instant()
-    table.timeline.create_requested(
-        instant, "commit", {"operation": "bootstrap"}
-    )
-    table.timeline.transition_to_inflight(instant, "commit")
+    # heartbeat-guard the pending window like every other write: a
+    # rival's lazy sweep must never judge this pending commit crashed
+    hb = start_heartbeat(table, instant)
+    try:
+        table.timeline.create_requested(
+            instant, "commit", {"operation": "bootstrap"}
+        )
+        table.timeline.transition_to_inflight(instant, "commit")
+    except BaseException:
+        if hb is not None:
+            hb.stop()
+        table.timeline.delete_instant_files(instant, "commit")
+        raise
     try:
         stats = []
         for uri, size in sorted(listed):
@@ -1375,6 +1412,9 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
     except Exception:
         table.timeline.delete_instant_files(instant, "commit")
         raise
+    finally:
+        if hb is not None:
+            hb.stop()
     return instant
 
 
@@ -1397,8 +1437,13 @@ def run_replace_write(
     txn_start = txn_start_marker(table, view)
     instant = table.new_instant()
     hb = start_heartbeat(table, instant)  # before the requested file is visible
-    table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
-    table.timeline.transition_to_inflight(instant, "replacecommit")
+    try:
+        table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
+        table.timeline.transition_to_inflight(instant, "replacecommit")
+    except BaseException:
+        hb.stop()  # else the refresh thread outlives the failed write
+        table.timeline.delete_instant_files(instant, "replacecommit")
+        raise
     try:
         stats: list[WriteStat] = []
         incoming = None

@@ -20,6 +20,7 @@ from ..config import (
     FILE_ID_COL,
     META_COLS,
     PARTITION_PATH_COL,
+    RECORD_KEY_COL,
     SEQNO_COL,
     TableType,
 )
@@ -294,6 +295,31 @@ def _merge_slices(
     if merge_type == "skip_merge":
         both = base.unionByName(logs)
         return both.unionByName(plain) if plain is not None else both
+    # Log-key bypass (verdict r5 #3): the reference's scanner only ever
+    # MERGES keys that appear in the logs — base rows of delta-bearing
+    # groups whose key has no log record stream straight through
+    # (``HoodieMergedLogRecordScanner.java:136-159`` probes a hash map of
+    # log keys). Expressing the merge as a window would instead shuffle
+    # EVERY base row of a log-bearing group. When the manifests say the
+    # log volume is small (the steady state — compaction every 5
+    # deltacommits bounds the uncompacted fraction), broadcast the
+    # distinct log keys and split base via semi/anti joins: untouched
+    # base rows never enter the shuffle (two broadcast-joined scans of
+    # the base files replace one full shuffle of them — scans are
+    # pushdown-friendly and shuffle-free, the decisive trade at 100 TB).
+    # Large log volume falls back to the single full window merge: a
+    # shuffle-based semi-join split would shuffle base TWICE.
+    untouched = None
+    log_rows = sum(l.rows for s in with_logs for l in s.logs)
+    if log_rows <= int(
+        getattr(table.cfg, "mor_log_key_broadcast_max_rows", 1_000_000)
+    ):
+        keys3 = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+        log_keys = logs.select(*keys3).distinct()
+        untouched = base.join(F.broadcast(log_keys), keys3, "left_anti").filter(
+            ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+        )
+        base = base.join(F.broadcast(log_keys), keys3, "left_semi")
     # __log marker: overwrite-family payloads rank ANY log record above
     # the base record (combineAndGetUpdateValue ignores the stored value);
     # the ordering value then resolves only log-vs-log (preCombine)
@@ -302,6 +328,8 @@ def _merge_slices(
     )
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
     merged = mor_merge_window(both, payload)
+    if untouched is not None:
+        merged = merged.unionByName(untouched)
     return merged.unionByName(plain) if plain is not None else merged
 
 

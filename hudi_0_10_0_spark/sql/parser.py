@@ -462,6 +462,19 @@ class HudiSqlSession:
                     f"CREATE TABLE {name}: preCombineField conflicts with "
                     f"the existing table at {m.group('loc')}"
                 )
+            if "type" in props and cfg.table_type != t.cfg.table_type:
+                raise ValueError(
+                    f"CREATE TABLE {name}: type {ttype!r} conflicts with "
+                    f"the existing {t.cfg.table_type.value} table at "
+                    f"{m.group('loc')}"
+                )
+            if parts and [p.strip() for p in parts] != t.cfg.partition_fields():
+                raise ValueError(
+                    f"CREATE TABLE {name}: PARTITIONED BY "
+                    f"({', '.join(parts)}) conflicts with the existing "
+                    f"table's partition fields "
+                    f"{t.cfg.partition_fields()!r} at {m.group('loc')}"
+                )
         else:
             t = HudiTable.create(self.spark, m.group("loc"), cfg)
         self.register(name, t)

@@ -451,3 +451,51 @@ def test_occ_two_processes_filesystem_lock(spark, tmp_table_path):
     # timeline linearity: completed instants strictly ordered, no dup ts
     ts = [i.timestamp for i in t.timeline.completed_write_instants()]
     assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_commit_fencing_toctou_takeover_mid_completion(spark, tmp_table_path):
+    """VERDICT r5 #2: a writer that stalls past the lock TTL BETWEEN the
+    commit-point validate() and the completion write must not leave a
+    completed instant behind. Simulate the stall by having a rival
+    recover the (judged-expired) lock inside transition_to_completed:
+    the post-write re-validate must detect the takeover, DELETE the
+    just-written completed file, and abort — exactly one timeline state
+    survives."""
+    from hudi_0_10_0_spark.concurrency import (
+        FileSystemLockProvider,
+        LockTimeoutError,
+    )
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    before = [i.timestamp for i in t.timeline.completed_write_instants()]
+
+    orig = t.timeline.transition_to_completed
+    rival = FileSystemLockProvider(t.fs, t.meta_path, ttl_seconds=0.0)
+    stole = {}
+
+    def stalled(instant, action, metadata):
+        # the displaced writer's TTL has "expired" mid-critical-section:
+        # a rival recovers the lock just before the completion write
+        if "done" not in stole:
+            assert rival.try_lock("rival-takeover")
+            stole["done"] = True
+        return orig(instant, action, metadata)
+
+    t.timeline.transition_to_completed = stalled
+    try:
+        with pytest.raises(LockTimeoutError, match="taken over"):
+            t.upsert(_df(spark, [(1, "p0", 2)]))
+    finally:
+        t.timeline.transition_to_completed = orig
+        rival.unlock("rival-takeover")
+
+    # the displaced writer's commit was undone: timeline unchanged,
+    # nothing pending, and the table still reads the pre-write value
+    after = [i.timestamp for i in t.timeline.completed_write_instants()]
+    assert after == before
+    assert t.timeline.pending() == []
+    assert t.snapshot().filter("id = 1").first().v == 1
+    # a fresh writer proceeds normally once the rival releases
+    t.upsert(_df(spark, [(1, "p0", 3)]))
+    assert t.snapshot().filter("id = 1").first().v == 3

@@ -385,6 +385,38 @@ def test_create_table_from_existing(spark, tmp_table_path):
     assert t.snapshot().filter("id = 1").first().name == "z"
 
 
+def test_create_table_from_existing_identity_conflicts(spark, tmp_table_path):
+    """ADVICE r5: CREATE TABLE over an existing location must reject an
+    EXPLICITLY supplied type or PARTITIONED BY that contradicts the
+    stored config (primaryKey/preCombineField were already checked) —
+    silently adopting the stored values would hand the user a handle
+    whose declared identity is a lie."""
+    import pytest
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.config import TableType
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/src2",
+        WriteConfig(record_key_field="id", precombine_field="ts",
+                    partition_field="part",
+                    table_type=TableType.MERGE_ON_READ),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "p0", 1)], "id int, part string, ts long"))
+
+    s = HudiSqlSession(spark)
+    loc = f"{tmp_table_path}/src2"
+    with pytest.raises(ValueError, match="type"):
+        s.sql(f"CREATE TABLE bad1 USING hudi TBLPROPERTIES (type = 'cow') LOCATION '{loc}'")
+    with pytest.raises(ValueError, match="PARTITIONED BY"):
+        s.sql(f"CREATE TABLE bad2 USING hudi PARTITIONED BY (id) LOCATION '{loc}'")
+    # agreeing explicit identity props still adopt fine
+    s.sql(f"CREATE TABLE ok USING hudi TBLPROPERTIES (type = 'mor') PARTITIONED BY (part) LOCATION '{loc}'")
+    assert s.tables["ok"].cfg.partition_fields() == ["part"]
+
+
 def test_update_ignoring_case(spark, tmp_table_path):
     """'Test ignoring case for Update Table' (TestUpdateTable.scala:63):
     differently-cased column references in UPDATE resolve."""
