@@ -308,7 +308,11 @@ def get_lock_provider(table) -> LockProvider:
     name = (getattr(table.cfg, "lock_provider", None) or "FILESYSTEM").strip()
     up = name.upper()
     if up in ("FILESYSTEM", "FILE_SYSTEM", "FS"):
-        return FileSystemLockProvider(table.fs, table.meta_path)
+        return FileSystemLockProvider(
+            table.fs,
+            table.meta_path,
+            ttl_seconds=float(getattr(table.cfg, "lock_ttl_seconds", 600.0)),
+        )
     if up in ("IN_PROCESS", "INPROCESS", "IN_MEMORY", "INMEMORY"):
         return InProcessLockProvider(table.base_path)
     if ":" in name:

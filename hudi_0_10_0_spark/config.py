@@ -124,6 +124,10 @@ class WriteConfig:
     heartbeat_interval_seconds: float = 60.0
     # FILESYSTEM | IN_PROCESS | "module:Class" (concurrency.get_lock_provider)
     lock_provider: str = "FILESYSTEM"
+    # FILESYSTEM lock expiry: a lock older than this is judged abandoned
+    # (holder crashed) and recovered via the single-winner takeover
+    # (hoodie.write.lock.filesystem.expire analogue, seconds not minutes)
+    lock_ttl_seconds: float = 600.0
     # REJECT (SparkRejectUpdateStrategy) | ALLOW_ROLLBACK
     # (SparkAllowUpdateStrategy + hoodie.clustering.rollback.pending.replacecommit)
     clustering_updates_strategy: str = "REJECT"

@@ -134,12 +134,32 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         instant = schedule_compaction(table)
         if instant is None:
             return None
+    # Crash recovery (crash-matrix r6): if the compaction's COMMIT
+    # already COMPLETED (crash between the commit point and the plan-file
+    # cleanup), re-executing would rewrite — and with the leftover-dir
+    # clear, DELETE — committed data. Finish the cleanup and return.
+    if any(
+        i.timestamp == instant and i.action == COMMIT and i.state == "completed"
+        for i in timeline.instants()
+    ):
+        timeline.delete_pending_instant_files(instant, COMPACTION)
+        return instant
     req = [
         i
         for i in timeline.instants()
         if i.timestamp == instant and i.action == COMPACTION and i.state == "requested"
     ]
     if not req:
+        # an INFLIGHT marker without its plan is a crashed run's leftover
+        # (the plan itself is never deleted before the commit completes —
+        # see the completion order below); reclaim it instead of raising
+        if any(
+            i.timestamp == instant and i.action == COMPACTION
+            for i in timeline.pending()
+        ):
+            timeline.delete_pending_instant_files(instant, COMPACTION)
+            table.fs.delete(table.instant_data_path(instant), recursive=True)
+            return None
         raise ValueError(f"no compaction plan at {instant}")
     plan = timeline.read_metadata(req[0])
     targets = {(d["partition"], d["file_id"]) for d in plan["slices"]}
@@ -157,12 +177,12 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         return None
 
     # Heartbeat for the COMPLETION swap below: between
-    # delete_instant_files(COMPACTION) and transition_to_completed(COMMIT)
-    # there is a pending COMMIT on the timeline; a rival's lazy
-    # failed-write sweep treats any heartbeat-less pending WRITE_ACTION
-    # as crashed and would delete the compacted data dir out from under
-    # the unconditional completion write (advice r5). The heartbeat spans
-    # the whole run so the window is covered no matter how slow the swap.
+    # create_requested(COMMIT) and transition_to_completed(COMMIT) there
+    # is a pending COMMIT on the timeline; a rival's lazy failed-write
+    # sweep treats any heartbeat-less pending WRITE_ACTION as crashed and
+    # would delete the compacted data dir out from under the completion
+    # write (advice r5). The heartbeat spans the whole run so the window
+    # is covered no matter how slow the swap.
     from ..concurrency import start_heartbeat
 
     hb = start_heartbeat(table, instant)
@@ -198,6 +218,13 @@ def run_compaction(table, instant: str | None = None) -> str | None:
             max(1, len(slices)), F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL)
         )
         merged = mor_merge_window(union, payload)
+        # crash recovery: a process killed mid-save leaves a partial
+        # data/<instant>/ dir (the failed-write sweep skips pending
+        # COMPACTION plans so the plan stays retryable) — clear it, or
+        # the retry dies on the writer's mode('error')
+        leftover = table.instant_data_path(instant)
+        if table.fs.exists(leftover):
+            table.fs.delete(leftover, recursive=True)
         write_instant_files(
             table, merged, instant, len(slices), pre_partitioned=True,
         )
@@ -217,10 +244,16 @@ def run_compaction(table, instant: str | None = None) -> str | None:
             "compact", view.latest_schema() or "", stats, extra={"plan": plan}
         )
         # compaction completes as a commit (reference: compaction instant
-        # transitions to a .commit on the timeline)
-        timeline.delete_instant_files(instant, COMPACTION)
+        # transitions to a .commit on the timeline). ORDER MATTERS for
+        # crash recovery (crash-matrix r6): the COMMIT is created and
+        # completed BEFORE the COMPACTION plan files are removed, so no
+        # crash point loses the plan — a crash before the commit leaves
+        # the plan retryable (the failed-write sweep reclaims the pending
+        # COMMIT), a crash after it leaves only leftover plan files that
+        # the completed-commit guard at the top of this function removes.
         timeline.create_requested(instant, COMMIT, {"operation": "compact"})
         timeline.transition_to_completed(instant, COMMIT, md)
+        timeline.delete_pending_instant_files(instant, COMPACTION)
     except Exception:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         timeline.delete_instant_files(instant, COMMIT)
@@ -243,8 +276,18 @@ def clean(table) -> str | None:
     version at/after the earliest retained commit plus the one version
     just before it (to serve as-of reads back to that commit), plus
     anything a savepoint pins. KEEP_LATEST_FILE_VERSIONS: keep the
-    newest K versions per file group."""
+    newest K versions per file group.
+
+    Crash safety (crash-matrix r6, reference ``HoodieCleanClient.
+    runPendingClean``): the deletable list is pinned in a
+    ``clean.requested`` PLAN before any file is touched, and any pending
+    clean found at entry is re-executed from its plan first — file
+    deletions are therefore always recorded, never inferred, and a
+    crashed clean finishes instead of leaving unrecorded deletions."""
     cfg = table.cfg
+    for inst in table.timeline.pending():
+        if inst.action == CLEAN:
+            _finish_clean(table, inst.timestamp)
     view = table.view()
     commits = [ts for ts, _, _ in view.commits]
     if not commits:
@@ -308,17 +351,36 @@ def clean(table) -> str | None:
     # dataset: drop them from the view (recorded as deleted) but never
     # remove them from disk
     external = view.raw_paths()
-    for p in deletable:
-        if p not in external:
-            table.fs.delete(table.abs_path(p))
     instant = table.new_instant()
-    table.timeline.create_requested(instant, CLEAN, {})
+    table.timeline.create_requested(
+        instant,
+        CLEAN,
+        {
+            "deletable": sorted(deletable),
+            "physical": sorted(p for p in deletable if p not in external),
+            "policy": cfg.cleaner_policy,
+        },
+    )
+    _finish_clean(table, instant)
+    return instant
+
+
+def _finish_clean(table, instant: str) -> None:
+    """Execute a clean plan pinned in its ``clean.requested`` file:
+    delete the planned physical paths (missing files are fine — a
+    crashed attempt may have removed some already) and complete the
+    instant recording exactly the planned list."""
+    plan = table.timeline.read_requested_metadata(instant, CLEAN)
+    for p in plan.get("physical", []):
+        table.fs.delete(table.abs_path(p))
     table.timeline.transition_to_completed(
         instant,
         CLEAN,
-        {"deleted": sorted(deletable), "policy": cfg.cleaner_policy},
+        {
+            "deleted": sorted(plan.get("deletable", [])),
+            "policy": plan.get("policy", table.cfg.cleaner_policy),
+        },
     )
-    return instant
 
 
 # --------------------------------------------------------------------------

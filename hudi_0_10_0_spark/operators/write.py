@@ -932,7 +932,8 @@ def run_batch_write(
         # refresh thread (else it keeps the heartbeat file perpetually
         # fresh, making any half-created pending instant unsweepable)
         # and remove whatever pending files did get created
-        hb.stop()
+        if hb is not None:
+            hb.stop()
         table.timeline.delete_instant_files(instant, action)
         raise
     committed = False
@@ -1441,7 +1442,8 @@ def run_replace_write(
         table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
         table.timeline.transition_to_inflight(instant, "replacecommit")
     except BaseException:
-        hb.stop()  # else the refresh thread outlives the failed write
+        if hb is not None:
+            hb.stop()  # else the refresh thread outlives the failed write
         table.timeline.delete_instant_files(instant, "replacecommit")
         raise
     try:

@@ -499,3 +499,107 @@ def test_commit_fencing_toctou_takeover_mid_completion(spark, tmp_table_path):
     # a fresh writer proceeds normally once the rival releases
     t.upsert(_df(spark, [(1, "p0", 3)]))
     assert t.snapshot().filter("id = 1").first().v == 3
+
+
+def test_multi_writer_kill_soak(spark, tmp_table_path):
+    """VERDICT r5 #6: SIGKILL a writer process mid-iteration while two
+    rivals keep writing. The dead writer's pending instants must be
+    reclaimed by the rivals' lazy failed-write sweep once its heartbeat
+    expires — and ONLY its instants: the survivors' full per-key audit
+    must still pass, the victim's keys must read one uniform committed
+    iteration (never torn), and the timeline must stay linear with no
+    leftover pending instants or heartbeats."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import tempfile
+    import time
+
+    path = tmp_table_path + "/killsoak"
+    cfg = _cfg()
+    cfg.lock_wait_seconds = 120.0
+    cfg.lock_ttl_seconds = 5.0  # victim may die holding the lock
+    cfg.heartbeat_interval_seconds = 1.0  # sweepable after ~3s
+    t = HudiTable.create(spark, path, cfg)
+    t.bulk_insert(_df(spark, [(i, f"p{i % 4}", 0) for i in range(5_000_000, 5_000_100)]))
+
+    helpers = os.path.join(os.path.dirname(__file__), "helpers")
+    barrier = tempfile.mkdtemp()
+    progress = os.path.join(barrier, "victim-progress")
+    n_writers = 3
+    survivors = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(helpers, "soak_writer.py"),
+             path, str(w), str(n_writers), barrier, "6", "30"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in (0, 1)
+    ]
+    victim = subprocess.Popen(
+        [sys.executable, os.path.join(helpers, "kill_victim_writer.py"),
+         path, "2", str(n_writers), barrier, progress, "30"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+    # kill mid-iteration: wait until the victim has committed >= 2
+    # rounds, then a beat into its next round
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            if int(open(progress).read() or 0) >= 2:
+                break
+        except (FileNotFoundError, ValueError):
+            pass
+        time.sleep(0.2)
+    else:
+        victim.kill()
+        raise AssertionError("victim never reached iteration 2")
+    time.sleep(1.0)  # land inside the next iteration with high odds
+    os.kill(victim.pid, signal.SIGKILL)
+    victim.wait(timeout=30)
+    last_recorded = int(open(progress).read())
+
+    outs = [(p.wait(timeout=900), p.stdout.read(), p.stderr.read()) for p in survivors]
+    assert all(rc == 0 for rc, _, _ in outs), [
+        (rc, o[-300:], e[-800:]) for rc, o, e in outs
+    ]
+
+    # survivors' committed data intact (the sweep never ate a live rival)
+    expect_alive, expect_dead = {}, set()
+    for _, out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("EXPECT "):
+                _, k, v = line.split()
+                if v == "DEAD":
+                    expect_dead.add(int(k))
+                else:
+                    expect_alive[int(k)] = int(v)
+    t2 = HudiTable.load(spark, path)
+    snap = {
+        r.id: r.v
+        for r in t2.snapshot().filter("id < 2000000").select("id", "v").collect()
+    }
+    assert snap == expect_alive
+    assert not (expect_dead & set(snap))
+
+    # victim keys: one uniform committed iteration, never torn
+    vvals = {
+        r.v
+        for r in t2.snapshot()
+        .filter("id >= 2000000 AND id < 3000000")
+        .select("v")
+        .collect()
+    }
+    assert len(vvals) == 1, f"torn victim state: {sorted(vvals)}"
+    assert vvals.pop() in (last_recorded, last_recorded + 1)
+
+    # the dead writer's pending instants were reclaimed (survivors'
+    # sweeps, or this final sweep once the heartbeat expired)
+    time.sleep(3.5)  # ensure expiry even if survivors finished early
+    t2.rollback_pending_writes()
+    assert t2.timeline.pending() == []
+    hb_dir = f"{t2.meta_path}/heartbeat"
+    assert t2.fs.list_names(hb_dir) == []
+    ts = [i.timestamp for i in t2.timeline.completed_write_instants()]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)

@@ -1,0 +1,270 @@
+"""Systematic crash-point fault-injection matrix (VERDICT r5 #1).
+
+Every write path's metadata protocol is interrupted at EVERY mutating
+filesystem operation (crash-before-op-N for N = 1..M, which covers every
+inter-operation point; intra-op atomicity is the FS contract, and Spark's
+committer covers the data-file save). After each induced crash the table
+is re-loaded with a clean handle and must satisfy:
+
+1. timeline linearity — completed write instants strictly ordered,
+   unique, every metadata file readable;
+2. oracle-consistent reads — the snapshot equals EXACTLY the pre-op or
+   the post-op state (never a torn mixture);
+3. recoverability — the standard recovery (eager failed-write sweep /
+   plan re-run) followed by a retry of the operation converges to the
+   post-op state.
+
+Reference analogue: the marker-based rollback tests in
+``hudi-client/.../functional/TestHoodieClientOnCopyOnWriteStorage.java``.
+
+The crash is a ``SimulatedCrash(BaseException)`` raised by an fs proxy:
+``except Exception`` rollback handlers do NOT run (a real crash runs no
+cleanup), and every fs mutation after the crash point also raises (a
+crashed process performs no further I/O). Heartbeats/locks are exercised
+by the OCC soak tests; this matrix runs single-writer so the mutation
+sequence is deterministic.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.config import TableType
+
+# fs methods that mutate storage (fs.py public surface)
+MUTATORS = (
+    "write_text",
+    "write_text_atomic",
+    "create_exclusive",
+    "rename",
+    "rename_overwrite",
+    "delete",
+    "mkdirs",
+)
+
+
+class SimulatedCrash(BaseException):
+    """BaseException so `except Exception` rollback blocks don't see it —
+    a real crash never runs the in-process cleanup."""
+
+
+class CrashFS:
+    """Proxy over FS: raises SimulatedCrash at the crash_at-th mutating
+    call and at every mutating call after it. Reads pass through."""
+
+    def __init__(self, real, crash_at: int | None = None):
+        self._real = real
+        self.n = 0
+        self.crash_at = crash_at
+        self.ops: list[str] = []
+
+    def __getattr__(self, name):
+        attr = getattr(self._real, name)
+        if name not in MUTATORS:
+            return attr
+
+        def wrapper(*a, **kw):
+            self.n += 1
+            self.ops.append(f"{name} {a[0] if a else ''}")
+            if self.crash_at is not None and self.n >= self.crash_at:
+                raise SimulatedCrash(f"op#{self.n}: {self.ops[-1]}")
+            return attr(*a, **kw)
+
+        return wrapper
+
+
+def _install(table, crash_at=None) -> CrashFS:
+    proxy = CrashFS(table.fs, crash_at)
+    table.fs = proxy
+    table.timeline.fs = proxy
+    return proxy
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, v long")
+
+
+SEED = [(i, f"p{i % 2}", i) for i in range(200)]
+UPD = [(i, f"p{i % 2}", i + 1000) for i in range(0, 200, 5)]
+DEL = [(i, f"p{i % 2}", 0) for i in range(3, 200, 10)]
+OVW = [(i, "p0", 7777) for i in range(0, 50, 2)]
+
+
+def _cfg(**kw):
+    base = dict(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        auto_clean=False,
+        auto_archive=False,
+    )
+    base.update(kw)
+    return WriteConfig(**base)
+
+
+def _rows(t) -> list[tuple]:
+    return sorted(tuple(r) for r in t.snapshot().select("id", "part", "v").collect())
+
+
+def _timeline_sane(t) -> None:
+    done = t.timeline.completed_write_instants()
+    ts = [i.timestamp for i in done]
+    assert ts == sorted(ts), f"non-linear timeline: {ts}"
+    assert len(set(ts)) == len(ts), f"duplicate instants: {ts}"
+    for i in done:  # every completed metadata file must parse
+        t.timeline.read_metadata(i)
+
+
+def _retry_write(h, op):
+    h.rollback_pending_writes()
+    op(h)
+
+
+def _retry_compact(h, _op):
+    h.rollback_pending_writes()
+    pend = [i for i in h.timeline.pending() if i.action == "compaction"]
+    if pend:
+        h.compact(pend[0].timestamp)
+    else:
+        h.compact()  # plan lost mid-protocol or already completed
+
+
+def _retry_cluster(h, _op):
+    h.rollback_pending_writes()  # skips cluster plans by design
+    h.run_cluster()  # re-runs the earliest pending plan; no-op if done
+
+
+# each spec: cfg kwargs, fixture builder (seeds the pristine table),
+# the op under test, and the recovery+retry procedure
+def _seed_basic(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+
+
+def _seed_versions(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+    for bump in (1, 2):
+        t.upsert(_df(spark, [(i, f"p{i % 2}", i + bump) for i in range(0, 200, 3)]))
+
+
+def _seed_many_commits(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+    for bump in range(1, 6):
+        t.upsert(_df(spark, [(bump, f"p{bump % 2}", bump * 10)]))
+
+
+def _seed_mor_deltas(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+
+
+def _seed_cluster_plan(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+    assert t.schedule_cluster(sort_cols=["v"]) is not None
+
+
+SPECS = {
+    "cow_upsert": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.upsert(_df(s, UPD)), retry=_retry_write,
+    ),
+    "cow_delete": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.delete(_df(s, DEL).select("id", "part")),
+        retry=_retry_write,
+    ),
+    "mor_deltacommit": dict(
+        cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
+        seed=_seed_basic,
+        op=lambda s, t: t.upsert(_df(s, UPD)), retry=_retry_write,
+    ),
+    "compaction": dict(
+        cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
+        seed=_seed_mor_deltas,
+        op=lambda s, t: t.compact(), retry=_retry_compact,
+    ),
+    "clustering": dict(
+        cfg={}, seed=_seed_cluster_plan,
+        op=lambda s, t: t.run_cluster(), retry=_retry_cluster,
+    ),
+    "record_index_upsert": dict(
+        cfg={"index_type": "RECORD_INDEX", "key_index_buckets": 2,
+             "key_index_compact_deltas": 1},
+        seed=_seed_versions,  # several index deltas → compaction + swap
+        op=lambda s, t: t.upsert(_df(s, UPD)), retry=_retry_write,
+    ),
+    "insert_overwrite": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.insert_overwrite(_df(s, OVW)), retry=_retry_write,
+    ),
+    "delete_partition": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.delete_partition(["p0"]), retry=_retry_write,
+    ),
+    "clean": dict(
+        cfg={"cleaner_policy": "KEEP_LATEST_FILE_VERSIONS",
+             "cleaner_file_versions_retained": 1},
+        seed=_seed_versions,
+        op=lambda s, t: t.clean(), retry=_retry_write,
+    ),
+    "archive": dict(
+        cfg={"keep_min_commits": 2, "keep_max_commits": 3},
+        seed=_seed_many_commits,
+        op=lambda s, t: t.archive(), retry=_retry_write,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_crash_matrix(spark, tmp_path, name):
+    spec = SPECS[name]
+    pristine = str(tmp_path / "pristine")
+    t = HudiTable.create(spark, pristine, _cfg(**spec["cfg"]))
+    spec["seed"](spark, t)
+    pre = _rows(t)
+
+    def clone(tag: str) -> str:
+        dst = str(tmp_path / tag)
+        shutil.copytree(pristine, dst)
+        return dst
+
+    # reference run: no crash → post state + total mutation count M
+    ref_dir = clone("ref")
+    ref = HudiTable.load(spark, ref_dir)
+    counter = _install(ref)
+    spec["op"](spark, ref)
+    total = counter.n
+    post = _rows(HudiTable.load(spark, ref_dir))
+    assert total > 0, "op performed no fs mutations — matrix is vacuous"
+
+    for n in range(1, total + 1):
+        d = clone(f"crash{n}")
+        victim = HudiTable.load(spark, d)
+        proxy = _install(victim, crash_at=n)
+        crashed = True
+        try:
+            spec["op"](spark, victim)
+            crashed = False  # this run took fewer mutations (timing path)
+        except SimulatedCrash:
+            pass
+
+        h = HudiTable.load(spark, d)  # clean handle, real fs
+        _timeline_sane(h)
+        state = _rows(h)
+        assert state in (pre, post), (
+            f"{name} crash@{n} ({proxy.ops[-1] if proxy.ops else '?'}): "
+            f"torn state — neither pre nor post"
+        )
+        if crashed:
+            spec["retry"](h, lambda hh: spec["op"](spark, hh))
+        assert _rows(h) == post, f"{name} crash@{n}: retry did not converge"
+        _timeline_sane(h)
+        # nothing left pending except retryable service plans
+        for inst in h.timeline.pending():
+            assert inst.action in ("compaction", "replacecommit"), (
+                f"{name} crash@{n}: leftover pending {inst}"
+            )
+        shutil.rmtree(d)
