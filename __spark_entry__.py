@@ -22,6 +22,9 @@ Determinism notes:
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -31,6 +34,9 @@ from pyspark.sql import functions as F
 from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
 
 _TMP = tempfile.mkdtemp(prefix="hudi_entry_")
+# fixture tables are GBs at larger sf dirs; without this every
+# driver/bench/check_oracle run leaks its whole materialized set to /tmp
+atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
 _FIXTURES: dict[tuple, tuple] = {}
 
 
@@ -66,6 +72,13 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
     if key in _FIXTURES:
         return _FIXTURES[key]
     path = f"{_TMP}/{kind}_{abs(hash(sf_dir))}"
+    # retry safety: a prior attempt that failed mid-build leaves the
+    # table on disk with the memo unset; every later query sharing the
+    # fixture would then die on HudiTable.create's 'already exists',
+    # masking the root cause — wipe and rebuild instead
+    # (verification-chain review r6)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
     orders = _pq(spark, sf_dir, "orders")
     commits: dict[str, str] = {}
 
@@ -1024,7 +1037,7 @@ ORDER BY nation, o_year DESC
 
 
 def q_tpch_q12(spark, sf_dir):
-    """Q12 adapted (no l_shipmode/l_receiptdate): late-1994 shipments per
+    """Q12 adapted (no l_shipmode/l_receiptdate): 1996 shipments per
     order priority, split into urgent vs non-urgent order counts."""
     orders = _pq(spark, sf_dir, "orders")
     li = _pq(spark, sf_dir, "lineitem").filter(
@@ -1311,7 +1324,7 @@ def q_tpch_q11(spark, sf_dir):
         ps.join(F.broadcast(supp), ps.ps_suppkey == F.col("s_suppkey"))
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("value_c"))
-    )
+    ).persist()  # scalar total + returned filter both consume it: one compute
     total = per_part.agg(F.sum("value_c")).first()[0] or 0
     return (
         per_part.filter(F.col("value_c") > F.lit(int(total) // 1000))
@@ -1529,7 +1542,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Some testdata generations store events.ts as INT64 TIMESTAMP(NANOS),
     which Spark's parquet reader rejects; others store plain micros. Read
     nanos as long when needed and truncate to micros (integer `div` —
-    matches DuckDB's ns→µs truncation); pass real timestamps through."""
+    matches DuckDB's ns→µs truncation); pass real timestamps through.
+
+    Session TZ pinned to UTC like every _pq load: date_trunc buckets and
+    collected ts renderings are session-TZ-dependent, and an events
+    query running FIRST on a non-UTC host would otherwise shift hour
+    buckets away from the DuckDB oracle (verification-chain review r6)."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType.simpleString()

@@ -1,4 +1,6 @@
+import os
 import shutil
+import time
 import uuid
 
 import pytest
@@ -6,6 +8,15 @@ from pyspark.sql import SparkSession
 
 TESTDATA = "/root/testdata/sf0.001"
 SCRATCH = "/root/repo/.tmp/pytest"
+
+# Pin the PROCESS timezone before the JVM starts (same as
+# tools/check_oracle.py): createDataFrame converts naive datetimes with
+# the process-local zone while session renders use
+# spark.sql.session.timeZone=UTC — on a non-UTC host every
+# timestamp-asserting test would otherwise fail (verification-chain
+# review r6).
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 
 @pytest.fixture(scope="session")

@@ -126,3 +126,27 @@ def test_simhash_oracle_matches_on_non_ascii(spark):
     con.close()
     assert got == want
     assert 2 not in got  # the near-dup was actually removed
+
+
+def test_df_hash_separator_escaping():
+    """Verification-chain review r6: cells containing the '|' join
+    separator must not collide — ('a|b','c') vs ('a','b|c') hashed
+    identically before escaping."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", "/root/repo/tools/check_oracle.py"
+    )
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    cols = ["x", "y"]
+    h1 = co.df_hash(cols, [("a|b", "c")])
+    h2 = co.df_hash(cols, [("a", "b|c")])
+    assert h1 != h2
+    # and multiplicity differences still hash apart
+    h3 = co.df_hash(cols, [("a", "1"), ("a", "1"), ("b", "2")])
+    h4 = co.df_hash(cols, [("a", "1"), ("b", "2"), ("b", "2")])
+    assert h3 != h4
+    # backslash escaping is itself unambiguous
+    assert co.df_hash(cols, [("a\\", "b")]) != co.df_hash(cols, [("a", "\\b")])

@@ -71,11 +71,20 @@ def norm_cell(v):
     return str(v)
 
 
+def row_line(row, order) -> str:
+    """One canonical line per row. Cells are joined with '|' with any
+    separator occurrences escaped first — otherwise ('a|b','c') and
+    ('a','b|c') would hash identically and a real divergence could pass
+    as OK (verification-chain review r6)."""
+    return "|".join(
+        norm_cell(row[i]).replace("\\", "\\\\").replace("|", "\\|")
+        for i in order
+    )
+
+
 def df_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "|".join(norm_cell(r[i]) for i in order) for r in rows
-    )
+    lines = sorted(row_line(r, order) for r in rows)
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -214,17 +223,20 @@ def main():
             hs, ho = df_hash(scols, srows), df_hash(ocols, orows)
             if hs != ho:
                 problems.append("value-hash mismatch")
-                # show a sample diff
+                # show a sample diff — as MULTISETS, so a multiplicity-only
+                # divergence ({A,A,B} vs {A,B,B}) still prints diagnostic
+                # rows (verification-chain review r6)
                 import itertools
+                from collections import Counter
 
                 so = sorted(range(len(scols)), key=lambda i: scols[i])
                 oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sset = {"|".join(norm_cell(r[i]) for i in so) for r in srows}
-                oset = {"|".join(norm_cell(r[i]) for i in oo) for r in orows}
-                for x in itertools.islice(sset - oset, 3):
-                    print(f"    spark-only: {x[:160]}")
-                for x in itertools.islice(oset - sset, 3):
-                    print(f"    oracle-only: {x[:160]}")
+                scnt = Counter(row_line(r, so) for r in srows)
+                ocnt = Counter(row_line(r, oo) for r in orows)
+                for x, n in itertools.islice((scnt - ocnt).items(), 3):
+                    print(f"    spark-only (x{n}): {x[:160]}")
+                for x, n in itertools.islice((ocnt - scnt).items(), 3):
+                    print(f"    oracle-only (x{n}): {x[:160]}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -70,6 +70,46 @@ def _timed_upsert(t, batch) -> tuple[float, dict]:
     return upsert_s, stages
 
 
+def _proc_mem(pid: int) -> tuple[int, int]:
+    """(VmRSS, VmHWM) in MiB for one pid, 0s if unreadable."""
+    rss = hwm = 0
+    try:
+        for line in open(f"/proc/{pid}/status"):
+            if line.startswith("VmRSS:"):
+                rss = int(line.split()[1]) // 1024
+            elif line.startswith("VmHWM:"):
+                hwm = int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return rss, hwm
+
+
+def driver_mem_mb() -> dict:
+    """Driver memory = this python process + its JVM child (local-mode
+    Spark driver): current RSS and peak (VmHWM) in MiB. The claim under
+    test is that DRIVER memory stays O(file groups), not O(rows)."""
+    me = os.getpid()
+    py_rss, py_hwm = _proc_mem(me)
+    jvm_rss = jvm_hwm = 0
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().split()
+            if int(parts[3]) != me:  # ppid
+                continue
+            if "java" not in open(f"/proc/{pid}/comm").read():
+                continue
+        except (OSError, IndexError, ValueError):
+            continue
+        r, h = _proc_mem(int(pid))
+        jvm_rss += r
+        jvm_hwm += h
+    return {"py_rss_mb": py_rss, "py_hwm_mb": py_hwm,
+            "jvm_rss_mb": jvm_rss, "jvm_hwm_mb": jvm_hwm}
+
+
 def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
     from hudi_0_10_0_spark import HudiTable, TableType, WriteConfig
 
@@ -178,8 +218,10 @@ def main() -> None:
 
     points = []
     for mult in mults:
-        points.append(run_point(spark, sf_dir, mode, mult))
-        print(f"# {mode} mult={mult}: {json.dumps(points[-1])}", file=sys.stderr)
+        pt = run_point(spark, sf_dir, mode, mult)
+        pt["driver_mem"] = driver_mem_mb()
+        points.append(pt)
+        print(f"# {mode} mult={mult}: {json.dumps(pt)}", file=sys.stderr)
 
     print(json.dumps({"mode": mode, "points": points}))
     spark.stop()
