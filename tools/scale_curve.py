@@ -167,10 +167,15 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
                 "read_rows_per_s": int(base_rows / read_s),
                 "stages": stages,
             }
-        if mode == "record_index":
+        if mode in ("record_index", "record_index_mor"):
+            extra = (
+                dict(table_type=TableType.MERGE_ON_READ, inline_compact=False)
+                if mode == "record_index_mor"
+                else {}
+            )
             t = HudiTable.create(
                 spark, f"{tmp}/t",
-                WriteConfig(index_type="RECORD_INDEX", **cfg_kw),
+                WriteConfig(index_type="RECORD_INDEX", **extra, **cfg_kw),
             )
             t.bulk_insert(df)
             # FIXED-SIZE small batch regardless of base scale: steady-state
@@ -198,7 +203,7 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     mode = "cow"
-    if args and args[0] in ("cow", "mor", "record_index"):
+    if args and args[0] in ("cow", "mor", "record_index", "record_index_mor"):
         mode = args.pop(0)
     sf_dir = args.pop(0) if args and not args[0].isdigit() else "/root/testdata/sf0.1"
     mults = [int(x) for x in args] or [1, 10]
