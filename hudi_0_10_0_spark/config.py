@@ -139,6 +139,10 @@ class WriteConfig:
     # entirely (reference scanner semantics — only log keys merge).
     # Above it, the read falls back to the full window merge.
     mor_log_key_broadcast_max_rows: int = 1_000_000
+    # ...and only once the delta-bearing groups' BASE volume is at least
+    # this many rows: below it, the bypass's second base scan + extra
+    # join stages cost more latency than the saved shuffle
+    mor_log_key_bypass_min_base_rows: int = 2_000_000
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field

@@ -308,11 +308,18 @@ def _merge_slices(
     # the base files replace one full shuffle of them — scans are
     # pushdown-friendly and shuffle-free, the decisive trade at 100 TB).
     # Large log volume falls back to the single full window merge: a
-    # shuffle-based semi-join split would shuffle base TWICE.
+    # shuffle-based semi-join split would shuffle base TWICE. Small BASE
+    # volume also falls back: the split costs a second base scan plus
+    # two extra join stages, which only pays off once the saved shuffle
+    # is larger than that (measured: 3× read throughput at 4.6M rows,
+    # but ~+0.4s pure stage latency at 150k rows).
     untouched = None
     log_rows = sum(l.rows for s in with_logs for l in s.logs)
+    base_rows = sum(s.base.rows for s in with_logs)
     if log_rows <= int(
         getattr(table.cfg, "mor_log_key_broadcast_max_rows", 1_000_000)
+    ) and base_rows >= int(
+        getattr(table.cfg, "mor_log_key_bypass_min_base_rows", 2_000_000)
     ):
         keys3 = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
         log_keys = logs.select(*keys3).distinct()

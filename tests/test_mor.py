@@ -247,6 +247,9 @@ def test_mor_log_key_bypass_matches_full_merge(mor, orders):
     mor.upsert(upd)
     mor.delete(orders.filter(F.col("o_orderkey") % 100 == 7))
 
+    # the min-base-rows gate keeps tiny tables on the plain window merge;
+    # force the bypass here to pin its semantics
+    mor.cfg.mor_log_key_bypass_min_base_rows = 0
     snap = mor.snapshot()
     plan = snap._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
