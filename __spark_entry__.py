@@ -1306,6 +1306,9 @@ LIMIT 100
 """
 
 
+_Q11_CACHE: list = []  # at most one live cached aggregate per process
+
+
 def q_tpch_q11(spark, sf_dir):
     """TPC-H Q11 over generated partsupp: inventory value (cost × qty,
     exact cents) per part for NATION_7 suppliers, keeping parts above
@@ -1325,6 +1328,12 @@ def q_tpch_q11(spark, sf_dir):
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost_c") * F.col("ps_availqty")).alias("value_c"))
     ).persist()  # scalar total + returned filter both consume it: one compute
+    # bound the cache to ONE live aggregate per process: the returned
+    # plan outlives this call, so unpersisting here would re-trigger the
+    # double compute — instead each invocation evicts the previous one's
+    while _Q11_CACHE:
+        _Q11_CACHE.pop().unpersist()
+    _Q11_CACHE.append(per_part)
     total = per_part.agg(F.sum("value_c")).first()[0] or 0
     return (
         per_part.filter(F.col("value_c") > F.lit(int(total) // 1000))

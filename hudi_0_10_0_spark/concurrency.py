@@ -459,27 +459,42 @@ def guarded_commit(
         # Close the validate→complete TOCTOU (verdict r5): a holder that
         # stalls BETWEEN the validate above and the completion write for
         # longer than the TTL could still publish after being displaced.
-        # Re-validate AFTER the write: if the token changed, a rival
-        # recovered the lock before our re-read — it may have run its
-        # conflict check without seeing our instant — so UNDO the
-        # completion (delete only the COMPLETED file; pending files are
-        # cleaned by the caller's abort path) and abort. If the token is
-        # unchanged, no takeover happened before this read, so every
-        # rival that enters the critical section afterward re-lists the
-        # timeline and sees our completed instant. Worst remaining case
-        # is a spurious rival abort (rival conflict-checked against a
-        # commit we then undid) — conservative, never a dual commit.
+        # Re-validate AFTER the write; on a token change a rival
+        # recovered the lock, so re-arbitrate from the CURRENT timeline:
+        #
+        # - Overlap with a commit we never conflict-checked → UNDO ours
+        #   (delete only the COMPLETED file; the caller's abort path
+        #   cleans pending files) and abort. The undo cannot orphan a
+        #   reader-visible dependency: a rival that SAW our commit and
+        #   overlapped it aborted itself at its own gate, and a
+        #   non-overlapping rival never touched our file groups — so
+        #   nothing committed was built ON our rows (diff-review r6).
+        # - No overlap → the displacement was harmless; the commit
+        #   stands and the write reports success (undoing here would be
+        #   the real anomaly: rivals may already have listed it).
+        #
+        # Residual (third-order) race: a rival whose timeline listing
+        # predates our completion write and whose commit lands after
+        # this re-check — the same gap the reference's FileSystem lock
+        # carries.
         if hasattr(lock, "validate") and not lock.validate(owner):
-            from .timeline import COMPLETED, Instant
+            recheck = [
+                (i.timestamp, i.action, tl.read_metadata(i))
+                for i in tl.completed_write_instants()
+                if i.timestamp > after_ts and i.timestamp != instant
+            ]
+            if find_conflicts(recheck, after_ts, written):
+                from .timeline import COMPLETED, Instant
 
-            table.fs.delete(
-                f"{table.timeline.dir}/"
-                f"{Instant(instant, action, COMPLETED).filename()}"
-            )
-            raise LockTimeoutError(
-                f"lock for instant {instant} was taken over during the "
-                "completion write (holder outlived the lock TTL) — "
-                "commit undone and aborted"
-            )
+                table.fs.delete(
+                    f"{table.timeline.dir}/"
+                    f"{Instant(instant, action, COMPLETED).filename()}"
+                )
+                raise LockTimeoutError(
+                    f"lock for instant {instant} was taken over during "
+                    "the completion write (holder outlived the lock TTL) "
+                    "and a conflicting rival committed unseen — commit "
+                    "undone and aborted"
+                )
     finally:
         lock.unlock(owner)

@@ -243,11 +243,25 @@ def mor_merge_window(
             F.col("__htct").isNull() | (F.col(COMMIT_TIME_COL) >= F.col("__htct"))
         ).drop("__htct")
     w = Window.partitionBy(*keys).orderBy(*order)
-    out = (
-        union_df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__log")
-    )
+    out = union_df.withColumn("__rn", F.row_number().over(w))
+    if "__log" in union_df.columns:
+        # Duplicate-key BASE rows with no log record stream through
+        # unmerged, exactly like the reference scanner (it only merges
+        # keys present in the log-record map; duplicates written by the
+        # create handle each emit). Without this, the r6 log-key bypass
+        # (which passes untouched base rows straight through) and this
+        # window would disagree on such groups, making the snapshot
+        # depend on the bypass thresholds (diff-review r6). Same window
+        # frame as __rn — no extra shuffle.
+        out = out.withColumn(
+            "__hl", F.max("__log").over(Window.partitionBy(*keys))
+        )
+        out = out.filter(
+            (F.col("__rn") == 1) | (F.col("__hl") == 0)
+        ).drop("__hl")
+    else:
+        out = out.filter(F.col("__rn") == 1)
+    out = out.drop("__rn", "__log")
     if drop_tombstones:
         out = out.filter(~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False)))
     return out

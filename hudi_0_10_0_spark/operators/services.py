@@ -157,6 +157,19 @@ def run_compaction(table, instant: str | None = None) -> str | None:
             i.timestamp == instant and i.action == COMPACTION
             for i in timeline.pending()
         ):
+            # re-check COMPLETED immediately before the destructive
+            # delete: a rival compactor may have committed and removed
+            # the plan between the guard above and this listing — its
+            # lingering inflight marker must not cost committed data
+            # (diff-review r6)
+            if any(
+                i.timestamp == instant
+                and i.action == COMMIT
+                and i.state == "completed"
+                for i in timeline.instants()
+            ):
+                timeline.delete_pending_instant_files(instant, COMPACTION)
+                return instant
             timeline.delete_pending_instant_files(instant, COMPACTION)
             table.fs.delete(table.instant_data_path(instant), recursive=True)
             return None
@@ -192,6 +205,7 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         if hb is not None:
             hb.stop()
         raise
+    committed = False
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
         from ..sources.read import base_format, slices_to_df
@@ -253,8 +267,15 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         # the completed-commit guard at the top of this function removes.
         timeline.create_requested(instant, COMMIT, {"operation": "compact"})
         timeline.transition_to_completed(instant, COMMIT, md)
+        committed = True
+        # post-commit plan cleanup: the instant is DURABLE from the line
+        # above, so a transient failure here must surface as-is — the
+        # except below would otherwise delete committed data
+        # (diff-review r6)
         timeline.delete_pending_instant_files(instant, COMPACTION)
     except Exception:
+        if committed:
+            raise
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         timeline.delete_instant_files(instant, COMMIT)
         raise
@@ -285,9 +306,17 @@ def clean(table) -> str | None:
     deletions are therefore always recorded, never inferred, and a
     crashed clean finishes instead of leaving unrecorded deletions."""
     cfg = table.cfg
+    occ = cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
     for inst in table.timeline.pending():
-        if inst.action == CLEAN:
-            _finish_clean(table, inst.timestamp)
+        if inst.action != CLEAN:
+            continue
+        if occ and not _clean_plan_stale(table, inst.timestamp):
+            # multi-writer: a YOUNG pending clean may be a live rival
+            # mid-execution — replaying it would race its completion.
+            # Only a plan older than the heartbeat-expiry window (its
+            # owner is gone) is finished here (diff-review r6).
+            continue
+        _finish_clean(table, inst.timestamp)
     view = table.view()
     commits = [ts for ts, _, _ in view.commits]
     if not commits:
@@ -365,22 +394,55 @@ def clean(table) -> str | None:
     return instant
 
 
+def _clean_plan_stale(table, instant: str) -> bool:
+    """A pending clean is replay-safe once its plan file is older than
+    the heartbeat-expiry window — its owner would have completed it by
+    then. Unknown mtime counts as NOT stale (replay is destructive)."""
+    import time as _time
+
+    from ..timeline import Instant as _Instant
+
+    path = f"{table.timeline.dir}/{_Instant(instant, CLEAN, 'requested').filename()}"
+    expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
+    try:
+        return (_time.time() - table.fs.mtime(path)) > expiry
+    except Exception:
+        return False
+
+
 def _finish_clean(table, instant: str) -> None:
     """Execute a clean plan pinned in its ``clean.requested`` file:
     delete the planned physical paths (missing files are fine — a
     crashed attempt may have removed some already) and complete the
-    instant recording exactly the planned list."""
-    plan = table.timeline.read_requested_metadata(instant, CLEAN)
+    instant recording exactly the planned list.
+
+    The plan read is STRICT: completing a clean with an empty record
+    because the plan was transiently unreadable would permanently lose
+    the deletions already performed (diff-review r6)."""
+    import json as _json
+
+    from ..timeline import Instant as _Instant
+
+    req = f"{table.timeline.dir}/{_Instant(instant, CLEAN, 'requested').filename()}"
+    plan = _json.loads(table.fs.read_text(req))  # raise loudly, never {}
     for p in plan.get("physical", []):
         table.fs.delete(table.abs_path(p))
-    table.timeline.transition_to_completed(
-        instant,
-        CLEAN,
-        {
-            "deleted": sorted(plan.get("deletable", [])),
-            "policy": plan.get("policy", table.cfg.cleaner_policy),
-        },
-    )
+    try:
+        table.timeline.transition_to_completed(
+            instant,
+            CLEAN,
+            {
+                "deleted": sorted(plan.get("deletable", [])),
+                "policy": plan.get("policy", table.cfg.cleaner_policy),
+            },
+        )
+    except Exception:
+        # two writers replaying the same stale plan race the completion
+        # rename; the loser is fine iff the winner's completed file is
+        # there (identical content — both derive from the pinned plan)
+        done = _Instant(instant, CLEAN, "completed").filename()
+        if not table.fs.exists(f"{table.timeline.dir}/{done}"):
+            raise
 
 
 # --------------------------------------------------------------------------

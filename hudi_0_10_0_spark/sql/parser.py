@@ -446,17 +446,21 @@ class HudiSqlSession:
             # bare CREATE ... LOCATION carries defaults for all of them).
             t = HudiTable.load(self.spark, m.group("loc"))
             stored_keys = ",".join(t.cfg.key_fields())
-            if "primarykey" in props and [
-                p.strip() for p in props["primarykey"].split(",")
-            ] != t.cfg.key_fields():
+
+            def _ci(fields):  # SQL identifiers resolve case-insensitively
+                return [f.strip().casefold() for f in fields]
+
+            if "primarykey" in props and _ci(
+                props["primarykey"].split(",")
+            ) != _ci(t.cfg.key_fields()):
                 raise ValueError(
                     f"CREATE TABLE {name}: primaryKey "
                     f"{props['primarykey']!r} conflicts with the existing "
                     f"table's record key {stored_keys!r} at {m.group('loc')}"
                 )
-            if (
-                "precombinefield" in props
-                and props["precombinefield"] != t.cfg.precombine_field
+            if "precombinefield" in props and (
+                props["precombinefield"].casefold()
+                != (t.cfg.precombine_field or "").casefold()
             ):
                 raise ValueError(
                     f"CREATE TABLE {name}: preCombineField conflicts with "
@@ -468,7 +472,7 @@ class HudiSqlSession:
                     f"the existing {t.cfg.table_type.value} table at "
                     f"{m.group('loc')}"
                 )
-            if parts and [p.strip() for p in parts] != t.cfg.partition_fields():
+            if parts and _ci(parts) != _ci(t.cfg.partition_fields()):
                 raise ValueError(
                     f"CREATE TABLE {name}: PARTITIONED BY "
                     f"({', '.join(parts)}) conflicts with the existing "

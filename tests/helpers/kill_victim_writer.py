@@ -62,7 +62,11 @@ while True:  # parent SIGKILLs us mid-loop
             time.sleep(0.1 + 0.05 * min(attempt, 4))
     else:
         sys.exit(4)
-    fd = os.open(progress, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
+    # atomic write: a SIGKILL between truncate and write must never
+    # leave an empty progress file for the parent to parse
+    tmp = progress + ".tmp"
+    fd = os.open(tmp, os.O_CREAT | os.O_WRONLY | os.O_TRUNC, 0o644)
     os.write(fd, str(it).encode())
     os.fsync(fd)
     os.close(fd)
+    os.replace(tmp, progress)

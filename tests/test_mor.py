@@ -266,3 +266,33 @@ def test_mor_log_key_bypass_matches_full_merge(mor, orders):
         tuple(r) for r in full_df.select("o_orderkey", "o_totalprice").collect()
     )
     assert bypass == full
+
+
+def test_mor_duplicate_base_keys_consistent_across_merge_paths(spark, tmp_table_path):
+    """Diff-review r6: duplicate-key BASE rows (bulk_insert writes every
+    duplicate) with no log record must read identically through the
+    log-key bypass and the full window merge — both stream them through
+    unmerged, like the reference scanner which only merges keys present
+    in the log map."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.config import TableType
+
+    cfg = WriteConfig(
+        record_key_field="id", partition_field="part", precombine_field="v",
+        table_type=TableType.MERGE_ON_READ, inline_compact=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path + "/dup", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "p0", 10), (1, "p0", 20), (2, "p0", 5)],
+        "id long, part string, v long",
+    ))
+    t.upsert(spark.createDataFrame([(2, "p0", 9)], "id long, part string, v long"))
+
+    def rows(min_base, max_log):
+        t.cfg.mor_log_key_bypass_min_base_rows = min_base
+        t.cfg.mor_log_key_broadcast_max_rows = max_log
+        return sorted(tuple(r) for r in t.snapshot().select("id", "v").collect())
+
+    bypass = rows(0, 1_000_000)   # force the semi/anti split
+    full = rows(10**9, 0)         # force the full window merge
+    assert bypass == full == [(1, 10), (1, 20), (2, 9)]
