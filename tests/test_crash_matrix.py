@@ -124,6 +124,18 @@ def _retry_write(h, op):
     op(h)
 
 
+def _retry_write_occ(h, op):
+    # simulate heartbeat expiry: the crashed writer's refresh thread is
+    # gone but its last heartbeat file may still read fresh, which the
+    # lazy sweep (correctly) treats as a live rival — age it out the way
+    # wall-clock would
+    hb_dir = f"{h.meta_path}/heartbeat"
+    for name in h.fs.list_names(hb_dir):
+        h.fs.delete(f"{hb_dir}/{name}")
+    h.rollback_pending_writes()
+    op(h)
+
+
 def _retry_compact(h, _op):
     h.rollback_pending_writes()
     pend = [i for i in h.timeline.pending() if i.action == "compaction"]
@@ -175,6 +187,16 @@ SPECS = {
         cfg={}, seed=_seed_basic,
         op=lambda s, t: t.delete(_df(s, DEL).select("id", "part")),
         retry=_retry_write,
+    ),
+    # OCC variant: the crash points now include the lock CAS, the
+    # heartbeat file writes, and the under-lock sweep/commit protocol.
+    # A crash while HOLDING the filesystem lock leaves it on disk; the
+    # retry recovers it via the 5s TTL takeover.
+    "cow_upsert_occ": dict(
+        cfg={"concurrency_mode": "OPTIMISTIC_CONCURRENCY_CONTROL",
+             "lock_wait_seconds": 30.0, "lock_ttl_seconds": 5.0},
+        seed=_seed_basic,
+        op=lambda s, t: t.upsert(_df(s, UPD)), retry=_retry_write_occ,
     ),
     "mor_deltacommit": dict(
         cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
