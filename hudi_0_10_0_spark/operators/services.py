@@ -468,17 +468,41 @@ def rollback_instant(table, timestamp: str) -> str:
                 action = i.action
         if action is None:
             raise ValueError(f"no such instant {timestamp}")
-    table.fs.delete(table.instant_data_path(timestamp), recursive=True)
-    table.timeline.delete_instant_files(timestamp, action)
-    from .key_index import drop_instant as _ki_drop
-
-    _ki_drop(table, timestamp)
+    # PLAN-FIRST protocol (crash-matrix r6): pin the target in a
+    # rollback.requested plan, THEN unwind — timeline files before data
+    # files, so no crash point leaves a completed commit referencing
+    # deleted data. A crash mid-unwind leaves the pending plan, which
+    # the failed-write sweep REPLAYS to completion (never discards).
     inst = table.new_instant()
-    table.timeline.create_requested(inst, ROLLBACK, {})
-    table.timeline.transition_to_completed(
+    table.timeline.create_requested(
         inst, ROLLBACK, {"rolled_back": timestamp, "action": action}
     )
+    _finish_rollback(table, inst)
     return inst
+
+
+def _finish_rollback(table, instant: str) -> None:
+    """Execute (or re-execute after a crash) a pinned rollback plan.
+    Idempotent: every step tolerates already-deleted targets."""
+    import json as _json
+
+    from ..timeline import Instant as _Instant
+
+    req = f"{table.timeline.dir}/{_Instant(instant, ROLLBACK, 'requested').filename()}"
+    plan = _json.loads(table.fs.read_text(req))  # strict, like clean
+    ts, action = plan["rolled_back"], plan["action"]
+    # timeline first: from this point no reader references the data
+    table.timeline.delete_instant_files(ts, action)
+    table.fs.delete(table.instant_data_path(ts), recursive=True)
+    from .key_index import drop_instant as _ki_drop
+
+    _ki_drop(table, ts)
+    try:
+        table.timeline.transition_to_completed(instant, ROLLBACK, plan)
+    except Exception:
+        done = _Instant(instant, ROLLBACK, "completed").filename()
+        if not table.fs.exists(f"{table.timeline.dir}/{done}"):
+            raise
 
 
 def rollback_pending_writes(table) -> list[str]:
@@ -528,6 +552,41 @@ def rollback_pending_writes(table) -> list[str]:
 
             _ki_drop(table, inst.timestamp)
             rolled.append(inst.timestamp)
+        # crashed SERVICE MARKERS (crash-matrix r6): a pending ROLLBACK
+        # or RESTORE carries a pinned unwind plan — REPLAY it to
+        # completion (its deletions may be half-done; discarding the
+        # plan would strand a partially-unwound timeline). A pending
+        # SAVEPOINT did no destructive work before completing, so its
+        # stranded marker is simply removed. Eager in single-writer
+        # mode; mtime-stale-gated under OCC (a live rival's window
+        # between the two steps is milliseconds). NEVER a pending CLEAN
+        # — clean() itself finishes those from their plan.
+        import time as _time
+
+        expiry = 3.0 * float(
+            getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
+        )
+        for inst in table.timeline.pending():
+            if inst.action not in (ROLLBACK, RESTORE, SAVEPOINT):
+                continue
+            if occ:
+                from ..timeline import Instant as _Instant
+
+                req = (
+                    f"{table.timeline.dir}/"
+                    f"{_Instant(inst.timestamp, inst.action, 'requested').filename()}"
+                )
+                try:
+                    if (_time.time() - table.fs.mtime(req)) <= expiry:
+                        continue
+                except Exception:
+                    continue  # unknown age — skip the destructive path
+            if inst.action == ROLLBACK:
+                _finish_rollback(table, inst.timestamp)
+            elif inst.action == RESTORE:
+                _finish_restore(table, inst.timestamp)
+            else:
+                table.timeline.delete_pending_instant_files(inst.timestamp, inst.action)
         # orphan heartbeats (writer died between heartbeat start and
         # create_requested, or crashed after commit before stop): no
         # pending instant will ever sweep them, so collect any EXPIRED
@@ -584,17 +643,43 @@ def savepoint(table, timestamp: str | None = None) -> str:
 
 def restore(table, savepoint_ts: str) -> str:
     """Restore to a savepoint = rollback chain of everything newer
-    (``AbstractHoodieWriteClient.java:535-592``)."""
+    (``AbstractHoodieWriteClient.java:535-592``). PLAN-FIRST like
+    rollback: the unwind list is pinned in a restore.requested plan
+    before anything is deleted, each target unwinds timeline-files-first
+    (newest first), and a crashed restore is replayed from its plan by
+    the failed-write sweep (crash-matrix r6)."""
     if savepoint_ts not in table.savepoint_instants():
         raise ValueError(f"no savepoint at {savepoint_ts}")
+    targets = [
+        [i.timestamp, i.action]
+        for i in reversed(table.timeline.completed_write_instants())
+        if i.timestamp > savepoint_ts
+    ]
+    inst = table.new_instant()
+    table.timeline.create_requested(
+        inst, RESTORE, {"restored_to": savepoint_ts, "targets": targets}
+    )
+    _finish_restore(table, inst)
+    return inst
+
+
+def _finish_restore(table, instant: str) -> None:
+    """Execute (or replay) a pinned restore plan — idempotent."""
+    import json as _json
+
+    from ..timeline import Instant as _Instant
+
+    req = f"{table.timeline.dir}/{_Instant(instant, RESTORE, 'requested').filename()}"
+    plan = _json.loads(table.fs.read_text(req))
     from .key_index import drop_instant as _ki_drop
 
-    for inst in reversed(table.timeline.completed_write_instants()):
-        if inst.timestamp > savepoint_ts:
-            table.fs.delete(table.instant_data_path(inst.timestamp), recursive=True)
-            table.timeline.delete_instant_files(inst.timestamp, inst.action)
-            _ki_drop(table, inst.timestamp)
-    inst = table.new_instant()
-    table.timeline.create_requested(inst, RESTORE, {})
-    table.timeline.transition_to_completed(inst, RESTORE, {"restored_to": savepoint_ts})
-    return inst
+    for ts, action in plan.get("targets", []):
+        table.timeline.delete_instant_files(ts, action)
+        table.fs.delete(table.instant_data_path(ts), recursive=True)
+        _ki_drop(table, ts)
+    try:
+        table.timeline.transition_to_completed(instant, RESTORE, plan)
+    except Exception:
+        done = _Instant(instant, RESTORE, "completed").filename()
+        if not table.fs.exists(f"{table.timeline.dir}/{done}"):
+            raise

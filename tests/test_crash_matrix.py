@@ -178,6 +178,47 @@ def _seed_cluster_plan(spark, t):
     assert t.schedule_cluster(sort_cols=["v"]) is not None
 
 
+def _seed_rollback_target(spark, t):
+    t.bulk_insert(_df(spark, SEED))
+    SPECS["rollback"]["target"] = t.upsert(_df(spark, UPD))
+
+
+def _retry_rollback(h, _op):
+    h.rollback_pending_writes()
+    tgt = SPECS["rollback"]["target"]
+    live = {i.timestamp for i in h.timeline.completed_write_instants()}
+    live |= {i.timestamp for i in h.timeline.pending()}
+    if tgt in live:  # the crash hit before the target was deleted
+        h.rollback(tgt)
+
+
+def _seed_restore_chain(spark, t):
+    # savepoint after seed, then two more commits; restoring to the
+    # savepoint unwinds both. Record every intermediate state — a crash
+    # mid-chain leaves a legal PREFIX of the unwind, not just pre/post.
+    t.bulk_insert(_df(spark, SEED))
+    sp = t.savepoint()
+    states = [_rows(t)]
+    t.upsert(_df(spark, UPD))
+    states.append(_rows(t))
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 5000) for i in range(0, 200, 9)]))
+    states.append(_rows(t))
+    SPECS["restore"]["savepoint"] = next(
+        s for s in t.savepoint_instants()
+    )
+    SPECS["restore"]["states"] = states
+
+
+def _retry_restore(h, _op):
+    h.rollback_pending_writes()
+    h.restore(SPECS["restore"]["savepoint"])
+
+
+def _retry_savepoint(h, _op):
+    h.rollback_pending_writes()
+    h.savepoint()
+
+
 SPECS = {
     "cow_upsert": dict(
         cfg={}, seed=_seed_basic,
@@ -237,6 +278,20 @@ SPECS = {
         seed=_seed_many_commits,
         op=lambda s, t: t.archive(), retry=_retry_write,
     ),
+    "rollback": dict(
+        cfg={}, seed=_seed_rollback_target,
+        op=lambda s, t: t.rollback(SPECS["rollback"]["target"]),
+        retry=_retry_rollback,
+    ),
+    "savepoint": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.savepoint(), retry=_retry_savepoint,
+    ),
+    "restore": dict(
+        cfg={}, seed=_seed_restore_chain,
+        op=lambda s, t: t.restore(SPECS["restore"]["savepoint"]),
+        retry=_retry_restore,
+    ),
 }
 
 
@@ -276,9 +331,10 @@ def test_crash_matrix(spark, tmp_path, name):
         h = HudiTable.load(spark, d)  # clean handle, real fs
         _timeline_sane(h)
         state = _rows(h)
-        assert state in (pre, post), (
+        ok_states = spec.get("states") or (pre, post)
+        assert state in ok_states, (
             f"{name} crash@{n} ({proxy.ops[-1] if proxy.ops else '?'}): "
-            f"torn state — neither pre nor post"
+            f"torn state — not a legal intermediate"
         )
         if crashed:
             spec["retry"](h, lambda hh: spec["op"](spark, hh))
