@@ -394,20 +394,26 @@ def clean(table) -> str | None:
     return instant
 
 
-def _clean_plan_stale(table, instant: str) -> bool:
-    """A pending clean is replay-safe once its plan file is older than
-    the heartbeat-expiry window — its owner would have completed it by
-    then. Unknown mtime counts as NOT stale (replay is destructive)."""
+def _plan_stale(table, instant: str, action: str) -> bool:
+    """A pending service plan is replay-safe once its requested file is
+    older than the heartbeat-expiry window — its owner would have
+    completed it by then. Unknown mtime counts as NOT stale (replay is
+    destructive). One policy shared by clean replay, the service-marker
+    sweep, and the orphan-heartbeat sweep so they cannot drift."""
     import time as _time
 
     from ..timeline import Instant as _Instant
 
-    path = f"{table.timeline.dir}/{_Instant(instant, CLEAN, 'requested').filename()}"
+    path = f"{table.timeline.dir}/{_Instant(instant, action, 'requested').filename()}"
     expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
     try:
         return (_time.time() - table.fs.mtime(path)) > expiry
     except Exception:
         return False
+
+
+def _clean_plan_stale(table, instant: str) -> bool:
+    return _plan_stale(table, instant, CLEAN)
 
 
 def _finish_clean(table, instant: str) -> None:
@@ -481,16 +487,40 @@ def rollback_instant(table, timestamp: str) -> str:
     return inst
 
 
-def _finish_rollback(table, instant: str) -> None:
+def _finish_rollback(table, instant: str, replay: bool = False) -> None:
     """Execute (or re-execute after a crash) a pinned rollback plan.
-    Idempotent: every step tolerates already-deleted targets."""
+    Idempotent: every step tolerates already-deleted targets.
+
+    ``replay=True`` (the failed-write sweep) RE-VALIDATES the stale plan
+    against the CURRENT timeline before touching anything (diff-review
+    r6): if the target commit still exists (its completed file is
+    deleted first, so 'still exists' = nothing irreversible happened
+    yet) but is no longer the latest write — or has been savepointed —
+    the world moved on while the plan sat pending; executing it now
+    would delete a commit newer state was built on. The plan is ABORTED
+    (marker dropped) instead. A target already gone from the timeline
+    means the unwind passed its point of no return — FINISH it."""
     import json as _json
 
     from ..timeline import Instant as _Instant
 
     req = f"{table.timeline.dir}/{_Instant(instant, ROLLBACK, 'requested').filename()}"
     plan = _json.loads(table.fs.read_text(req))  # strict, like clean
+    if "rolled_back" not in plan:
+        # legacy pre-plan marker ({} requested from the old protocol,
+        # which deleted everything BEFORE creating it) — nothing to
+        # finish, just drop the stranded marker
+        table.timeline.delete_pending_instant_files(instant, ROLLBACK)
+        return
     ts, action = plan["rolled_back"], plan["action"]
+    if replay:
+        completed = table.timeline.completed_write_instants()
+        if any(i.timestamp == ts for i in completed) and (
+            completed[-1].timestamp != ts
+            or ts in set(table.savepoint_instants())
+        ):
+            table.timeline.delete_pending_instant_files(instant, ROLLBACK)
+            return
     # timeline first: from this point no reader references the data
     table.timeline.delete_instant_files(ts, action)
     table.fs.delete(table.instant_data_path(ts), recursive=True)
@@ -561,28 +591,24 @@ def rollback_pending_writes(table) -> list[str]:
         # mode; mtime-stale-gated under OCC (a live rival's window
         # between the two steps is milliseconds). NEVER a pending CLEAN
         # — clean() itself finishes those from their plan.
-        import time as _time
-
-        expiry = 3.0 * float(
-            getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
-        )
         for inst in table.timeline.pending():
             if inst.action not in (ROLLBACK, RESTORE, SAVEPOINT):
                 continue
-            if occ:
-                from ..timeline import Instant as _Instant
-
-                req = (
-                    f"{table.timeline.dir}/"
-                    f"{_Instant(inst.timestamp, inst.action, 'requested').filename()}"
-                )
-                try:
-                    if (_time.time() - table.fs.mtime(req)) <= expiry:
-                        continue
-                except Exception:
-                    continue  # unknown age — skip the destructive path
+            if occ and not _plan_stale(table, inst.timestamp, inst.action):
+                if inst.action == RESTORE:
+                    # restore is EXCLUSIVE: writing against a mid-unwind
+                    # timeline would build commits on rows the replay is
+                    # about to delete (diff-review r6). Block until the
+                    # restorer finishes or its plan goes stale and is
+                    # replayed here.
+                    raise RuntimeError(
+                        f"a restore ({inst.timestamp}) is in progress on "
+                        "this table; writes are blocked until it "
+                        "completes or its stale plan is replayed"
+                    )
+                continue  # young rollback/savepoint: live owner, skip
             if inst.action == ROLLBACK:
-                _finish_rollback(table, inst.timestamp)
+                _finish_rollback(table, inst.timestamp, replay=True)
             elif inst.action == RESTORE:
                 _finish_restore(table, inst.timestamp)
             else:
@@ -664,13 +690,22 @@ def restore(table, savepoint_ts: str) -> str:
 
 
 def _finish_restore(table, instant: str) -> None:
-    """Execute (or replay) a pinned restore plan — idempotent."""
+    """Execute (or replay) a pinned restore plan — idempotent. The
+    pinned target list stays authoritative at replay because writers are
+    BLOCKED while a pending restore exists (the write-start sweep either
+    replays it or raises), so no commit can land between the plan and
+    its execution."""
     import json as _json
 
     from ..timeline import Instant as _Instant
 
     req = f"{table.timeline.dir}/{_Instant(instant, RESTORE, 'requested').filename()}"
     plan = _json.loads(table.fs.read_text(req))
+    if "restored_to" not in plan:
+        # legacy pre-plan marker — the old protocol finished its work
+        # before creating it; drop the stranded marker
+        table.timeline.delete_pending_instant_files(instant, RESTORE)
+        return
     from .key_index import drop_instant as _ki_drop
 
     for ts, action in plan.get("targets", []):

@@ -637,3 +637,83 @@ def test_multi_writer_kill_soak(spark, tmp_table_path):
     assert t2.fs.list_names(hb_dir) == []
     ts = [i.timestamp for i in t2.timeline.completed_write_instants()]
     assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_stale_rollback_plan_aborts_when_target_no_longer_latest(spark, tmp_table_path):
+    """Diff-review r6: a crashed rollback's pinned plan must be
+    RE-VALIDATED at replay — if a newer commit landed while the plan sat
+    pending (young plans are skipped under OCC), executing it would
+    delete a commit that newer state was built on. The sweep aborts the
+    stale plan instead; both commits survive."""
+    import json
+    import os
+    import time
+
+    from hudi_0_10_0_spark.timeline import Instant
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    target = t.upsert(_df(spark, [(1, "p0", 2)]))
+
+    # simulate a rollback(target) that crashed right after pinning its
+    # plan (nothing deleted yet)
+    marker = t.new_instant()
+    t.timeline.create_requested(
+        marker, "rollback", {"rolled_back": target, "action": "commit"}
+    )
+    # a rival commits on top (its sweep skips the YOUNG pending plan)
+    newer = t.upsert(_df(spark, [(1, "p0", 3)]))
+    done = {i.timestamp for i in t.timeline.completed_write_instants()}
+    assert {target, newer} <= done
+
+    # age the plan past staleness and sweep: it must ABORT, not execute
+    req = f"{t.timeline.dir}/{Instant(marker, 'rollback', 'requested').filename()}"
+    old = time.time() - 10_000
+    os.utime(req[len('file:'):] if req.startswith('file:') else req, (old, old))
+    t.rollback_pending_writes()
+
+    done = {i.timestamp for i in t.timeline.completed_write_instants()}
+    assert {target, newer} <= done, "stale rollback replay deleted a commit"
+    assert t.timeline.pending() == []  # plan dropped
+    assert t.snapshot().filter("id = 1").first().v == 3
+
+
+def test_pending_restore_blocks_writers_until_replayed(spark, tmp_table_path):
+    """Diff-review r6: restore is exclusive — a writer arriving while a
+    pending (young) restore plan exists must refuse to write; once the
+    plan goes stale the sweep replays it to completion and writes
+    resume against the restored table."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from hudi_0_10_0_spark.timeline import Instant
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    t.savepoint()
+    t.upsert(_df(spark, [(1, "p0", 2)]))
+    sp = t.savepoint_instants()[0]
+
+    # pin a restore plan as if the restorer crashed before unwinding
+    marker = t.new_instant()
+    targets = [
+        [i.timestamp, i.action]
+        for i in reversed(t.timeline.completed_write_instants())
+        if i.timestamp > sp
+    ]
+    t.timeline.create_requested(
+        marker, "restore", {"restored_to": sp, "targets": targets}
+    )
+
+    with _pytest.raises(RuntimeError, match="restore"):
+        t.upsert(_df(spark, [(1, "p0", 9)]))
+
+    req = f"{t.timeline.dir}/{Instant(marker, 'restore', 'requested').filename()}"
+    old = time.time() - 10_000
+    os.utime(req, (old, old))
+    t.upsert(_df(spark, [(2, "p0", 5)]))  # sweep replays, then writes
+    assert t.snapshot().filter("id = 1").first().v == 1  # restored
+    assert t.snapshot().filter("id = 2").first().v == 5
+    assert t.timeline.pending() == []

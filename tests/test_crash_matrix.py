@@ -197,7 +197,7 @@ def _seed_restore_chain(spark, t):
     # savepoint unwinds both. Record every intermediate state — a crash
     # mid-chain leaves a legal PREFIX of the unwind, not just pre/post.
     t.bulk_insert(_df(spark, SEED))
-    sp = t.savepoint()
+    t.savepoint()  # pins the seed commit (savepoint_instants()[0])
     states = [_rows(t)]
     t.upsert(_df(spark, UPD))
     states.append(_rows(t))
@@ -217,6 +217,7 @@ def _retry_restore(h, _op):
 def _retry_savepoint(h, _op):
     h.rollback_pending_writes()
     h.savepoint()
+    assert h.savepoint_instants(), "recovery left no savepoint pinned"
 
 
 SPECS = {
