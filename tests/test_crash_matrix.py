@@ -107,6 +107,8 @@ def _cfg(**kw):
 
 
 def _rows(t) -> list[tuple]:
+    if t.schema() is None:
+        return []  # pre-bootstrap: no commits yet
     return sorted(tuple(r) for r in t.snapshot().select("id", "part", "v").collect())
 
 
@@ -220,6 +222,28 @@ def _retry_savepoint(h, _op):
     assert h.savepoint_instants(), "recovery left no savepoint pinned"
 
 
+def _retry_ddl(h, _op):
+    h.rollback_pending_writes()
+    if "x" not in [f.name for f in h.read_schema().fields]:
+        h.add_columns([("x", "string")])
+    assert "x" in [f.name for f in h.read_schema().fields]
+
+
+def _seed_bootstrap_source(spark, t):
+    # bootstrap adopts an EXISTING parquet dataset; the source lives
+    # outside the cloned table dir (read-only, shared across crash
+    # copies). Table itself stays empty (bootstrap requires no commits).
+    src = t.base_path.rstrip("/") + "_src"
+    _df(spark, SEED).write.mode("overwrite").partitionBy("part").parquet(src)
+    SPECS["bootstrap"]["src"] = src
+
+
+def _retry_bootstrap(h, _op):
+    h.rollback_pending_writes()
+    if h.schema() is None:  # the crash hit before the bootstrap commit
+        h.bootstrap(SPECS["bootstrap"]["src"], mode="METADATA_ONLY")
+
+
 SPECS = {
     "cow_upsert": dict(
         cfg={}, seed=_seed_basic,
@@ -278,6 +302,18 @@ SPECS = {
         cfg={"keep_min_commits": 2, "keep_max_commits": 3},
         seed=_seed_many_commits,
         op=lambda s, t: t.archive(), retry=_retry_write,
+    ),
+    "schema_add_column": dict(
+        cfg={}, seed=_seed_basic,
+        op=lambda s, t: t.add_columns([("x", "string")]),
+        retry=_retry_ddl,
+    ),
+    "bootstrap": dict(
+        cfg={}, seed=_seed_bootstrap_source,
+        op=lambda s, t: t.bootstrap(
+            SPECS["bootstrap"]["src"], mode="METADATA_ONLY"
+        ),
+        retry=_retry_bootstrap,
     ),
     "rollback": dict(
         cfg={}, seed=_seed_rollback_target,
