@@ -67,15 +67,7 @@ class FS:
         repeated per call."""
         if not self._fc_failed:
             try:
-                if self._fc is None:
-                    FC = self._jvm.org.apache.hadoop.fs.FileContext
-                    self._fc = FC.getFileContext(
-                        self._Path(self._base_uri).toUri(), self._conf
-                    )
-                Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
-                opts = self._gateway.new_array(Rename, 1)
-                opts[0] = Rename.OVERWRITE
-                self._fc.rename(self._Path(src), self._Path(dst), opts)
+                self._fc_rename(src, dst, overwrite=True)
                 return
             except Exception as e:
                 # only fall back when FileContext itself is unsupported
@@ -91,6 +83,46 @@ class FS:
             self.delete(dst)
         if not self.rename(src, dst):
             raise IOError(f"rename failed: {src} -> {dst}")
+
+    def _fc_rename(self, src: str, dst: str, overwrite: bool) -> None:
+        if self._fc is None:
+            FC = self._jvm.org.apache.hadoop.fs.FileContext
+            self._fc = FC.getFileContext(
+                self._Path(self._base_uri).toUri(), self._conf
+            )
+        Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(Rename, 1)
+        opts[0] = Rename.OVERWRITE if overwrite else Rename.NONE
+        self._fc.rename(self._Path(src), self._Path(dst), opts)
+
+    def rename_noreplace(self, src: str, dst: str) -> bool:
+        """Rename that FAILS (returns False) when ``dst`` exists — the
+        create-once timeline contract. ``FileSystem.rename`` cannot be
+        trusted for this: Hadoop's RawLocalFileSystem maps it to POSIX
+        rename, which silently REPLACES an existing destination
+        (code-review r6), so two writers racing the same instant file
+        would both believe they created it. FileContext.rename with the
+        default (no-overwrite) option enforces the check on every store;
+        stores with no AbstractFileSystem binding fall back to
+        exists+rename (best-effort, as before)."""
+        if not self._fc_failed:
+            try:
+                self._fc_rename(src, dst, overwrite=False)
+                return True
+            except Exception as e:
+                msg = str(e)
+                if (
+                    "UnsupportedFileSystem" in msg
+                    or "AbstractFileSystem" in msg
+                ):
+                    self._fc_failed = True
+                elif "AlreadyExists" in msg or "already exists" in msg.lower():
+                    return False
+                else:
+                    raise
+        if self.exists(dst):
+            return False
+        return self.rename(src, dst)
 
     def list_names(self, p: str) -> list[str]:
         """Names of direct children of directory ``p`` (empty if missing)."""
@@ -233,6 +265,6 @@ class FS:
                 self.delete(tmp)
                 raise IOError(f"atomic overwrite failed: {p}") from e
             return
-        if not self.rename(tmp, p):
+        if not self.rename_noreplace(tmp, p):
             self.delete(tmp)
             raise IOError(f"atomic rename failed (already exists?): {p}")

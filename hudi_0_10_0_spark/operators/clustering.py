@@ -318,6 +318,6 @@ def _execute_cluster(
             table.timeline.delete_instant_files(instant, REPLACE_COMMIT)
         from .key_index import drop_instant as _ki_drop
 
-        _ki_drop(table, instant)
+        _ki_drop(table, instant, folded_possible=False)  # never completed
         raise
     return instant

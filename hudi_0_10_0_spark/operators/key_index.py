@@ -66,6 +66,28 @@ def _bucket_expr(cfg):
     return F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(cfg.key_index_buckets))
 
 
+# archived write timestamps, cached per table keyed by the archive-dir
+# listing: _index_dirs runs several times per write, and re-parsing every
+# .archive.jsonl batch each time is O(entire archive) driver I/O per
+# commit (code-review r6). Archive files are append-only (new batch files
+# appear; existing ones never change), so the name list is a sound key.
+_ARCHIVED_TS_CACHE: dict[str, tuple[tuple, frozenset]] = {}
+
+
+def _archived_write_ts(table) -> frozenset:
+    key = tuple(sorted(table.fs.list_names(table.timeline.archive_dir)))
+    cached = _ARCHIVED_TS_CACHE.get(table.base_path)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    ts = frozenset(
+        a["timestamp"]
+        for a in table.timeline.archived_instants()
+        if a["action"] in ("commit", "deltacommit", "replacecommit")
+    )
+    _ARCHIVED_TS_CACHE[table.base_path] = (key, ts)
+    return ts
+
+
 def _index_dirs(table) -> list[str]:
     """Instant-named index dirs whose instant is COMPLETED (plus
     compaction dirs, suffixed ``.base``, keyed by the instant they were
@@ -76,11 +98,7 @@ def _index_dirs(table) -> list[str]:
     if not names:
         return []
     done = {i.timestamp for i in table.timeline.completed_write_instants()}
-    done.update(
-        a["timestamp"]
-        for a in table.timeline.archived_instants()
-        if a["action"] in ("commit", "deltacommit", "replacecommit")
-    )
+    done.update(_archived_write_ts(table))
     out = []
     for n in names:
         ts = n[: -len(".base")] if n.endswith(".base") else n
@@ -93,6 +111,13 @@ def append_delta(table, instant: str, entries: DataFrame) -> None:
     """Write one instant's index delta. ``entries``:
     (record_key, partition, file_id, deleted)."""
     cfg = table.cfg
+    if entries.isEmpty():
+        # an EMPTY partitionBy write produces a dir with only _SUCCESS;
+        # spark.read.parquet on it throws 'Unable to infer schema' and
+        # would brick every later tag read (code-review r6). Reachable
+        # via a delete matching no keys, or build_full on a fully
+        # tombstoned table.
+        return
     out = (
         entries.withColumn(BUCKET_COL, _bucket_expr(cfg))
         .withColumn(INSTANT_COL, F.lit(instant))
@@ -187,19 +212,36 @@ def build_full(table, view) -> None:
     append_delta(table, comp[-1].timestamp, entries)
 
 
-def read_index(table, buckets: list[int] | None = None) -> DataFrame | None:
+def read_index(
+    table, buckets: list[int] | None = None, dirs: list[str] | None = None
+) -> DataFrame | None:
     """Live (record_key → partition, file_id) mapping: union the
     completed deltas (optionally only the given buckets — partition
     pruning on the bucket dir column), newest entry per
-    (key, partition, file_id) wins, tombstones drop out."""
-    dirs = _index_dirs(table)
+    (key, partition, file_id) wins, tombstones drop out.
+
+    ``dirs`` pins an explicit snapshot of index dirs — the compactor
+    passes its own listing so a rival's delta that lands (and possibly
+    rolls back) during the lock-free rewrite is never folded into a base
+    stamped with an OLDER instant (code-review r6)."""
+    if dirs is None:
+        dirs = _index_dirs(table)
     if not dirs:
         return None
     root = index_root(table)
     df = None
     for d in dirs:
+        # defensive: skip parquet-less dirs (historical empty deltas) —
+        # reading one throws and would wedge the whole tag path
+        if not any(
+            uri.endswith(".parquet")
+            for uri, _ in table.fs.list_files_recursive(f"{root}/{d}")
+        ):
+            continue
         part = table.spark.read.parquet(f"{root}/{d}")
         df = part if df is None else df.unionByName(part)
+    if df is None:
+        return None
     if buckets is not None:
         df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
     # global semantics: ONE location per key — the newest instant's entry
@@ -290,7 +332,7 @@ def compact_if_due(table) -> bool:
             finally:
                 lock.unlock(owner)
         return _finish()
-    live = read_index(table)
+    live = read_index(table, dirs=dirs)  # fold EXACTLY the snapshot
     if live is None:
         return False
     # unique tmp per invocation — a fixed name would interleave two
@@ -371,21 +413,27 @@ def _swap_compacted(table, tmp: str, latest: str, dirs: list[str]) -> bool:
     return True
 
 
-def drop_instant(table, instant: str) -> None:
+def drop_instant(table, instant: str, folded_possible: bool = True) -> None:
     """Rollback hook: remove the instant's index delta with its data.
 
     If compaction has already folded deltas into a ``<ts>.base`` built at
     an instant >= the one being dropped, the rolled-back entries live
     INSIDE that base and cannot be carved out — wipe the whole index dir
     (read_index then returns None and the next tag rebuilds from live
-    slices via build_full). Crash-orphaned ``.compact_tmp.*`` dirs are
-    NOT swept here (no lock held) — ``_swap_compacted`` clears them
-    under the table lock."""
+    slices via build_full). ``folded_possible=False`` skips that check:
+    an instant that NEVER COMPLETED was never eligible for folding
+    (_index_dirs only folds completed instants), so its failure/sweep
+    cleanup just removes its own delta dir — wiping the whole index
+    there would force an O(table) rebuild after every failed write that
+    follows an index compaction (code-review r6). Crash-orphaned
+    ``.compact_tmp.*`` dirs are NOT swept here (no lock held) —
+    ``_swap_compacted`` clears them under the table lock."""
     root = index_root(table)
-    for n in table.fs.list_names(root) or []:
-        if n.endswith(".base") and n[: -len(".base")] >= instant:
-            table.fs.delete(root, recursive=True)
-            return
+    if folded_possible:
+        for n in table.fs.list_names(root) or []:
+            if n.endswith(".base") and n[: -len(".base")] >= instant:
+                table.fs.delete(root, recursive=True)
+                return
     table.fs.delete(f"{root}/{instant}", recursive=True)
     # deliberately NO .compact_tmp* sweep here: rollback does not hold
     # the table lock, so it could delete a LIVE compactor's tmp dir —

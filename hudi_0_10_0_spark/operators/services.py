@@ -580,7 +580,8 @@ def rollback_pending_writes(table) -> list[str]:
             table.fs.delete(f"{table.meta_path}/heartbeat/{inst.timestamp}")
             from .key_index import drop_instant as _ki_drop
 
-            _ki_drop(table, inst.timestamp)
+            # never completed -> never folded into an index base
+            _ki_drop(table, inst.timestamp, folded_possible=False)
             rolled.append(inst.timestamp)
         # crashed SERVICE MARKERS (crash-matrix r6): a pending ROLLBACK
         # or RESTORE carries a pinned unwind plan — REPLAY it to

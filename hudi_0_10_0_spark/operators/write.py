@@ -1257,7 +1257,7 @@ def run_batch_write(
             raise
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
-        key_index.drop_instant(table, instant)
+        key_index.drop_instant(table, instant, folded_possible=False)
         raise
     finally:
         if hb is not None:
@@ -1494,7 +1494,7 @@ def run_replace_write(
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         from . import key_index as _ki
 
-        _ki.drop_instant(table, instant)
+        _ki.drop_instant(table, instant, folded_possible=False)
         raise
     finally:
         if hb is not None:

@@ -19,18 +19,42 @@ QUERY_ID_KEY = "streaming.query.id"
 
 def last_committed_batch_id(table, query_name: str | None = None) -> int | None:
     """Largest micro-batch id recorded in completed write instants
-    (``HoodieStreamingSink.canSkipBatch``)."""
+    (``HoodieStreamingSink.canSkipBatch``).
+
+    Attribution is EXACT: a commit counts only when its stored query id
+    equals ``query_name`` (an unnamed query matches only unnamed
+    commits). Matching None against everything let a brand-new query
+    inherit another query's batch ids and silently skip its own first
+    batches (code-review r6). Two unnamed queries writing one table
+    still collide — name your queries; and recreating a checkpoint
+    (batch ids reset to 0) intentionally restarts dedup, like the
+    reference sink."""
     best: int | None = None
     for _, _, md in table.view().commits:
         extra = md.get("extra", {})
         if BATCH_ID_KEY not in extra:
             continue
-        if query_name is not None and extra.get(QUERY_ID_KEY) not in (None, query_name):
+        if extra.get(QUERY_ID_KEY) != query_name:
             continue
         bid = int(extra[BATCH_ID_KEY])
         if best is None or bid > best:
             best = bid
     return best
+
+
+def _committed_instant_for_batch(
+    table, query_name: str | None, batch_id: int
+) -> str | None:
+    """Instant that committed this (query, batch id), newest wins."""
+    hit: str | None = None
+    for ts, _, md in table.view().commits:
+        extra = md.get("extra", {})
+        if (
+            extra.get(BATCH_ID_KEY) == str(batch_id)
+            and extra.get(QUERY_ID_KEY) == query_name
+        ):
+            hit = ts
+    return hit
 
 
 def _foreach_batch(
@@ -49,11 +73,23 @@ def _foreach_batch(
             extra[QUERY_ID_KEY] = query_name
         op = getattr(table, operation)
         last_err: Exception | None = None
-        for attempt in range(max(retries, 1)):
+
+        def _already_committed() -> bool:
             # a failure AFTER a durable commit (e.g. in post-commit
-            # services) must not rewrite the batch — re-check the
-            # committed batch id before every retry, not just once
-            if attempt > 0 and last_committed_batch_id(table, query_name) == batch_id:
+            # services) must not rewrite the batch; the commit callback
+            # still fires for it — a durable instant the caller never
+            # hears about would silently skip offset publishing
+            # (code-review r6)
+            if last_committed_batch_id(table, query_name) != batch_id:
+                return False
+            if on_commit is not None:
+                inst = _committed_instant_for_batch(table, query_name, batch_id)
+                if inst is not None:
+                    on_commit(inst)
+            return True
+
+        for attempt in range(max(retries, 1)):
+            if attempt > 0 and _already_committed():
                 return
             try:
                 instant = op(batch_df, extra=extra)
@@ -62,8 +98,15 @@ def _foreach_batch(
                 return
             except Exception as e:  # noqa: BLE001 — retry loop mirrors the sink
                 last_err = e
-                table.rollback_pending_writes()
-        if last_committed_batch_id(table, query_name) == batch_id:
+                try:
+                    # best-effort cleanup: its OWN failure (e.g. the
+                    # writer-blocking pending-restore guard) must not
+                    # mask the real error or abandon the retry budget —
+                    # the next attempt's write start re-sweeps anyway
+                    table.rollback_pending_writes()
+                except Exception:
+                    pass
+        if _already_committed():
             return  # final attempt committed before its post-commit error
         raise last_err  # type: ignore[misc]
 

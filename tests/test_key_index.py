@@ -406,3 +406,27 @@ def test_rollback_after_index_compaction_rebuilds(rec, orders):
     assert snap.filter(F.col("o_totalprice") == 88.0).count() == 10
     names = rec.fs.list_names(KI.index_root(rec)) or []
     assert not [n for n in names if n.endswith(".compact_tmp")]
+
+
+def test_no_match_delete_does_not_brick_index(spark, tmp_table_path):
+    """Code-review r6: a delete matching NO keys produced an empty index
+    delta dir (only _SUCCESS); spark.read.parquet on it threw and every
+    later tag read failed. Empty deltas are skipped at write AND read."""
+    from pyspark.sql import functions as F
+
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/nb",
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="v", index_type="RECORD_INDEX",
+                    key_index_buckets=2),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "p0", 1), (2, "p0", 2)], "id long, part string, v long"))
+    # no key 99 exists: the tombstone frame is empty
+    t.delete(spark.createDataFrame([(99, "p0")], "id long, part string"))
+    # the table must still tag and upsert normally
+    t.upsert(spark.createDataFrame([(1, "p0", 10)], "id long, part string, v long"))
+    assert t.snapshot().filter("id = 1").first().v == 10
+    assert t.snapshot().count() == 2

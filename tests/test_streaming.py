@@ -711,3 +711,28 @@ def test_delta_streamer_incr_pull_source(spark, scratch_dir):
     )
     assert ds.sync_once() is not None
     assert t.snapshot().count() == 14
+
+
+def test_batch_id_attribution_is_per_query(spark, tmp_table_path):
+    """Code-review r6: batch-id dedup must attribute commits to their
+    exact query — a new query starting at batch 0 must NOT inherit
+    another query's high batch ids and silently skip its own batches."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+    from hudi_0_10_0_spark.streaming.sink import (
+        BATCH_ID_KEY,
+        QUERY_ID_KEY,
+        last_committed_batch_id,
+    )
+
+    t = HudiTable.create(
+        spark, tmp_table_path + "/attr",
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="v"),
+    )
+    df = spark.createDataFrame([(1, "p0", 1)], "id long, part string, v long")
+    t.upsert(df, extra={BATCH_ID_KEY: "1000", QUERY_ID_KEY: "qa"})
+    t.upsert(df, extra={BATCH_ID_KEY: "7"})  # unnamed query
+
+    assert last_committed_batch_id(t, "qa") == 1000
+    assert last_committed_batch_id(t, "qb") is None  # not qa's ids
+    assert last_committed_batch_id(t, None) == 7     # unnamed ≠ named

@@ -135,3 +135,31 @@ def test_parse_layout_path_base_containing_data_segment():
     assert got is not None and got[2] == "data/9/_pp=__empty__/_fg=g/part-1.orc"
     # non-data files are ignored
     assert _parse_layout_path("/tmp/tbl", "file:/tmp/tbl/x.crc") is None
+
+
+def test_create_once_timeline_contract_on_local_fs(spark, tmp_table_path):
+    """Code-review r6: Hadoop's local FileSystem.rename silently
+    OVERWRITES an existing destination (POSIX rename), so the create-once
+    contract of completed instant files must come from
+    FS.rename_noreplace (FileContext, no-overwrite option)."""
+    from hudi_0_10_0_spark.fs import FS
+
+    fs = FS(spark, tmp_table_path)
+    fs.mkdirs(tmp_table_path)
+    target = f"{tmp_table_path}/instant.commit"
+    fs.write_text(target, "first")
+
+    src = f"{tmp_table_path}/late.tmp"
+    fs.write_text(src, "second")
+    assert fs.rename_noreplace(src, target) is False
+    assert fs.read_text(target) == "first"  # never clobbered
+
+    # write_text_atomic(overwrite=False) refuses an existing target
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        fs.write_text_atomic(target, "third")
+    assert fs.read_text(target) == "first"
+    # and succeeds onto a fresh path
+    fs.write_text_atomic(f"{tmp_table_path}/fresh.commit", "ok")
+    assert fs.read_text(f"{tmp_table_path}/fresh.commit") == "ok"
