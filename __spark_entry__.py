@@ -1332,7 +1332,10 @@ def q_tpch_q11(spark, sf_dir):
     # plan outlives this call, so unpersisting here would re-trigger the
     # double compute — instead each invocation evicts the previous one's
     while _Q11_CACHE:
-        _Q11_CACHE.pop().unpersist()
+        try:
+            _Q11_CACHE.pop().unpersist()
+        except Exception:
+            pass  # prior cache may belong to a stopped session
     _Q11_CACHE.append(per_part)
     total = per_part.agg(F.sum("value_c")).first()[0] or 0
     return (
