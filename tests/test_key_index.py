@@ -430,3 +430,89 @@ def test_no_match_delete_does_not_brick_index(spark, tmp_table_path):
     t.upsert(spark.createDataFrame([(1, "p0", 10)], "id long, part string, v long"))
     assert t.snapshot().filter("id = 1").first().v == 10
     assert t.snapshot().count() == 2
+
+
+def test_bucket_count_scales_at_compaction(spark, tmp_table_path, orders):
+    """Index compaction re-derives the bucket count from on-disk size
+    (verdict r6 #3): a tiny per-bucket byte target forces the new base
+    onto more buckets than the configured default, the marker records
+    it, later deltas follow the base's generation, and tagging across
+    the mixed generations stays exact."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/scale",
+        _cfg(
+            key_index_buckets=8,
+            key_index_compact_deltas=1,
+            key_index_bucket_target_bytes=64,  # force a re-bucket
+            key_index_max_buckets=128,
+        ),
+    )
+    t.bulk_insert(orders)
+    t.upsert(orders.limit(30).withColumn("o_comment", F.lit("G1")))
+    # past compact_deltas → compaction ran and re-bucketed
+    dirs = KI._index_dirs(t)
+    bases = [d for d in dirs if d.endswith(".base")]
+    assert bases, f"no compacted base in {dirs}"
+    n_base = KI._dir_bucket_count(t, bases[-1])
+    assert n_base == 128, f"expected cap 128, got {n_base}"
+    # new deltas follow the base generation, not the config default
+    t.upsert(orders.limit(10).withColumn("o_comment", F.lit("G2")))
+    deltas = [d for d in KI._index_dirs(t) if not d.endswith(".base")]
+    if deltas:
+        assert KI._dir_bucket_count(t, deltas[-1]) == 128
+    # mixed-generation tag correctness: update + delete + reinsert
+    t.delete(orders.limit(5).select("o_orderkey"))
+    assert t.snapshot().count() == orders.count() - 5
+    t.upsert(orders.limit(5).withColumn("o_comment", F.lit("BACK")))
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "BACK").count() == 5
+    # no key maps to two live locations
+    idx = KI.read_index(t)
+    assert idx.groupBy("_hoodie_record_key").count().filter("count > 1").count() == 0
+
+
+def test_fine_bucket_math_composes():
+    """h mod n == (h mod FINE) mod n for every n | FINE — the identity
+    the per-generation pruning rests on."""
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(2000):
+        h = rnd.randint(-(2**63), 2**63 - 1)
+        fine = h % KI.FINE_BUCKETS  # python % == pmod for positive mod
+        for n in (8, 16, 64, 128, 1024, 65536):
+            assert h % n == fine % n
+
+
+def test_bucket_pruning_reads_only_touched_buckets(spark, tmp_table_path, orders):
+    """With a >64-bucket generation, tag_buckets_of returns fine buckets
+    and read_index prunes each dir by its own count — the pruned index
+    must still contain every incoming key's entry."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/prune",
+        _cfg(
+            key_index_buckets=128,
+            key_index_compact_deltas=100,  # keep deltas, no compaction
+        ),
+    )
+    t.bulk_insert(orders)
+    incoming = orders.limit(7)
+    fine = KI.tag_buckets_of(t, incoming)
+    assert fine is not None and 0 < len(fine) <= 7
+    pruned = KI.read_index(t, fine)
+    full = KI.read_index(t)
+    keys = {r[0] for r in incoming.select(F.col("o_orderkey").cast("string")).collect()}
+    got = {
+        r[0]
+        for r in pruned.filter(
+            F.col("_hoodie_record_key").isin(list(keys))
+        ).collect()
+    }
+    want = {
+        r[0]
+        for r in full.filter(F.col("_hoodie_record_key").isin(list(keys))).collect()
+    }
+    assert got == want and got == keys

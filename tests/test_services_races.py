@@ -1,0 +1,218 @@
+"""Pinned tests for the r6 ADVICE multi-writer race fixes.
+
+1. run_compaction's abort path never erases a rival's COMPLETED commit
+   or the shared data dir (advice r6 #1).
+2. run_compaction refuses to execute a pending plan guarded by a live
+   rival heartbeat in OCC mode (advice r6 #2).
+3. Pending-clean replay re-validates against savepoints created after
+   the plan was pinned (advice r6 #3).
+4. guarded_commit's post-write undo raises CommitUndoneError and the
+   write abort path passes folded_possible=True to drop_instant
+   (advice r6 #4).
+
+Reference analogue: ``TestHoodieClientMultiWriter.java`` rival-service
+interleavings.
+"""
+
+from __future__ import annotations
+
+
+import pytest
+
+import hudi_0_10_0_spark.operators.key_index as key_index_mod
+import hudi_0_10_0_spark.operators.write as write_mod
+from hudi_0_10_0_spark import HudiTable, WriteConfig
+from hudi_0_10_0_spark.concurrency import CommitUndoneError
+from hudi_0_10_0_spark.config import TableType
+from hudi_0_10_0_spark.timeline import COMMIT, Instant
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, part string, v long")
+
+
+SEED = [(i, f"p{i % 2}", i) for i in range(60)]
+UPD = [(i, f"p{i % 2}", i + 1000) for i in range(0, 60, 5)]
+
+
+def _mor_cfg(**kw):
+    base = dict(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        table_type=TableType.MERGE_ON_READ,
+        inline_compact=False,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    base.update(kw)
+    return WriteConfig(**base)
+
+
+def test_compaction_abort_preserves_rival_completed_commit(spark, tmp_table_path):
+    """Writer A loses the create-once COMMIT race to rival B mid-swap:
+    A's abort must keep B's completed commit and the shared data dir,
+    and report the instant as done (loser-success, advice r6 #1)."""
+    t = HudiTable.create(spark, tmp_table_path, _mor_cfg())
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+    ts = t.schedule_compaction()
+    assert ts is not None
+
+    a = HudiTable.load(spark, tmp_table_path)
+    b = HudiTable.load(spark, tmp_table_path)
+    orig = a.timeline.create_requested
+    fired = []
+
+    def hijack(timestamp, action, metadata=None):
+        if action == COMMIT and timestamp == ts and not fired:
+            fired.append(True)
+            b.compact(ts)  # rival wins the swap first
+        return orig(timestamp, action, metadata)
+
+    a.timeline.create_requested = hijack
+    res = a.compact(ts)
+    assert res == ts and fired
+
+    h = HudiTable.load(spark, tmp_table_path)
+    done = f"{h.timeline.dir}/{Instant(ts, COMMIT, 'completed').filename()}"
+    assert h.fs.exists(done), "rival's completed commit was erased"
+    assert h.fs.exists(h.instant_data_path(ts)), "shared data dir was erased"
+    rows = sorted(tuple(r) for r in h.snapshot().select("id", "part", "v").collect())
+    exp = {i: i for i in range(60)}
+    exp.update({i: i + 1000 for i in range(0, 60, 5)})
+    assert rows == sorted((i, f"p{i % 2}", v) for i, v in exp.items())
+    # the losing compactor cleared its leftover plan files
+    assert not any(
+        i.timestamp == ts and i.action == "compaction" for i in h.timeline.pending()
+    )
+
+
+def test_compaction_refuses_live_rival_heartbeat(spark, tmp_table_path):
+    """OCC mode: a pending plan guarded by a fresh heartbeat is a live
+    rival mid-execution — run_compaction must refuse, then proceed once
+    the heartbeat ages out (advice r6 #2)."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        _mor_cfg(
+            concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+            lock_wait_seconds=30.0,
+        ),
+    )
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+    ts = t.schedule_compaction()
+    hb = f"{t.meta_path}/heartbeat/{ts}"
+    t.fs.mkdirs(f"{t.meta_path}/heartbeat")
+    t.fs.write_text(hb, "")  # fresh → live rival
+
+    with pytest.raises(ValueError, match="live"):
+        t.compact(ts)
+    # plan untouched, retryable
+    assert any(
+        i.timestamp == ts and i.action == "compaction" and i.state == "requested"
+        for i in t.timeline.pending()
+    )
+    t.fs.delete(hb)  # owner gone
+    assert t.compact(ts) == ts
+
+
+def test_clean_replay_respects_new_savepoint(spark, tmp_table_path):
+    """A savepoint taken while a crashed clean sat pending keeps its
+    files: the replay drops savepoint-pinned paths from the plan
+    (advice r6 #3)."""
+    import hudi_0_10_0_spark.operators.services as services
+
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        cleaner_policy="KEEP_LATEST_FILE_VERSIONS",
+        cleaner_file_versions_retained=1,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+    c1 = t.timeline.completed_write_instants()[-1].timestamp
+    t.upsert(_df(spark, UPD))
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 2000) for i in range(0, 60, 7)]))
+    pre_c1 = sorted(
+        tuple(r) for r in t.time_travel(c1).select("id", "part", "v").collect()
+    )
+
+    orig = services._finish_clean
+
+    def crash(table, instant, replay=False):
+        raise RuntimeError("simulated crash after plan pinned")
+
+    services._finish_clean = crash
+    try:
+        with pytest.raises(RuntimeError):
+            t.clean()
+    finally:
+        services._finish_clean = orig
+    pending = [i for i in t.timeline.pending() if i.action == "clean"]
+    assert pending, "clean plan was not pinned before execution"
+
+    h = HudiTable.load(spark, tmp_table_path)
+    h.savepoint(c1)  # pins files the pending plan wants to delete
+    h.clean()  # replays the pinned plan, then plans fresh
+    # no pending clean left
+    assert not [i for i in h.timeline.pending() if i.action == "clean"]
+    # the savepointed slice still reads
+    h2 = HudiTable.load(spark, tmp_table_path)
+    post_c1 = sorted(
+        tuple(r) for r in h2.time_travel(c1).select("id", "part", "v").collect()
+    )
+    assert post_c1 == pre_c1, "savepointed files were deleted by the replayed plan"
+
+
+def test_commit_undone_error_wires_folded_possible(spark, tmp_table_path):
+    """The write abort path must call drop_instant(folded_possible=True)
+    iff the failure was guarded_commit's post-write undo — the instant
+    was momentarily COMPLETED then (advice r6 #4)."""
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        index_type="RECORD_INDEX",
+        key_index_buckets=2,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+
+    seen = {}
+    orig_drop = key_index_mod.drop_instant
+
+    def spy_drop(table, instant, folded_possible=True):
+        seen["folded_possible"] = folded_possible
+        return orig_drop(table, instant, folded_possible=folded_possible)
+
+    orig_commit = write_mod.guarded_commit
+
+    def undone(table, instant, action, metadata, txn_start=None):
+        raise CommitUndoneError("simulated post-write undo")
+
+    def plain_fail(table, instant, action, metadata, txn_start=None):
+        raise RuntimeError("simulated plain commit failure")
+
+    key_index_mod.drop_instant = spy_drop
+    write_mod.guarded_commit = undone
+    try:
+        with pytest.raises(CommitUndoneError):
+            t.upsert(_df(spark, UPD))
+        assert seen.get("folded_possible") is True
+        seen.clear()
+        write_mod.guarded_commit = plain_fail
+        with pytest.raises(RuntimeError):
+            t.upsert(_df(spark, UPD))
+        assert seen.get("folded_possible") is False
+    finally:
+        key_index_mod.drop_instant = orig_drop
+        write_mod.guarded_commit = orig_commit
+    # table still healthy after both aborts
+    assert t.snapshot().count() == len(SEED)
