@@ -141,16 +141,25 @@ class WriteConfig:
     clustering_updates_strategy: str = "REJECT"
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
-    # MOR snapshot log-key bypass: when the manifests say the uncompacted
-    # log volume is at most this many rows, the distinct log keys are
-    # BROADCAST and base rows with no log record skip the merge shuffle
-    # entirely (reference scanner semantics — only log keys merge).
-    # Above it, the read falls back to the full window merge.
-    mor_log_key_broadcast_max_rows: int = 1_000_000
-    # ...and only once the delta-bearing groups' BASE volume is at least
-    # this many rows: below it, the bypass's second base scan + extra
-    # join stages cost more latency than the saved shuffle
-    mor_log_key_bypass_min_base_rows: int = 2_000_000
+    # MOR snapshot log-key bypass: broadcast the distinct log keys and
+    # let base rows with no log record skip the merge shuffle (reference
+    # scanner semantics — only log keys merge). The gate is COST-BASED
+    # from manifest stats (verdict r6 #7): bypass when the estimated
+    # saved shuffle bytes (untouched base rows × avg row size) beat the
+    # bypass's own cost (a second base scan ≈ base_bytes/3 in
+    # shuffle-byte units, plus a fixed stage-overhead floor), and the
+    # broadcast key set fits the budget below. The two row thresholds
+    # are OVERRIDES: leave None for the cost model, set an int to pin
+    # that side of the decision (tests and ops escape hatch).
+    mor_log_key_broadcast_max_rows: int | None = None
+    mor_log_key_bypass_min_base_rows: int | None = None
+    # auto-gate calibration: broadcast key-set budget (keys estimated at
+    # ~96 B each: file_id uuid + partition path + record key), and the
+    # fixed overhead floor in shuffle-byte units for the extra join
+    # stages + broadcast build (measured crossover ~2M rows on the r6
+    # scale curve — see SCALE.md)
+    mor_bypass_broadcast_budget_bytes: int = 64 << 20
+    mor_bypass_fixed_overhead_bytes: int = 64 << 20
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field

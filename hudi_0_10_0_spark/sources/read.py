@@ -262,6 +262,42 @@ def _range_unreadable(
     return False
 
 
+def _log_key_bypass_pays(cfg, with_logs) -> bool:
+    """Cost-based gate for the MOR log-key bypass (verdict r6 #7),
+    decided entirely from manifest stats the read already holds.
+
+    In shuffle-byte units: the bypass SAVES shuffling the untouched base
+    rows (``(base_rows − touched) × avg_row_bytes``) and COSTS a second
+    scan of the base files (a columnar scan is ~3× cheaper per byte than
+    a shuffle's write+read+sort → ``base_bytes / 3``) plus a fixed
+    overhead floor for the two extra join stages and the broadcast build
+    (``mor_bypass_fixed_overhead_bytes``, calibrated to the measured
+    ~2M-row crossover in SCALE.md). The broadcast side requires the
+    distinct log keys (~96 B each) to fit
+    ``mor_bypass_broadcast_budget_bytes``. The two row thresholds remain
+    as hard overrides when set (non-None)."""
+    log_rows = sum(l.rows for s in with_logs for l in s.logs)
+    base_rows = sum(s.base.rows for s in with_logs)
+    base_bytes = sum(s.base.bytes for s in with_logs)
+    max_log = getattr(cfg, "mor_log_key_broadcast_max_rows", None)
+    if max_log is not None:
+        if log_rows > int(max_log):
+            return False
+    elif log_rows * 96 > int(
+        getattr(cfg, "mor_bypass_broadcast_budget_bytes", 64 << 20)
+    ):
+        return False
+    min_base = getattr(cfg, "mor_log_key_bypass_min_base_rows", None)
+    if min_base is not None:
+        return base_rows >= int(min_base)
+    if base_rows <= 0:
+        return False
+    avg_row = (base_bytes / base_rows) if base_bytes > 0 else 45.0
+    saved = (base_rows - min(log_rows, base_rows)) * avg_row
+    fixed = int(getattr(cfg, "mor_bypass_fixed_overhead_bytes", 64 << 20))
+    return saved >= base_bytes / 3.0 + fixed
+
+
 def _merge_slices(
     table, slices: list[FileSlice], merge_type: str = "payload_combine"
 ) -> DataFrame:
@@ -314,13 +350,7 @@ def _merge_slices(
     # is larger than that (measured: 3× read throughput at 4.6M rows,
     # but ~+0.4s pure stage latency at 150k rows).
     untouched = None
-    log_rows = sum(l.rows for s in with_logs for l in s.logs)
-    base_rows = sum(s.base.rows for s in with_logs)
-    if log_rows <= int(
-        getattr(table.cfg, "mor_log_key_broadcast_max_rows", 1_000_000)
-    ) and base_rows >= int(
-        getattr(table.cfg, "mor_log_key_bypass_min_base_rows", 2_000_000)
-    ):
+    if _log_key_bypass_pays(table.cfg, with_logs):
         keys3 = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
         log_keys = logs.select(*keys3).distinct()
         untouched = base.join(F.broadcast(log_keys), keys3, "left_anti").filter(

@@ -296,3 +296,52 @@ def test_mor_duplicate_base_keys_consistent_across_merge_paths(spark, tmp_table_
     bypass = rows(0, 1_000_000)   # force the semi/anti split
     full = rows(10**9, 0)         # force the full window merge
     assert bypass == full == [(1, 10), (1, 20), (2, 9)]
+
+
+def test_bypass_cost_gate_auto_from_manifests():
+    """Verdict r6 #7: with the row-threshold overrides left None, the
+    bypass decision is cost-based from manifest stats — on at scale
+    (saved shuffle beats the second scan + fixed overhead), off at toy
+    size and off when the key broadcast would not fit."""
+    from types import SimpleNamespace as NS
+
+    from hudi_0_10_0_spark.sources.read import _log_key_bypass_pays
+
+    def slices(base_rows, avg_row, log_rows):
+        return [
+            NS(
+                base=NS(rows=base_rows, bytes=int(base_rows * avg_row)),
+                logs=[NS(rows=log_rows, bytes=log_rows * 60)],
+            )
+        ]
+
+    auto = NS(
+        mor_log_key_broadcast_max_rows=None,
+        mor_log_key_bypass_min_base_rows=None,
+        mor_bypass_broadcast_budget_bytes=64 << 20,
+        mor_bypass_fixed_overhead_bytes=64 << 20,
+    )
+    # sf0.1-shaped: 150k base rows — saved shuffle ~7 MB, under the floor
+    assert not _log_key_bypass_pays(auto, slices(150_000, 45, 15_000))
+    # third-decade shape: 45.7M base rows, trickle log — clear win
+    assert _log_key_bypass_pays(auto, slices(45_700_000, 45, 500))
+    # measured crossover region: ~2M rows flips the decision
+    assert not _log_key_bypass_pays(auto, slices(1_000_000, 45, 1_000))
+    assert _log_key_bypass_pays(auto, slices(4_000_000, 45, 1_000))
+    # broadcast budget: a huge log key set disables the bypass even at scale
+    assert not _log_key_bypass_pays(auto, slices(45_700_000, 45, 5_000_000))
+    # overrides pin each side regardless of the cost model
+    forced_on = NS(
+        mor_log_key_broadcast_max_rows=None,
+        mor_log_key_bypass_min_base_rows=0,
+        mor_bypass_broadcast_budget_bytes=64 << 20,
+        mor_bypass_fixed_overhead_bytes=64 << 20,
+    )
+    assert _log_key_bypass_pays(forced_on, slices(100, 45, 10))
+    forced_off = NS(
+        mor_log_key_broadcast_max_rows=0,
+        mor_log_key_bypass_min_base_rows=None,
+        mor_bypass_broadcast_budget_bytes=64 << 20,
+        mor_bypass_fixed_overhead_bytes=64 << 20,
+    )
+    assert not _log_key_bypass_pays(forced_off, slices(45_700_000, 45, 500))
