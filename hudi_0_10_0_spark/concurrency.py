@@ -222,8 +222,14 @@ class FileSystemLockProvider(LockProvider):
         except Exception:
             moved = None
         if self._fresh(moved):
-            if self.fs.create_exclusive(self.path, json.dumps(moved)):
-                self.fs.delete(tomb)
+            # restore, then delete the tomb on BOTH branches
+            # (code-review r7): when a third writer won the vacant path
+            # the restore fails, but the tomb's content serves no
+            # further purpose — the displaced rival's validate() aborts
+            # it at its commit point, and leaking one tomb per contended
+            # recovery grows the locks dir without bound
+            self.fs.create_exclusive(self.path, json.dumps(moved))
+            self.fs.delete(tomb)
             return False
         self.fs.delete(tomb)
         # Recovery cleared the path; acquisition is still the same CAS —
@@ -274,8 +280,8 @@ class FileSystemLockProvider(LockProvider):
             and self._token is not None
             and moved.get("token") != self._token
         ):
-            if self.fs.create_exclusive(self.path, json.dumps(moved)):
-                self.fs.delete(tomb)
+            self.fs.create_exclusive(self.path, json.dumps(moved))
+            self.fs.delete(tomb)  # on CAS failure too — see try_lock
             return
         self.fs.delete(tomb)
 
@@ -486,13 +492,40 @@ def guarded_commit(
         # Residual (third-order) race: a rival whose timeline listing
         # predates our completion write and whose commit lands after
         # this re-check — the same gap the reference's FileSystem lock
-        # carries.
+        # carries. Likewise a rival TABLE SERVICE (clean / compaction /
+        # index fold) that acts on the momentarily-visible commit inside
+        # the displacement window: services are not conflict candidates
+        # (not WRITE_ACTIONS), so the undo cannot reason about them —
+        # bounded to the same TTL-displacement window, documented as a
+        # watch item (code-review r7).
         if hasattr(lock, "validate") and not lock.validate(owner):
             recheck = [
                 (i.timestamp, i.action, tl.read_metadata(i))
                 for i in tl.completed_write_instants()
                 if i.timestamp > after_ts and i.timestamp != instant
             ]
+            # consult archive batches like the pre-commit check does
+            # (code-review r7): a conflicting rival that committed AND
+            # was archived during a long displacement window must not
+            # escape the undo
+            newest_arch2 = max(
+                (
+                    n.rsplit(".archive.jsonl", 1)[0].split("_")[-1]
+                    for n in tl.fs.list_names(tl.archive_dir)
+                    if n.endswith(".archive.jsonl")
+                ),
+                default="",
+            )
+            if newest_arch2 > after_ts:
+                from .timeline import WRITE_ACTIONS as _WA
+
+                recheck += [
+                    (a["timestamp"], a["action"], a["metadata"])
+                    for a in tl.archived_instants()
+                    if a["action"] in _WA
+                    and a["timestamp"] > after_ts
+                    and a["timestamp"] != instant
+                ]
             if find_conflicts(recheck, after_ts, written):
                 from .timeline import COMPLETED, Instant
 

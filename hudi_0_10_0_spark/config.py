@@ -118,7 +118,12 @@ class WriteConfig:
     # rows to 100 TB without retuning (verdict r6 #3 — reference
     # analogue: HoodieBackedTableMetadataWriter file-group sizing)
     key_index_buckets: int = 16
-    key_index_bucket_target_bytes: int = 1 << 20  # ~32k entries per bucket
+    # ~4k entries per bucket: small enough that a trickle batch touches
+    # a minority of buckets already at the tens-of-millions-of-rows
+    # decade (measured: 512 buckets left a 468-key tag reading 60% of a
+    # 45.7M-entry index; 4096 cuts it to ~11%). At production sizes the
+    # max_buckets cap dominates and bucket files grow with the table.
+    key_index_bucket_target_bytes: int = 128 << 10
     key_index_max_buckets: int = 65536  # must divide FINE_BUCKETS
     key_index_compact_deltas: int = 8  # compact a bucket's log past this many deltas
     write_parallelism: int = 0  # 0 = let AQE decide / derive from data size

@@ -256,7 +256,14 @@ class FS:
         had a crash window with NO file at the target, which for
         table_config.json would leave the whole table unloadable
         (code-review r4)."""
-        tmp = p + ".tmp"
+        # unique temp per call (code-review r7): two writers completing
+        # the SAME path (rival compactors racing one instant's swap)
+        # with a shared fixed temp name could interleave — the loser's
+        # truncate-on-create tears the winner's bytes just before its
+        # rename publishes them
+        import uuid as _uuid
+
+        tmp = f"{p}.tmp.{_uuid.uuid4().hex[:8]}"
         self.write_text(tmp, content)
         if overwrite:
             try:

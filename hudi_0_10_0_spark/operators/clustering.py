@@ -306,7 +306,7 @@ def _execute_cluster(
             table, instant, REPLACE_COMMIT, md,
             txn_start=txn_start_marker(table, view),
         )
-    except Exception:
+    except Exception as exc:
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         if keep_plan_on_failure:
             # return the scheduled plan to REQUESTED: the failure was in
@@ -316,8 +316,13 @@ def _execute_cluster(
             table.timeline.revert_to_requested(instant, REPLACE_COMMIT)
         else:
             table.timeline.delete_instant_files(instant, REPLACE_COMMIT)
+        from ..concurrency import CommitUndoneError as _Undone
         from .key_index import drop_instant as _ki_drop
 
-        _ki_drop(table, instant, folded_possible=False)  # never completed
+        # CommitUndoneError = the replacecommit was momentarily
+        # COMPLETED (guarded_commit's post-write undo), so a rival index
+        # compaction could have folded its delta — run the folded check
+        # then (code-review r7); plain failures never completed
+        _ki_drop(table, instant, folded_possible=isinstance(exc, _Undone))
         raise
     return instant

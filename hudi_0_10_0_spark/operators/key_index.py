@@ -65,6 +65,12 @@ DELETED_COL = "__idx_deleted"
 # (h mod FINE) mod n whenever n | FINE.
 FINE_BUCKETS = 65536
 NBUCKETS_MARKER = "_nbuckets"
+# cap for per-instant DELTA dirs regardless of the base generation
+# (code-review r7): per-dir markers already let each dir prune under its
+# own count, so deltas need no alignment with a 65536-bucket base — and
+# inheriting such a count would scatter every small delta into tens of
+# thousands of tiny parquet files between compactions
+DELTA_MAX_BUCKETS = 1024
 
 
 def enabled(cfg) -> bool:
@@ -86,8 +92,21 @@ def _pow2_ceil(n: int) -> int:
     return p
 
 
+def _pow2_floor(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p <<= 1
+    return p
+
+
 def _write_bucket_marker(table, path: str, n: int) -> None:
-    table.fs.write_text(f"{path}/{NBUCKETS_MARKER}", str(int(n)))
+    # atomic: a torn marker whose prefix still parses as a smaller valid
+    # power of two would make read_index mis-prune live entries
+    # (code-review r7) — write-then-rename can only yield absent
+    # (no pruning, safe) or complete
+    table.fs.write_text_atomic(
+        f"{path}/{NBUCKETS_MARKER}", str(int(n)), overwrite=True
+    )
 
 
 def _dir_bucket_count(table, d: str) -> int | None:
@@ -133,9 +152,16 @@ def target_bucket_count(table, dirs: list[str]) -> int:
     cfg = table.cfg
     per = max(1, int(getattr(cfg, "key_index_bucket_target_bytes", 1 << 20)))
     n = _pow2_ceil(max(1, (total + per - 1) // per))
-    floor = _pow2_ceil(max(1, cfg.key_index_buckets))
-    cap = int(getattr(cfg, "key_index_max_buckets", FINE_BUCKETS))
-    return max(floor, min(n, cap, FINE_BUCKETS))
+    # clamp BOTH bounds to powers of two dividing FINE_BUCKETS
+    # (code-review r7): a non-pow2 cap like 1000 would otherwise be
+    # chosen verbatim and permanently disable pruning for that
+    # generation, and a floor above the cap would escape it
+    cap = _pow2_floor(
+        max(1, min(int(getattr(cfg, "key_index_max_buckets", FINE_BUCKETS)),
+                   FINE_BUCKETS))
+    )
+    floor = min(_pow2_ceil(max(1, cfg.key_index_buckets)), cap)
+    return max(floor, min(n, cap))
 
 
 # archived write timestamps, cached per table keyed by the archive-dir
@@ -189,7 +215,7 @@ def append_delta(table, instant: str, entries: DataFrame) -> None:
         # via a delete matching no keys, or build_full on a fully
         # tombstoned table.
         return
-    n = current_bucket_count(table)
+    n = min(current_bucket_count(table), DELTA_MAX_BUCKETS)
     out = (
         entries.withColumn(BUCKET_COL, _bucket_expr(n))
         .withColumn(INSTANT_COL, F.lit(instant))
@@ -288,7 +314,10 @@ def build_full(table, view) -> None:
 
 
 def read_index(
-    table, buckets: list[int] | None = None, dirs: list[str] | None = None
+    table,
+    buckets: list[int] | None = None,
+    dirs: list[str] | None = None,
+    keys: DataFrame | None = None,
 ) -> DataFrame | None:
     """Live (record_key → partition, file_id) mapping: union the
     completed deltas, newest entry per (key, partition, file_id) wins,
@@ -313,10 +342,14 @@ def read_index(
     df = None
     for d in dirs:
         # defensive: skip parquet-less dirs (historical empty deltas) —
-        # reading one throws and would wedge the whole tag path
+        # reading one throws and would wedge the whole tag path. A
+        # TOP-LEVEL listing suffices (bucket subdirs imply parquet
+        # inside); the old recursive listing was O(files) per dir on an
+        # object store at large bucket counts (code-review r7)
+        names = table.fs.list_names(f"{root}/{d}") or []
         if not any(
-            uri.endswith(".parquet")
-            for uri, _ in table.fs.list_files_recursive(f"{root}/{d}")
+            x.startswith(f"{BUCKET_COL}=") or x.endswith(".parquet")
+            for x in names
         ):
             continue
         part = table.spark.read.parquet(f"{root}/{d}")
@@ -329,6 +362,17 @@ def read_index(
         df = part if df is None else df.unionByName(part)
     if df is None:
         return None
+    if keys is not None:
+        # tag path (code-review r7): restrict to the incoming batch's
+        # keys BEFORE the latest-wins window — otherwise the window
+        # shuffles the whole (pruned) index to resolve winners the tag
+        # join immediately discards. A semi-join is at most one pass
+        # over the pruned buckets (AQE broadcasts the key side when the
+        # batch is small), and per-key winners are unchanged by
+        # dropping other keys first.
+        df = df.join(
+            keys.select(RECORD_KEY_COL).distinct(), [RECORD_KEY_COL], "left_semi"
+        )
     # global semantics: ONE location per key — the newest instant's entry
     # supersedes everything older (a clustered/rewritten group's fresh
     # entry replaces the stale one; a tombstone kills the key until a
@@ -361,13 +405,12 @@ def tag_buckets_of(table, incoming: DataFrame) -> list[int] | None:
     and no job is spent. The collect is bounded by FINE_BUCKETS."""
     dirs = _index_dirs(table)
     counts = [_dir_bucket_count(table, d) for d in dirs]
-    known = [n for n in counts if n]
-    effective = max(known, default=0)
-    if not known or None in counts:
-        # marker-less dirs fall back to the configured count for the
-        # >64 gate (legacy layout, uniform by construction)
-        effective = max(effective, table.cfg.key_index_buckets)
-    if effective <= 64:
+    # spend the distinct+collect job ONLY when read_index can actually
+    # prune something with the result: at least one dir with a known
+    # count > 64 that divides FINE_BUCKETS (code-review r7 — an empty
+    # index, or marker-less legacy dirs which are always read in full,
+    # would pay the job for zero pruning)
+    if not any(n and n > 64 and FINE_BUCKETS % n == 0 for n in counts):
         return None
     return [
         r[0]

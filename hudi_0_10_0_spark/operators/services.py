@@ -153,19 +153,40 @@ def run_compaction(table, instant: str | None = None) -> str | None:
     # plan with a LIVE heartbeat is a rival mid-execution — running it
     # here would race its output under the shared data/<instant>/ dir
     # (the leftover clear below would delete the rival's in-progress
-    # files). Checked BEFORE our own heartbeat starts, so the liveness
-    # read reflects rivals only. A crashed owner's heartbeat has aged
-    # past the expiry window and reads not-live, keeping the plan
-    # retryable.
+    # files). The liveness read and our first heartbeat write are ONE
+    # step under the table lock (code-review r7): an advisory read
+    # followed by an unsynchronized start let two executors both pass
+    # the fence before either started beating. A crashed owner's
+    # heartbeat has aged past the expiry window and reads not-live,
+    # keeping the plan retryable.
     occ = table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
+    hb = None
     if occ:
-        from ..concurrency import heartbeat_live
+        from ..concurrency import Heartbeat, get_lock_provider, heartbeat_live
 
-        if heartbeat_live(table, instant):
-            raise ValueError(
-                f"pending compaction {instant} is guarded by a live "
-                "writer's heartbeat — refusing concurrent execution"
-            )
+        lock = get_lock_provider(table)
+        owner = f"compactor-{instant}"
+        lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
+        try:
+            if heartbeat_live(table, instant):
+                raise ValueError(
+                    f"pending compaction {instant} is guarded by a live "
+                    "writer's heartbeat — refusing concurrent execution"
+                )
+            hb = Heartbeat(table, instant).start()  # claim, atomically
+        finally:
+            lock.unlock(owner)
+    try:
+        return _run_compaction_claimed(table, instant, req, hb)
+    finally:
+        if hb is not None:
+            hb.stop()
+
+
+def _run_compaction_claimed(table, instant, req, hb):
+    """Body of run_compaction, entered holding the execution claim (the
+    instant's heartbeat) in OCC mode."""
+    timeline = table.timeline
     if not req:
         # an INFLIGHT marker without its plan is a crashed run's leftover
         # (the plan itself is never deleted before the commit completes —
@@ -206,23 +227,17 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         timeline.delete_instant_files(instant, COMPACTION)
         return None
 
-    # Heartbeat for the COMPLETION swap below: between
+    # The claim heartbeat (``hb``, started under the lock by the caller
+    # in OCC mode) also covers the COMPLETION swap below: between
     # create_requested(COMMIT) and transition_to_completed(COMMIT) there
     # is a pending COMMIT on the timeline; a rival's lazy failed-write
     # sweep treats any heartbeat-less pending WRITE_ACTION as crashed and
     # would delete the compacted data dir out from under the completion
-    # write (advice r5). The heartbeat spans the whole run so the window
-    # is covered no matter how slow the swap.
-    from ..concurrency import start_heartbeat
-
-    hb = start_heartbeat(table, instant)
-    try:
-        timeline.transition_to_inflight(instant, COMPACTION)
-    except BaseException:
-        if hb is not None:
-            hb.stop()
-        raise
+    # write (advice r5). It spans the whole run so the window is covered
+    # no matter how slow the swap.
+    timeline.transition_to_inflight(instant, COMPACTION)
     committed = False
+    created_commit = False
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
         from ..sources.read import base_format, slices_to_df
@@ -283,6 +298,7 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         # COMMIT), a crash after it leaves only leftover plan files that
         # the completed-commit guard at the top of this function removes.
         timeline.create_requested(instant, COMMIT, {"operation": "compact"})
+        created_commit = True
         timeline.transition_to_completed(instant, COMMIT, md)
         committed = True
         # post-commit plan cleanup: the instant is DURABLE from the line
@@ -306,12 +322,18 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         ):
             timeline.delete_pending_instant_files(instant, COMPACTION)
             return instant
+        # a pending COMMIT we did NOT create is a rival mid-swap
+        # (code-review r7): deleting the shared data dir or its pending
+        # file here would turn the rival's imminent completion into a
+        # commit referencing deleted data — back off untouched
+        if not created_commit and any(
+            i.timestamp == instant and i.action == COMMIT
+            for i in timeline.pending()
+        ):
+            raise
         table.fs.delete(table.instant_data_path(instant), recursive=True)
         timeline.delete_pending_instant_files(instant, COMMIT)
         raise
-    finally:
-        if hb is not None:
-            hb.stop()
     return instant
 
 
@@ -482,12 +504,21 @@ def _finish_clean(table, instant: str, replay: bool = False) -> None:
                         for l in sl.logs:
                             pinned.update(l.paths)
         if pinned:
-            plan["physical"] = [
-                p for p in plan.get("physical", []) if p not in pinned
-            ]
-            plan["deletable"] = [
-                p for p in plan.get("deletable", []) if p not in pinned
-            ]
+            # only paths STILL ON DISK can be preserved; a pinned path
+            # the crashed attempt already deleted must stay in the
+            # recorded ``deletable`` list or the view keeps serving the
+            # vanished version (code-review r7 — "deletions are always
+            # recorded" outranks the savepoint's lost cause)
+            pinned_live = {
+                p for p in pinned if table.fs.exists(table.abs_path(p))
+            }
+            if pinned_live:
+                plan["physical"] = [
+                    p for p in plan.get("physical", []) if p not in pinned_live
+                ]
+                plan["deletable"] = [
+                    p for p in plan.get("deletable", []) if p not in pinned_live
+                ]
     for p in plan.get("physical", []):
         table.fs.delete(table.abs_path(p))
     try:

@@ -188,10 +188,12 @@ def tag_location(
     if key_index.enabled(cfg):
         # persisted record-level index: tag I/O is bounded by the index's
         # touched buckets, not the table's base files (key_index.py)
-        idx = key_index.read_index(table, key_index.tag_buckets_of(table, incoming))
+        idx = key_index.read_index(
+            table, key_index.tag_buckets_of(table, incoming), keys=incoming
+        )
         if idx is None:
             key_index.build_full(table, view)
-            idx = key_index.read_index(table)
+            idx = key_index.read_index(table, keys=incoming)
         if idx is None:
             return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
         # entries can point at file groups since REPLACED (clustering /
@@ -973,10 +975,13 @@ def run_batch_write(
             # `tagged` cache materialize the pipeline, once. Tables with
             # many partitions (the 100 TB shape) keep the pruning join.
             few_parts = len(view.partitions()) <= 64
-            if not few_parts:
-                # the affected-partitions collect evaluates the incoming
-                # pipeline (keygen + align + preCombine window); cache it
-                # so that evaluation isn't repeated by the tag join
+            if not few_parts or key_index.enabled(cfg):
+                # the incoming pipeline (keygen + align + preCombine
+                # window) is evaluated more than once downstream: by the
+                # affected-partitions collect (many-partition tables) or
+                # by the RECORD_INDEX tag's key semi-join + tag join
+                # (code-review r7) — cache it so that evaluation isn't
+                # repeated
                 incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
             tagged = tag_location(table, view, incoming, all_partitions=few_parts)
             if operation == WriteOperation.INSERT and cfg.insert_drop_dups:

@@ -41,6 +41,7 @@ MUTATORS = (
     "write_text_atomic",
     "create_exclusive",
     "rename",
+    "rename_noreplace",
     "rename_overwrite",
     "delete",
     "mkdirs",
@@ -126,14 +127,18 @@ def _retry_write(h, op):
     op(h)
 
 
-def _retry_write_occ(h, op):
-    # simulate heartbeat expiry: the crashed writer's refresh thread is
-    # gone but its last heartbeat file may still read fresh, which the
-    # lazy sweep (correctly) treats as a live rival — age it out the way
-    # wall-clock would
+def age_heartbeats(h) -> None:
+    """Simulate heartbeat expiry: the crashed writer's refresh thread is
+    gone but its last heartbeat file may still read fresh, which the
+    lazy sweep (correctly) treats as a live rival — age it out the way
+    wall-clock would."""
     hb_dir = f"{h.meta_path}/heartbeat"
-    for name in h.fs.list_names(hb_dir):
+    for name in h.fs.list_names(hb_dir) or []:
         h.fs.delete(f"{hb_dir}/{name}")
+
+
+def _retry_write_occ(h, op):
+    age_heartbeats(h)
     h.rollback_pending_writes()
     op(h)
 

@@ -31,7 +31,14 @@ import pytest
 
 from hudi_0_10_0_spark import HudiTable, WriteConfig
 from hudi_0_10_0_spark.config import TableType
-from test_crash_matrix import SimulatedCrash, _df, _install, _timeline_sane
+from test_crash_matrix import (
+    SimulatedCrash,
+    _df,
+    _install,
+    _timeline_sane,
+    age_heartbeats as _age_heartbeats,
+)
+from test_crash_matrix import _rows  # shared with the single-writer matrix
 
 SEED = [(i, f"p{i % 2}", i) for i in range(60)]
 A_UPD = [(i, f"p{i % 2}", i + 1000) for i in range(0, 60, 5)]
@@ -50,12 +57,6 @@ def _as_rows(state: dict) -> list[tuple]:
     return sorted((i, p, v) for (i, p), v in state.items())
 
 
-def _rows(t) -> list[tuple]:
-    if t.schema() is None:
-        return []
-    return sorted(tuple(r) for r in t.snapshot().select("id", "part", "v").collect())
-
-
 def _cfg(**kw):
     base = dict(
         record_key_field="id",
@@ -69,14 +70,6 @@ def _cfg(**kw):
     )
     base.update(kw)
     return WriteConfig(**base)
-
-
-def _age_heartbeats(h) -> None:
-    """The crashed writer's refresh thread is gone but its last file may
-    still read fresh — age it the way wall-clock would."""
-    hb_dir = f"{h.meta_path}/heartbeat"
-    for name in h.fs.list_names(hb_dir) or []:
-        h.fs.delete(f"{hb_dir}/{name}")
 
 
 def _completed(h) -> list[tuple]:
@@ -109,6 +102,29 @@ def _b_compact(spark, h):
 
 def _b_clean(spark, h):
     h.clean()
+
+
+def _b_sweep_guard_writes_then_upsert(spark, h):
+    """B's write-start lazy sweep with A's heartbeat FRESH: A's pending
+    WRITE-action instants (the sweep's actual targets — service plans
+    are skipped categorically) must survive (code-review r7: this is the
+    non-vacuous form of invariant 4)."""
+    from hudi_0_10_0_spark.timeline import WRITE_ACTIONS
+
+    pend_writes = {
+        (i.timestamp, i.action, i.state)
+        for i in h.timeline.pending()
+        if i.action in WRITE_ACTIONS
+    }
+    h.rollback_pending_writes()
+    after = {
+        (i.timestamp, i.action, i.state)
+        for i in h.timeline.pending()
+        if i.action in WRITE_ACTIONS
+    }
+    missing = pend_writes - after
+    assert not missing, f"lazy sweep reclaimed live write instants: {missing}"
+    h.upsert(_df(spark, B_UPD))
 
 
 def _b_sweep_then_upsert(spark, h):
@@ -176,6 +192,18 @@ PAIRINGS = {
         base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, FIRST),
         a_rows=A_UPD,
         b_rows=[],
+    ),
+    # A's upsert crashes with a fresh heartbeat; B's lazy sweep must
+    # NOT reclaim A's pending write instant (the sweep's real targets)
+    "upsert_x_sweep": dict(
+        cfg={},
+        seed=_seed_cow,
+        a_op=lambda s, t: t.upsert(_df(s, A_UPD)),
+        b_op=_b_sweep_guard_writes_then_upsert,
+        retry=_retry_upsert,
+        base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, []),
+        a_rows=A_UPD,
+        b_rows=B_UPD,
     ),
     # A's compaction crashes with a fresh heartbeat; B runs the lazy
     # failed-write sweep (must not reclaim A) and then writes

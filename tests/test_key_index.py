@@ -499,7 +499,10 @@ def test_bucket_pruning_reads_only_touched_buckets(spark, tmp_table_path, orders
         ),
     )
     t.bulk_insert(orders)
-    incoming = orders.limit(7)
+    # the tag path stamps the record key before consulting the index
+    incoming = orders.limit(7).withColumn(
+        "_hoodie_record_key", F.col("o_orderkey").cast("string")
+    )
     fine = KI.tag_buckets_of(t, incoming)
     assert fine is not None and 0 < len(fine) <= 7
     pruned = KI.read_index(t, fine)
@@ -516,3 +519,52 @@ def test_bucket_pruning_reads_only_touched_buckets(spark, tmp_table_path, orders
         for r in full.filter(F.col("_hoodie_record_key").isin(list(keys))).collect()
     }
     assert got == want and got == keys
+
+
+def test_target_bucket_count_clamps_misconfig(spark, tmp_table_path, orders):
+    """Code-review r7: non-pow2 caps and floor>cap must clamp to powers
+    of two dividing FINE_BUCKETS, never silently disable pruning."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/clamp",
+        _cfg(
+            key_index_buckets=131072,  # above FINE_BUCKETS
+            key_index_bucket_target_bytes=1,
+            key_index_max_buckets=1000,  # not a power of two
+        ),
+    )
+    t.bulk_insert(orders)
+    dirs = KI._index_dirs(t)
+    n = KI.target_bucket_count(t, dirs)
+    assert n == 512, n  # pow2_floor(1000) = 512; floor clamped to cap
+    assert KI.FINE_BUCKETS % n == 0
+
+
+def test_delta_bucket_count_capped(spark, tmp_table_path, orders):
+    """Code-review r7: deltas never inherit a huge base generation —
+    capped at DELTA_MAX_BUCKETS to bound small-file counts."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/cap",
+        _cfg(
+            key_index_buckets=8,
+            key_index_compact_deltas=1,
+            key_index_bucket_target_bytes=1,  # base jumps to the cap
+            key_index_max_buckets=4096,
+        ),
+    )
+    t.bulk_insert(orders)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    t.upsert(orders.limit(20).withColumn("o_comment", F.lit("X")))  # compacts
+    bases = [d for d in KI._index_dirs(t) if d.endswith(".base")]
+    assert bases and KI._dir_bucket_count(t, bases[-1]) == 4096
+    t.cfg.key_index_compact_deltas = 100  # keep the next delta unfolded
+    t.upsert(orders.limit(5).withColumn("o_comment", F.lit("Y")))
+    deltas = [d for d in KI._index_dirs(t) if not d.endswith(".base")]
+    assert deltas
+    assert KI._dir_bucket_count(t, deltas[-1]) == KI.DELTA_MAX_BUCKETS
+    # correctness across the mixed generations
+    snap = t.snapshot()
+    assert snap.count() == orders.count()
+    assert snap.filter(F.col("o_comment") == "Y").count() == 5

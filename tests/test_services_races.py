@@ -216,3 +216,93 @@ def test_commit_undone_error_wires_folded_possible(spark, tmp_table_path):
         write_mod.guarded_commit = orig_commit
     # table still healthy after both aborts
     assert t.snapshot().count() == len(SEED)
+
+
+def test_compaction_abort_backs_off_from_rival_pending_commit(
+    spark, tmp_table_path
+):
+    """Code-review r7: completed-commit absence is NOT proof there is no
+    rival — a pending COMMIT we did not create means a rival is mid-swap,
+    and the abort path must leave the shared data dir and the rival's
+    pending file untouched."""
+    t = HudiTable.create(spark, tmp_table_path, _mor_cfg())
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+    ts = t.schedule_compaction()
+    # rival mid-swap: its COMMIT.requested is on the timeline
+    t.timeline.create_requested(ts, COMMIT, {"operation": "compact"})
+    rival_req = f"{t.timeline.dir}/{Instant(ts, COMMIT, 'requested').filename()}"
+    assert t.fs.exists(rival_req)
+
+    a = HudiTable.load(spark, tmp_table_path)
+    with pytest.raises(IOError):
+        a.compact(ts)  # create-once COMMIT fails against the rival's file
+    h = HudiTable.load(spark, tmp_table_path)
+    assert h.fs.exists(rival_req), "rival's pending COMMIT was deleted"
+    assert h.fs.exists(h.instant_data_path(ts)), (
+        "shared data dir was deleted while a rival was mid-swap"
+    )
+
+
+def test_clean_replay_records_pinned_paths_already_deleted(
+    spark, tmp_table_path
+):
+    """Code-review r7: a savepoint cannot resurrect a file the crashed
+    clean already removed — such paths must STAY in the recorded
+    ``deleted`` list so the view stops serving the vanished version."""
+    import json as _json
+
+    import hudi_0_10_0_spark.operators.services as services
+    from hudi_0_10_0_spark.timeline import CLEAN, Instant as _I
+
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        cleaner_policy="KEEP_LATEST_FILE_VERSIONS",
+        cleaner_file_versions_retained=1,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+    c1 = t.timeline.completed_write_instants()[-1].timestamp
+    t.upsert(_df(spark, UPD))
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 2000) for i in range(0, 60, 7)]))
+
+    # crash mid-_finish_clean: ONE physical delete lands, then the crash
+    orig_finish = services._finish_clean
+    deleted_one = []
+
+    def crash_after_one(table, instant, replay=False):
+        req = f"{table.timeline.dir}/{_I(instant, CLEAN, 'requested').filename()}"
+        plan = _json.loads(table.fs.read_text(req))
+        phys = plan.get("physical", [])
+        assert len(phys) >= 2, "need at least two deletable files"
+        table.fs.delete(table.abs_path(phys[0]))
+        deleted_one.append(phys[0])
+        raise RuntimeError("crash after first physical delete")
+
+    services._finish_clean = crash_after_one
+    try:
+        with pytest.raises(RuntimeError):
+            t.clean()
+    finally:
+        services._finish_clean = orig_finish
+
+    h = HudiTable.load(spark, tmp_table_path)
+    h.savepoint(c1)  # pins slices including the just-deleted path
+    h.clean()  # replay must record the gone path as deleted anyway
+    h2 = HudiTable.load(spark, tmp_table_path)
+    cleans = [
+        i for i in h2.timeline.instants()
+        if i.action == "clean" and i.state == "completed"
+    ]
+    recorded = set()
+    for c in cleans:
+        recorded.update(h2.timeline.read_metadata(c).get("deleted", []))
+    assert deleted_one[0] in recorded, (
+        "physically-deleted pinned path missing from the clean record"
+    )
+    # and the snapshot still reads (the view no longer serves the gone file)
+    assert h2.snapshot().count() == len(SEED)

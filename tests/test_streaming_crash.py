@@ -111,10 +111,65 @@ def test_sink_crash_replay_exactly_once(spark, tmp_path):
         assert len(recorded) == 1 and recorded[0][1] == "0", (
             f"crash@{n}: batch id recorded {recorded}"
         )
+        # the caller MUST hear about the committed instant exactly once
+        # per sink instance (code-review r7: a durable commit the caller
+        # never hears about silently skips offset publishing)
+        assert commits2 == [recorded[0][0]], (
+            f"crash@{n}: replay on_commit fired {commits2}"
+        )
         # next batch progresses
         rfn(_df(spark, B1), 1)
         assert _rows(HudiTable.load(spark, d)) == _state(B0, B1)
         shutil.rmtree(d)
+
+
+def test_sink_replay_of_committed_batch_is_skipped(spark, tmp_path):
+    """Code-review r7: the crash loop always crashes BEFORE the commit
+    lands, so the committed-then-restart replay path (canSkipBatch) needs
+    its own case — a replayed committed batch must be a pure no-op that
+    commits nothing new."""
+    d = str(tmp_path / "t")
+    t = HudiTable.create(spark, d, _cfg())
+    t.bulk_insert(_df(spark, SEED))
+    fn = _foreach_batch(t, "upsert", "q1", retries=1, on_commit=None)
+    fn(_df(spark, B0), 0)
+    before = _batch_commits(t, BATCH_ID_KEY, "q1")
+    assert len(before) == 1
+    # process restart: fresh handle + fresh sink, Spark replays batch 0
+    h = HudiTable.load(spark, d)
+    replay_commits = []
+    rfn = _foreach_batch(h, "upsert", "q1", retries=3, on_commit=replay_commits.append)
+    rfn(_df(spark, B0), 0)
+    after = HudiTable.load(spark, d)
+    assert _batch_commits(after, BATCH_ID_KEY, "q1") == before, (
+        "replay of a committed batch wrote a second commit"
+    )
+    assert _rows(after) == _state(B0)
+    assert replay_commits == [], "skip path must not re-publish the instant"
+
+
+def test_delta_streamer_replay_after_committed_pull(spark, tmp_path):
+    """Code-review r7: resume after a pull COMMITTED (crash only after
+    the commit point) — the next sync must move to the NEXT source
+    commit, never re-apply c001."""
+    src = str(tmp_path / "src")
+    _df(spark, B0).write.parquet(f"{src}/c001")
+    _df(spark, B1).write.parquet(f"{src}/c002")
+    d = str(tmp_path / "t")
+    t = HudiTable.create(spark, d, _cfg())
+    t.bulk_insert(_df(spark, SEED))
+    DeltaStreamer(spark, t, src, source_format="incr_pull").sync_once()
+    # restart: fresh streamer resumes from the recorded checkpoint
+    h = HudiTable.load(spark, d)
+    s = DeltaStreamer(spark, h, src, source_format="incr_pull")
+    s.sync_once()
+    final = HudiTable.load(spark, d)
+    assert _rows(final) == _state(B0, B1)
+    assert [c for _, c in _batch_commits(final, CHECKPOINT_KEY)] == [
+        "c001",
+        "c002",
+    ], "resume re-applied or skipped a committed pull"
+    assert s.sync_once() is None  # drained
 
 
 def test_delta_streamer_crash_resume_exactly_once(spark, tmp_path):
