@@ -70,13 +70,21 @@ class Heartbeat:
             except Exception:
                 pass  # transient refresh failure → mtime ages toward expiry
 
-    def stop(self) -> None:
+    def stop(self, delete: bool = True) -> None:
+        """``delete=False`` for a lost instant-claim (timestamp
+        collision): the heartbeat path is SHARED with the rival that
+        owns the instant — deleting it would strip the rival's liveness
+        guard and expose its in-flight write to the lazy sweep
+        (code-review r7). The rival's own refresher keeps it fresh; a
+        dead rival's file ages out naturally."""
         self._stop_evt.set()
         # JOIN before deleting: an in-flight refresh write racing the
         # delete would resurrect the file with a fresh mtime, delaying
         # rival cleanup by a full expiry window (diff-review r5)
         if self._thread is not None:
             self._thread.join(timeout=30.0)
+        if not delete:
+            return
         try:
             self.table.fs.delete(self.path)
         except Exception:

@@ -83,9 +83,10 @@ def schedule_cluster(
         slices = [s for s in slices if s.total_bytes < cfg.small_file_limit_bytes]
     if not slices:
         return None
-    instant = table.new_instant()
-    table.timeline.create_requested(
-        instant,
+    from ..timeline import claim_new_instant
+
+    instant = claim_new_instant(
+        table,
         REPLACE_COMMIT,
         {
             "operation": "cluster",

@@ -49,13 +49,31 @@ def is_widening(old: T.DataType, new: T.DataType) -> bool:
 def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
     from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 
-    instant = table.new_instant()
-    # heartbeat-guard the pending window (advice r5): without it a
-    # rival's lazy failed-write sweep could judge this pending commit
-    # crashed and delete its files mid-DDL
-    hb = start_heartbeat(table, instant)
+    # collision-retrying claim (timeline.claim_new_instant rationale),
+    # with the heartbeat guarding the pending window (advice r5):
+    # without it a rival's lazy failed-write sweep could judge this
+    # pending commit crashed and delete its files mid-DDL
+    from ..timeline import claim_timestamp
+
+    last = None
+    for _ in range(5):
+        instant = table.new_instant()
+        if not claim_timestamp(table, instant):
+            last = IOError(f"timestamp {instant} claimed by a rival")
+            hb = None
+            continue
+        hb = start_heartbeat(table, instant)
+        try:
+            table.timeline.create_requested(instant, "commit", {"operation": operation})
+            break
+        except (IOError, OSError) as e:
+            if hb is not None:
+                hb.stop(delete=False)  # legacy shared path = rival's guard
+            hb = None
+            last = e
+    else:
+        raise last
     try:
-        table.timeline.create_requested(instant, "commit", {"operation": operation})
         table.timeline.transition_to_inflight(instant, "commit")
         md = make_commit_metadata(operation, new_schema.json(), [])
         # through the OCC gate: serializes concurrent DDLs under the table

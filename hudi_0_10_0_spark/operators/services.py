@@ -116,13 +116,13 @@ def schedule_compaction(
         slices = slices[:max_slices]
     if not slices:
         return None
-    instant = table.new_instant()
     plan = {
         "slices": [{"partition": s.partition, "file_id": s.file_id} for s in slices],
         "strategy": strategy,
     }
-    table.timeline.create_requested(instant, COMPACTION, plan)
-    return instant
+    from ..timeline import claim_new_instant
+
+    return claim_new_instant(table, COMPACTION, plan)
 
 
 def run_compaction(table, instant: str | None = None) -> str | None:
@@ -432,9 +432,10 @@ def clean(table) -> str | None:
     # dataset: drop them from the view (recorded as deleted) but never
     # remove them from disk
     external = view.raw_paths()
-    instant = table.new_instant()
-    table.timeline.create_requested(
-        instant,
+    from ..timeline import claim_new_instant
+
+    instant = claim_new_instant(
+        table,
         CLEAN,
         {
             "deletable": sorted(deletable),
@@ -567,9 +568,10 @@ def rollback_instant(table, timestamp: str) -> str:
     # files, so no crash point leaves a completed commit referencing
     # deleted data. A crash mid-unwind leaves the pending plan, which
     # the failed-write sweep REPLAYS to completion (never discards).
-    inst = table.new_instant()
-    table.timeline.create_requested(
-        inst, ROLLBACK, {"rolled_back": timestamp, "action": action}
+    from ..timeline import claim_new_instant
+
+    inst = claim_new_instant(
+        table, ROLLBACK, {"rolled_back": timestamp, "action": action}
     )
     _finish_rollback(table, inst)
     return inst
@@ -750,8 +752,9 @@ def savepoint(table, timestamp: str | None = None) -> str:
     timestamp = timestamp or completed[-1].timestamp
     if timestamp not in {i.timestamp for i in completed}:
         raise ValueError(f"no completed write instant {timestamp}")
-    inst = table.new_instant()
-    table.timeline.create_requested(inst, SAVEPOINT, {})
+    from ..timeline import claim_new_instant
+
+    inst = claim_new_instant(table, SAVEPOINT, {})
     table.timeline.transition_to_completed(inst, SAVEPOINT, {"savepoint_at": timestamp})
     return inst
 
@@ -770,9 +773,10 @@ def restore(table, savepoint_ts: str) -> str:
         for i in reversed(table.timeline.completed_write_instants())
         if i.timestamp > savepoint_ts
     ]
-    inst = table.new_instant()
-    table.timeline.create_requested(
-        inst, RESTORE, {"restored_to": savepoint_ts, "targets": targets}
+    from ..timeline import claim_new_instant
+
+    inst = claim_new_instant(
+        table, RESTORE, {"restored_to": savepoint_ts, "targets": targets}
     )
     _finish_restore(table, inst)
     return inst

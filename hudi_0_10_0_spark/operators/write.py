@@ -828,6 +828,40 @@ def _finalize(df: DataFrame, data_cols: list[str]) -> DataFrame:
     return df.select(*cols)
 
 
+def _claim_write_instant(table, action, operation, instant_time=None):
+    """Allocate the write's instant and create-once its requested file,
+    retrying on a cross-process millisecond collision (see
+    ``timeline.claim_new_instant``). The heartbeat starts BEFORE the
+    requested file becomes visible so rivals' lazy failed-write sweep
+    never sees a pending instant without one; a losing claim's
+    heartbeat is stopped and nothing else is touched — the colliding
+    requested file belongs to the RIVAL."""
+    from ..timeline import claim_timestamp
+
+    last: Exception | None = None
+    for _ in range(5):
+        instant = instant_time or table.new_instant()
+        if instant_time is None and not claim_timestamp(table, instant):
+            # a rival (any action) owns this millisecond — next one
+            last = IOError(f"timestamp {instant} claimed by a rival")
+            continue
+        hb = start_heartbeat(table, instant)
+        try:
+            table.timeline.create_requested(
+                instant, action, {"operation": operation.value}
+            )
+            return instant, hb
+        except BaseException as e:
+            if hb is not None:
+                # keep the file: on a legacy-layout collision it is the
+                # RIVAL's liveness guard (shared path, shared instant)
+                hb.stop(delete=False)
+            if instant_time is not None or not isinstance(e, (IOError, OSError)):
+                raise
+            last = e
+    raise last
+
+
 def run_batch_write(
     table,
     df: DataFrame,
@@ -922,21 +956,19 @@ def run_batch_write(
         else "commit"
     )
     txn_start = txn_start_marker(table, view)
-    instant = instant_time or table.new_instant()
-    # heartbeat BEFORE the requested file is visible: rivals' lazy
-    # failed-write sweep must never see a pending instant without one
-    hb = start_heartbeat(table, instant)
+    instant, hb = _claim_write_instant(table, action, operation, instant_time)
     try:
-        table.timeline.create_requested(instant, action, {"operation": operation.value})
         table.timeline.transition_to_inflight(instant, action)
     except BaseException:
         # a failure HERE is outside the main try/finally below: stop the
         # refresh thread (else it keeps the heartbeat file perpetually
         # fresh, making any half-created pending instant unsweepable)
-        # and remove whatever pending files did get created
+        # and remove OUR pending files (never COMPLETED — it cannot
+        # exist for our fresh claim, and touching it would be the
+        # timestamp-collision data-loss bug all over again)
         if hb is not None:
             hb.stop()
-        table.timeline.delete_instant_files(instant, action)
+        table.timeline.delete_pending_instant_files(instant, action)
         raise
     committed = False
     try:
@@ -1380,19 +1412,18 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
         T.StringType,
     )
 
-    instant = table.new_instant()
-    # heartbeat-guard the pending window like every other write: a
-    # rival's lazy sweep must never judge this pending commit crashed
-    hb = start_heartbeat(table, instant)
+    # heartbeat-guard the pending window like every other write (a
+    # rival's lazy sweep must never judge this pending commit crashed);
+    # collision-retrying claim, never touching a rival's files
+    instant, hb = _claim_write_instant(
+        table, "commit", WriteOperation.BOOTSTRAP
+    )
     try:
-        table.timeline.create_requested(
-            instant, "commit", {"operation": "bootstrap"}
-        )
         table.timeline.transition_to_inflight(instant, "commit")
     except BaseException:
         if hb is not None:
             hb.stop()
-        table.timeline.delete_instant_files(instant, "commit")
+        table.timeline.delete_pending_instant_files(instant, "commit")
         raise
     try:
         stats = []
@@ -1449,15 +1480,13 @@ def run_replace_write(
     view = table.view()
     table_schema = table.schema()
     txn_start = txn_start_marker(table, view)
-    instant = table.new_instant()
-    hb = start_heartbeat(table, instant)  # before the requested file is visible
+    instant, hb = _claim_write_instant(table, "replacecommit", operation)
     try:
-        table.timeline.create_requested(instant, "replacecommit", {"operation": operation.value})
         table.timeline.transition_to_inflight(instant, "replacecommit")
     except BaseException:
         if hb is not None:
             hb.stop()  # else the refresh thread outlives the failed write
-        table.timeline.delete_instant_files(instant, "replacecommit")
+        table.timeline.delete_pending_instant_files(instant, "replacecommit")
         raise
     try:
         stats: list[WriteStat] = []

@@ -67,7 +67,17 @@ def _foreach_batch(
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         done = last_committed_batch_id(table, query_name)
         if done is not None and batch_id <= done:
-            return  # replayed batch already committed — skip (exactly-once)
+            # replayed batch already committed — skip (exactly-once).
+            # STILL publish the instant to on_commit: after a crash
+            # between a predecessor's commit and its callback, this
+            # replay is the only chance the caller gets to hear about
+            # the durable instant (offset publishing would otherwise be
+            # silently skipped — crash-matrix r7)
+            if on_commit is not None:
+                inst = _committed_instant_for_batch(table, query_name, batch_id)
+                if inst is not None:
+                    on_commit(inst)
+            return
         extra = {BATCH_ID_KEY: str(batch_id)}
         if query_name is not None:
             extra[QUERY_ID_KEY] = query_name

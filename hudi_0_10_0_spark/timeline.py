@@ -79,6 +79,49 @@ def format_query_instant(q: str) -> str:
     )
 
 
+def claim_timestamp(table, instant: str) -> bool:
+    """Cross-ACTION create-once claim on a fresh timestamp.
+
+    ``new_instant_time`` is monotonic only WITHIN a process; two OS
+    writers can tie on the millisecond. Same-action ties collide on the
+    create-once requested file, but DIFFERENT actions have distinct
+    filenames while still sharing the per-instant namespaces —
+    ``data/<ts>/`` and ``heartbeat/<ts>`` — so a commit X and a
+    deltacommit X would write (and on abort, DELETE) each other's data.
+    One ``<ts>.claim`` file arbitrates the millisecond across all
+    actions; ``Instant.parse`` ignores the name, completion and
+    instant-file deletion clean it up."""
+    try:
+        table.fs.mkdirs(table.timeline.dir)
+        return table.fs.create_exclusive(f"{table.timeline.dir}/{instant}.claim", "")
+    except Exception:
+        return False
+
+
+def claim_new_instant(table, action: str, metadata: dict | None = None) -> str:
+    """Allocate a FRESH instant and create-once its requested file,
+    retrying when a rival process claimed the same millisecond.
+
+    Before r7 a millisecond tie escaped as a write failure AND the
+    generic cleanup deleted the instant's files — which belonged to the
+    RIVAL (up to and including a completed commit: committed-data loss
+    on a timestamp tie, found via the 3-writer soak). The claim loop
+    never touches the rival's files: the loser takes the next
+    millisecond."""
+    last: Exception | None = None
+    for _ in range(5):
+        instant = table.new_instant()
+        if not claim_timestamp(table, instant):
+            last = IOError(f"timestamp {instant} claimed by a rival")
+            continue
+        try:
+            table.timeline.create_requested(instant, action, metadata)
+            return instant
+        except (IOError, OSError) as e:  # legacy layout without claims
+            last = e
+    raise last  # five straight collisions = a real storage failure
+
+
 def new_instant_time() -> str:
     """Monotonic millisecond timestamp string (driver-side, like the
     reference's ``HoodieActiveTimeline.createNewInstantTime``)."""
@@ -213,11 +256,15 @@ class Timeline:
             f"{self.dir}/{inst.filename()}",
             json.dumps(metadata, sort_keys=True),
         )
+        # the millisecond can no longer be re-issued to a live rival —
+        # retire its cross-action claim file (claim_timestamp)
+        self.fs.delete(f"{self.dir}/{timestamp}.claim")
         return inst
 
     def delete_instant_files(self, timestamp: str, action: str) -> None:
         for state in (REQUESTED, INFLIGHT, COMPLETED):
             self.fs.delete(f"{self.dir}/{Instant(timestamp, action, state).filename()}")
+        self.fs.delete(f"{self.dir}/{timestamp}.claim")
 
     def delete_pending_instant_files(self, timestamp: str, action: str) -> None:
         """Remove only the requested/inflight state files — the

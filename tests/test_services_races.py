@@ -306,3 +306,65 @@ def test_clean_replay_records_pinned_paths_already_deleted(
     )
     # and the snapshot still reads (the view no longer serves the gone file)
     assert h2.snapshot().count() == len(SEED)
+
+
+def test_instant_timestamp_collision_retries_and_spares_rival(
+    spark, tmp_table_path
+):
+    """Cross-process millisecond tie (timeline.claim_new_instant): the
+    losing writer must take the next timestamp and NEVER touch the
+    rival's files — before r7 the loser's cleanup deleted the rival's
+    instant files (up to a completed commit) and the write failed."""
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="v",
+        # OCC: the lazy sweep must SKIP the live rival (in single-writer
+        # mode the eager sweep would reclaim any pending instant first
+        # and no collision could occur)
+        concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+        lock_wait_seconds=30.0,
+        auto_clean=False,
+        auto_archive=False,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+
+    # rival's claimed instant (same action the upsert will use), with a
+    # fresh heartbeat so the lazy sweep treats it as live
+    rival_ts = t.new_instant()
+    t.fs.mkdirs(f"{t.meta_path}/heartbeat")
+    t.fs.write_text(f"{t.meta_path}/heartbeat/{rival_ts}", "")
+    t.timeline.create_requested(rival_ts, COMMIT, {"operation": "upsert"})
+    rival_req = f"{t.timeline.dir}/{Instant(rival_ts, COMMIT, 'requested').filename()}"
+    assert t.fs.exists(rival_req)
+
+    a = HudiTable.load(spark, tmp_table_path)
+    orig = a.new_instant
+    fired = []
+
+    def collide():
+        if not fired:
+            fired.append(True)
+            return rival_ts  # tie with the rival's millisecond
+        return orig()
+
+    a.new_instant = collide
+    a.upsert(_df(spark, UPD))  # must succeed on the retried timestamp
+    assert fired
+    h = HudiTable.load(spark, tmp_table_path)
+    assert h.fs.exists(rival_req), "collision loser deleted the rival's file"
+    rows = sorted(tuple(r) for r in h.snapshot().select("id", "part", "v").collect())
+    exp = {(i, f"p{i % 2}"): i for i in range(60)}
+    for i, p, v in UPD:
+        exp[(i, p)] = v
+    assert rows == sorted((i, p, v) for (i, p), v in exp.items())
+    # the rival's pending instant is untouched and sweepable later
+    assert any(
+        i.timestamp == rival_ts and i.action == COMMIT
+        for i in h.timeline.pending()
+    )
+    # ...and its liveness guard survives the loser's claim cleanup
+    assert h.fs.exists(f"{h.meta_path}/heartbeat/{rival_ts}"), (
+        "collision loser deleted the rival's heartbeat"
+    )
