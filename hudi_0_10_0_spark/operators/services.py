@@ -16,6 +16,7 @@ from ..timeline import (
     CLEAN,
     COMMIT,
     COMPACTION,
+    COMPLETED,
     DELTA_COMMIT,
     REPLACE_COMMIT,
     RESTORE,
@@ -667,6 +668,9 @@ def rollback_pending_writes(table) -> list[str]:
             # pending states ONLY — even a wrong staleness judgement must
             # never erase a completed instant
             table.timeline.delete_pending_instant_files(inst.timestamp, inst.action)
+            # the crashed writer's timestamp claim dies with its instant
+            # (owner confirmed dead: heartbeat expired / single-writer)
+            table.fs.delete(f"{table.timeline.dir}/{inst.timestamp}.claim")
             table.fs.delete(f"{table.meta_path}/heartbeat/{inst.timestamp}")
             from .key_index import drop_instant as _ki_drop
 
@@ -727,6 +731,47 @@ def rollback_pending_writes(table) -> list[str]:
                     stale = False
                 if stale:
                     table.fs.delete(f"{hb_dir}/{name}")
+        # orphan instant-claims (timeline.claim_timestamp): a crash
+        # between the claim and create_requested, or between the
+        # completed-file write and the claim retirement, strands a
+        # <ts>.claim that nothing else ever collects — the timeline
+        # listing would grow O(crashes) for the table's lifetime.
+        # Eager in single-writer mode (any claim without an owning
+        # pending instant at write start is garbage, like the pending
+        # instants themselves); under OCC a completed instant at the
+        # timestamp means the retirement crashed (safe to collect:
+        # completion itself deletes the claim), otherwise the owner may
+        # be INSIDE the milliseconds-wide claim→create_requested window
+        # — collect only when the claim has aged past heartbeat expiry
+        # AND no live heartbeat guards the timestamp.
+        import time as _time2
+
+        claim_expiry = 3.0 * float(
+            getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
+        )
+        pending_ts = {i.timestamp for i in table.timeline.pending()}
+        completed_ts = {
+            i.timestamp
+            for i in table.timeline.instants()
+            if i.state == COMPLETED
+        }
+        for name in table.fs.list_names(table.timeline.dir):
+            if not name.endswith(".claim"):
+                continue
+            ts = name[: -len(".claim")]
+            if ts in pending_ts:
+                continue  # instant files own the claim's lifecycle
+            path = f"{table.timeline.dir}/{name}"
+            if occ and ts not in completed_ts:
+                try:
+                    young = (
+                        _time2.time() - table.fs.mtime(path)
+                    ) <= claim_expiry
+                except Exception:
+                    young = True  # confirm-absent rule, like heartbeats
+                if young or heartbeat_live(table, ts):
+                    continue
+            table.fs.delete(path)
         return rolled
 
     if not occ:

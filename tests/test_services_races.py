@@ -368,3 +368,123 @@ def test_instant_timestamp_collision_retries_and_spares_rival(
     assert h.fs.exists(f"{h.meta_path}/heartbeat/{rival_ts}"), (
         "collision loser deleted the rival's heartbeat"
     )
+
+
+def _claims(t):
+    return sorted(
+        n for n in t.fs.list_names(t.timeline.dir) if n.endswith(".claim")
+    )
+
+
+def test_normal_write_leaves_no_claim_files(spark, tmp_table_path):
+    """Completion retires the cross-action timestamp claim — a healthy
+    write/clean/compact lifecycle must leave zero .claim files."""
+    t = HudiTable.create(spark, tmp_table_path, _mor_cfg())
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+    t.compact()
+    t.clean()
+    assert _claims(t) == []
+
+
+def test_sweep_collects_orphan_claims_single_writer(spark, tmp_table_path):
+    """Crash between claim_timestamp and create_requested strands a
+    .claim with no instant files; in single-writer mode the eager sweep
+    collects it immediately (nothing else ever would)."""
+    from hudi_0_10_0_spark.timeline import claim_timestamp
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(
+            record_key_field="id",
+            partition_field="part",
+            precombine_field="v",
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+    t.bulk_insert(_df(spark, SEED))
+    orphan = t.new_instant()
+    assert claim_timestamp(t, orphan)
+    assert f"{orphan}.claim" in _claims(t)
+    t.rollback_pending_writes()
+    assert _claims(t) == [], "single-writer sweep left an orphan claim"
+
+
+def test_sweep_collects_crashed_retirement_claim_occ(spark, tmp_table_path):
+    """Crash between the completed-file write and the claim delete: the
+    claim's timestamp has a COMPLETED instant, so OCC collects it with
+    no age gate (completion itself would have deleted it)."""
+    cfg = _mor_cfg(
+        concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+        lock_wait_seconds=30.0,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+    done = t.timeline.completed_write_instants()[-1].timestamp
+    # resurrect the claim as if the retirement delete never ran
+    t.fs.write_text(f"{t.timeline.dir}/{done}.claim", "")
+    t.rollback_pending_writes()
+    assert _claims(t) == [], "completed instant's stranded claim not collected"
+
+
+def test_sweep_age_gates_instantless_claims_occ(spark, tmp_table_path):
+    """A claim with NO instant files may belong to a rival inside the
+    milliseconds-wide claim->create_requested window: OCC keeps it until
+    it ages past heartbeat expiry, then collects it."""
+    import os
+
+    from hudi_0_10_0_spark.timeline import claim_timestamp
+
+    cfg = _mor_cfg(
+        concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+        lock_wait_seconds=30.0,
+        heartbeat_interval_seconds=60.0,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+    orphan = t.new_instant()
+    assert claim_timestamp(t, orphan)
+    path = f"{t.timeline.dir}/{orphan}.claim"
+
+    t.rollback_pending_writes()
+    assert t.fs.exists(path), "OCC sweep collected a YOUNG instantless claim"
+
+    old = __import__("time").time() - 3600.0
+    os.utime(path[len("file:"):] if path.startswith("file:") else path, (old, old))
+    t.rollback_pending_writes()
+    assert not t.fs.exists(path), "OCC sweep left an EXPIRED orphan claim"
+
+
+def test_sweeping_crashed_write_removes_its_claim(spark, tmp_table_path):
+    """The failed-write sweep of a heartbeat-expired pending instant
+    removes the timestamp claim along with the pending files."""
+    import os
+
+    cfg = _mor_cfg(
+        concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+        lock_wait_seconds=30.0,
+        heartbeat_interval_seconds=60.0,
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, SEED))
+    from hudi_0_10_0_spark.timeline import claim_timestamp
+
+    crashed = t.new_instant()
+    assert claim_timestamp(t, crashed)
+    t.timeline.create_requested(crashed, COMMIT, {"operation": "upsert"})
+    t.fs.mkdirs(f"{t.meta_path}/heartbeat")
+    hb = f"{t.meta_path}/heartbeat/{crashed}"
+    t.fs.write_text(hb, "")
+    old = __import__("time").time() - 3600.0
+    for p in (hb, f"{t.timeline.dir}/{crashed}.claim"):
+        lp = p[len("file:"):] if p.startswith("file:") else p
+        os.utime(lp, (old, old))
+    t.rollback_pending_writes()
+    assert not any(
+        i.timestamp == crashed for i in t.timeline.pending()
+    ), "expired pending instant not swept"
+    assert f"{crashed}.claim" not in _claims(t), (
+        "swept instant's claim left behind"
+    )
