@@ -137,6 +137,41 @@ def age_heartbeats(h) -> None:
         h.fs.delete(f"{hb_dir}/{name}")
 
 
+def age_claims(h) -> None:
+    """Age instant-claim files past heartbeat expiry so the sweep's
+    orphan-claim collection judges them abandoned (matrix crashes are
+    instantaneous; wall-clock aging is simulated like age_heartbeats)."""
+    import os
+    import time
+
+    old = time.time() - 3600.0
+    for name in h.fs.list_names(h.timeline.dir) or []:
+        if not name.endswith(".claim"):
+            continue
+        p = f"{h.timeline.dir}/{name}"
+        lp = p[len("file:"):] if p.startswith("file:") else p
+        try:
+            os.utime(lp, (old, old))
+        except OSError:
+            pass
+
+
+def assert_claim_hygiene(h) -> None:
+    """After aging + one sweep, every surviving <ts>.claim must belong
+    to a pending instant (retryable service plans keep their claims);
+    anything else is a leak the orphan-claim collection missed."""
+    age_claims(h)
+    age_heartbeats(h)
+    h.rollback_pending_writes()
+    pending = {i.timestamp for i in h.timeline.pending()}
+    orphans = [
+        n
+        for n in h.fs.list_names(h.timeline.dir)
+        if n.endswith(".claim") and n[: -len(".claim")] not in pending
+    ]
+    assert not orphans, f"orphan claim files survived the sweep: {orphans}"
+
+
 def _retry_write_occ(h, op):
     age_heartbeats(h)
     h.rollback_pending_writes()
@@ -387,4 +422,6 @@ def test_crash_matrix(spark, tmp_path, name):
             assert inst.action in ("compaction", "replacecommit"), (
                 f"{name} crash@{n}: leftover pending {inst}"
             )
+        # claim hygiene: no <ts>.claim may outlive its instant (r7)
+        assert_claim_hygiene(h)
         shutil.rmtree(d)

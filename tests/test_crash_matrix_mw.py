@@ -37,6 +37,7 @@ from test_crash_matrix import (
     _install,
     _timeline_sane,
     age_heartbeats as _age_heartbeats,
+    assert_claim_hygiene,
 )
 from test_crash_matrix import _rows  # shared with the single-writer matrix
 
@@ -287,4 +288,6 @@ def test_multi_writer_crash_matrix(spark, tmp_path, name):
             assert inst.action in ("compaction", "replacecommit"), (
                 f"{name} crash@{n}: leftover pending {inst}"
             )
+        # claim hygiene: no <ts>.claim may outlive its instant (r7)
+        assert_claim_hygiene(h2)
         shutil.rmtree(d)
