@@ -500,12 +500,10 @@ def guarded_commit(
         # Residual (third-order) race: a rival whose timeline listing
         # predates our completion write and whose commit lands after
         # this re-check — the same gap the reference's FileSystem lock
-        # carries. Likewise a rival TABLE SERVICE (clean / compaction /
-        # index fold) that acts on the momentarily-visible commit inside
-        # the displacement window: services are not conflict candidates
-        # (not WRITE_ACTIONS), so the undo cannot reason about them —
-        # bounded to the same TTL-displacement window, documented as a
-        # watch item (code-review r7).
+        # carries. A rival TABLE SERVICE (clean / compaction /
+        # clustering) that consumed the momentarily-visible commit
+        # inside the displacement window is handled below: the undo is
+        # refused when one exists (r7 watch item, closed).
         if hasattr(lock, "validate") and not lock.validate(owner):
             recheck = [
                 (i.timestamp, i.action, tl.read_metadata(i))
@@ -535,17 +533,43 @@ def guarded_commit(
                     and a["timestamp"] != instant
                 ]
             if find_conflicts(recheck, after_ts, written):
-                from .timeline import COMPLETED, Instant
+                # The undo is only safe while nothing has CONSUMED the
+                # momentarily-visible commit. A rival SERVICE newer than
+                # our instant may have: a clean deletes the file
+                # versions our commit superseded, a compaction folds
+                # our log files into a new base, a clustering rewrites
+                # our file groups — deleting the completed file after
+                # any of those loses data the service already acted on,
+                # which is strictly worse than the lost-update anomaly
+                # the undo prevents. When one exists, let the commit
+                # stand (exactly the reference FileSystem-lock
+                # behavior, which never re-validates post-write at
+                # all) — closes the r7 watch item on rival-service
+                # interaction inside the TTL-displacement window.
+                from .timeline import CLEAN
 
-                table.fs.delete(
-                    f"{table.timeline.dir}/"
-                    f"{Instant(instant, action, COMPLETED).filename()}"
-                )
-                raise CommitUndoneError(
-                    f"lock for instant {instant} was taken over during "
-                    "the completion write (holder outlived the lock TTL) "
-                    "and a conflicting rival committed unseen — commit "
-                    "undone and aborted"
-                )
+                consumed = [
+                    i.timestamp
+                    for i in tl.completed((CLEAN,))
+                    if i.timestamp > instant
+                ] + [
+                    ts
+                    for ts, _act, md in recheck
+                    if ts > instant
+                    and (md or {}).get("operation") in ("compact", "cluster")
+                ]
+                if not consumed:
+                    from .timeline import COMPLETED, Instant
+
+                    table.fs.delete(
+                        f"{table.timeline.dir}/"
+                        f"{Instant(instant, action, COMPLETED).filename()}"
+                    )
+                    raise CommitUndoneError(
+                        f"lock for instant {instant} was taken over "
+                        "during the completion write (holder outlived "
+                        "the lock TTL) and a conflicting rival "
+                        "committed unseen — commit undone and aborted"
+                    )
     finally:
         lock.unlock(owner)

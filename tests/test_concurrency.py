@@ -535,6 +535,60 @@ def test_commit_fencing_toctou_takeover_conflicting_undoes_commit(spark, tmp_tab
     assert t.timeline.pending() == []
 
 
+def test_commit_fencing_undo_refused_after_rival_service(spark, tmp_table_path):
+    """r7 watch item closed: when a rival SERVICE newer than our instant
+    completed during the displacement window (here a clean — it may
+    have deleted the file versions our momentarily-visible commit
+    superseded), the undo is REFUSED and the commit stands: deleting
+    the completed file after a service consumed it would lose data,
+    which is strictly worse than the lost-update anomaly the undo
+    prevents (and keeping it matches the reference FileSystem-lock
+    behavior, which never re-validates post-write)."""
+    from hudi_0_10_0_spark.concurrency import FileSystemLockProvider
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+
+    orig = t.timeline.transition_to_completed
+    rival = FileSystemLockProvider(t.fs, t.meta_path, ttl_seconds=0.0)
+    stole = {}
+
+    def stalled(instant, action, metadata):
+        # rival takes the lock, lands an overlapping commit (the undo
+        # trigger) AND completes a clean newer than our instant (the
+        # undo blocker) before our completion write reaches disk
+        if "done" not in stole:
+            assert rival.try_lock("rival-takeover")
+            riv_md = {
+                "operation": "upsert",
+                "write_stats": [
+                    {"partition": s.get("partition", ""),
+                     "file_id": s["file_id"], "paths": [], "rows": 0,
+                     "bytes": 0, "log": False}
+                    for s in metadata.get("write_stats", [])
+                ],
+            }
+            orig(t.new_instant(), "commit", riv_md)
+            orig(t.new_instant(), "clean", {"deleted": []})
+            stole["done"] = True
+        return orig(instant, action, metadata)
+
+    t.timeline.transition_to_completed = stalled
+    try:
+        mine = t.upsert(_df(spark, [(1, "p0", 2)]))  # must SUCCEED
+    finally:
+        t.timeline.transition_to_completed = orig
+        rival.unlock("rival-takeover")
+    assert stole == {"done": True}
+    done = {i.timestamp for i in t.timeline.completed_write_instants()}
+    assert mine in done, "undo fired despite a newer completed service"
+    assert t.timeline.pending() == []
+    # the accepted anomaly is a LOST UPDATE (the rival's synthetic
+    # zero-row commit supersedes the file group), never a broken table:
+    # the snapshot must still build and read
+    t.snapshot().count()
+
+
 def test_multi_writer_kill_soak(spark, tmp_table_path):
     """VERDICT r5 #6: SIGKILL a writer process mid-iteration while two
     rivals keep writing. The dead writer's pending instants must be
