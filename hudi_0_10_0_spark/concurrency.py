@@ -323,10 +323,69 @@ class InProcessLockProvider(LockProvider):
             self._lock.release()
 
 
+class FcntlLockProvider(LockProvider):
+    """OS-advisory-lock provider (``fcntl.flock``) for single-host
+    multi-process deployments. Fills the LockProvider SPI slot the
+    reference reserves for session-backed providers
+    (``lock/ZookeeperBasedLockProvider.java:55`` — ZK ephemeral nodes):
+    the OS releases the lock the instant the holder dies, so there is
+    no TTL heuristic, no expired-lock recovery, and therefore NO
+    displacement window — ``validate`` is trivially true while held,
+    which closes the FileSystem provider's third-order race for tables
+    on a local filesystem. Only valid for driver-local table paths
+    (flock has no meaning on HDFS/object stores); construction rejects
+    anything else."""
+
+    def __init__(self, meta_path: str):
+        if meta_path.startswith("file:"):
+            meta_path = meta_path[len("file:"):]
+        if "://" in meta_path:
+            raise ValueError(
+                "FCNTL lock provider requires a driver-local table path "
+                f"(got {meta_path}); use FILESYSTEM or a session-backed "
+                "provider for shared stores"
+            )
+        import os
+
+        self._dir = os.path.join(meta_path, ".locks")
+        self._path = os.path.join(self._dir, "table.flock")
+        self._fd: int | None = None
+        self._owner: str | None = None
+
+    def try_lock(self, owner: str) -> bool:
+        import fcntl
+        import os
+
+        os.makedirs(self._dir, exist_ok=True)
+        fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            return False
+        self._fd, self._owner = fd, owner
+        return True
+
+    def unlock(self, owner: str) -> None:
+        import fcntl
+        import os
+
+        if self._fd is None or self._owner != owner:
+            return
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        self._fd, self._owner = None, None
+
+    def validate(self, owner: str) -> bool:
+        # flock is held until released or the holder dies — a held fd
+        # IS the proof of mutual exclusion; no rival can displace it
+        return self._fd is not None and self._owner == owner
+
+
 def get_lock_provider(table) -> LockProvider:
     """Resolve ``WriteConfig.lock_provider``: a registry name
-    (FILESYSTEM | IN_PROCESS) or a ``module:Class`` dotted path whose
-    class takes the table as its only constructor argument — the
+    (FILESYSTEM | IN_PROCESS | FCNTL) or a ``module:Class`` dotted path
+    whose class takes the table as its only constructor argument — the
     analogue of the reference loading a provider class from
     ``hoodie.write.lock.provider``."""
     name = (getattr(table.cfg, "lock_provider", None) or "FILESYSTEM").strip()
@@ -339,6 +398,8 @@ def get_lock_provider(table) -> LockProvider:
         )
     if up in ("IN_PROCESS", "INPROCESS", "IN_MEMORY", "INMEMORY"):
         return InProcessLockProvider(table.base_path)
+    if up in ("FCNTL", "FLOCK", "LOCAL_OS"):
+        return FcntlLockProvider(table.meta_path)
     if ":" in name:
         mod_name, cls_name = name.rsplit(":", 1)
         import importlib

@@ -135,7 +135,9 @@ class WriteConfig:
     # to a LIVE concurrent writer and must not be swept as a failed
     # write (hoodie.client.heartbeat.interval_in_ms analogue)
     heartbeat_interval_seconds: float = 60.0
-    # FILESYSTEM | IN_PROCESS | "module:Class" (concurrency.get_lock_provider)
+    # FILESYSTEM | IN_PROCESS | FCNTL | "module:Class"
+    # (concurrency.get_lock_provider). FCNTL = OS flock, single-host
+    # multi-process, release-on-death (no TTL displacement window)
     lock_provider: str = "FILESYSTEM"
     # FILESYSTEM lock expiry: a lock older than this is judged abandoned
     # (holder crashed) and recovered via the single-winner takeover

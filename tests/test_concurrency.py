@@ -771,3 +771,89 @@ def test_pending_restore_blocks_writers_until_replayed(spark, tmp_table_path):
     assert t.snapshot().filter("id = 1").first().v == 1  # restored
     assert t.snapshot().filter("id = 2").first().v == 5
     assert t.timeline.pending() == []
+
+
+def test_fcntl_lock_provider_mutual_exclusion(tmp_path):
+    """FCNTL provider: exclusive within and across instances, validate
+    true only while held, unlock releases for the next taker."""
+    from hudi_0_10_0_spark.concurrency import FcntlLockProvider
+
+    meta = str(tmp_path / "meta")
+    a = FcntlLockProvider(meta)
+    b = FcntlLockProvider(meta)
+    assert a.try_lock("a")
+    assert a.validate("a")
+    assert not b.try_lock("b"), "two holders at once"
+    assert not b.validate("b")
+    a.unlock("a")
+    assert not a.validate("a")
+    assert b.try_lock("b")
+    b.unlock("b")
+
+
+def test_fcntl_lock_provider_rejects_remote_paths(tmp_path):
+    from hudi_0_10_0_spark.concurrency import FcntlLockProvider
+
+    with pytest.raises(ValueError, match="driver-local"):
+        FcntlLockProvider("hdfs://nn/warehouse/t/_hoodie_meta")
+    # file: prefix is the local scheme — accepted
+    FcntlLockProvider(f"file:{tmp_path}/meta")
+
+
+def test_fcntl_lock_released_on_holder_death(tmp_path):
+    """The property that distinguishes FCNTL from FILESYSTEM (and
+    mirrors ZK ephemeral nodes): SIGKILL the holding process and the
+    lock is available IMMEDIATELY — no TTL wait, no expired-lock
+    recovery, no displacement window."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from hudi_0_10_0_spark.concurrency import FcntlLockProvider
+
+    meta = str(tmp_path / "meta")
+    holder = subprocess.Popen(
+        [sys.executable, "-c", textwrap.dedent(f"""
+            import sys, time
+            sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+            from hudi_0_10_0_spark.concurrency import FcntlLockProvider
+            p = FcntlLockProvider({meta!r})
+            assert p.try_lock("holder")
+            print("HELD", flush=True)
+            time.sleep(120)
+        """)],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        taker = FcntlLockProvider(meta)
+        assert not taker.try_lock("taker"), "lock not actually held"
+        os.kill(holder.pid, signal.SIGKILL)
+        holder.wait(timeout=30)
+        deadline = time.time() + 5.0
+        while not taker.try_lock("taker"):
+            assert time.time() < deadline, (
+                "lock not released on holder death"
+            )
+            time.sleep(0.05)
+        taker.unlock("taker")
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+
+
+def test_fcntl_provider_end_to_end_occ_writes(spark, tmp_table_path):
+    """Full write path under lock_provider=FCNTL: OCC upserts, clean,
+    and the failed-write sweep all acquire through the provider."""
+    cfg = _cfg()
+    cfg.lock_provider = "FCNTL"
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    t.bulk_insert(_df(spark, [(i, f"p{i % 2}", i) for i in range(40)]))
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 100) for i in range(0, 40, 4)]))
+    t.clean()
+    assert t.snapshot().count() == 40
+    assert t.snapshot().filter("v >= 100").count() == 10
+    assert t.timeline.pending() == []
