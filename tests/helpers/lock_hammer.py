@@ -8,6 +8,10 @@ same syscall FS.create_exclusive uses for local paths) and rename is
 source-must-exist (every provider rename targets a unique tomb, so
 POSIX rename's overwrite-on-target never comes into play).
 
+An optional trailing ``fcntl`` argument swaps in FcntlLockProvider —
+the same soak then exercises OS-flock mutual exclusion across
+processes instead of the CAS lock file.
+
 Modes:
   takeover <lock_meta_dir> <worker_id>
       one try_lock over a pre-seeded expired lock; exit 0 and print
@@ -25,7 +29,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from hudi_0_10_0_spark.concurrency import FileSystemLockProvider
+from hudi_0_10_0_spark.concurrency import (
+    FcntlLockProvider,
+    FileSystemLockProvider,
+)
 
 
 class LocalFS:
@@ -79,7 +86,10 @@ def main():
     mode = sys.argv[1]
     meta = sys.argv[2]
     wid = sys.argv[3]
-    lp = FileSystemLockProvider(LocalFS(), meta, ttl_seconds=3600.0)
+    if sys.argv[-1] == "fcntl":
+        lp = FcntlLockProvider(meta)
+    else:
+        lp = FileSystemLockProvider(LocalFS(), meta, ttl_seconds=3600.0)
     if mode == "takeover":
         print("WIN" if lp.try_lock(wid) else "LOSE")
         return 0

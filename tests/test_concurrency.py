@@ -137,11 +137,13 @@ def test_expired_lock_takeover_single_winner_processes(tmp_path):
     assert leftovers == [], leftovers
 
 
-def test_lock_mutual_exclusion_soak_processes(tmp_path):
+@pytest.mark.parametrize("provider", ["fs", "fcntl"])
+def test_lock_mutual_exclusion_soak_processes(tmp_path, provider):
     """4 processes × 20 acquire/release cycles against one lock path:
     the hold intervals recorded by each worker must never overlap —
-    cross-process mutual exclusion of the CAS acquisition under real
-    contention (each worker also validate()s its own hold)."""
+    cross-process mutual exclusion under real contention (each worker
+    also validate()s its own hold). Runs for BOTH providers: the
+    CAS lock file and OS flock (r7)."""
     import json
     import os
     import subprocess
@@ -150,9 +152,12 @@ def test_lock_mutual_exclusion_soak_processes(tmp_path):
     meta = str(tmp_path / "meta")
     log = str(tmp_path / "holds.jsonl")
     worker = os.path.join(os.path.dirname(__file__), "helpers", "lock_hammer.py")
+    args = ["soak", meta, "{w}", "20", log] + (
+        ["fcntl"] if provider == "fcntl" else []
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, "soak", meta, f"w{i}", "20", log],
+            [sys.executable, worker] + [a.format(w=f"w{i}") for a in args],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for i in range(4)
@@ -167,8 +172,10 @@ def test_lock_mutual_exclusion_soak_processes(tmp_path):
             f"overlapping holds: {prev['o']} [{prev['a']}, {prev['r']}] vs "
             f"{cur['o']} [{cur['a']}, {cur['r']}]"
         )
-    # lock fully released at the end
-    assert not os.path.exists(f"{meta}/locks/table.lock")
+    if provider == "fs":
+        # CAS lock fully released at the end (the flock file is inert
+        # while unheld — it legitimately persists)
+        assert not os.path.exists(f"{meta}/locks/table.lock")
 
 
 def test_multi_writer_services_soak(spark, tmp_table_path):
