@@ -95,6 +95,9 @@ class WriteConfig:
     cleaner_file_versions_retained: int = 3
     keep_min_commits: int = 20
     keep_max_commits: int = 30
+    # consolidate archive batch files past this count, stripping
+    # write_stats for cleaner-deleted files (timeline.consolidate_archive)
+    archive_merge_batches: int = 16
 
     # automatic services after each commit
     inline_compact: bool = False  # hoodie.compact.inline default false

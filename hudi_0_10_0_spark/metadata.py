@@ -268,6 +268,11 @@ class FileSystemView:
                 fg = self.groups.setdefault(
                     (st.partition, st.file_id), FileGroup(st.partition, st.file_id)
                 )
+                if sd.get("stripped"):
+                    # archive consolidation's skeleton of a fully-cleaned
+                    # stat (timeline.consolidate_archive): the file group
+                    # existence is recorded, the dead version is not
+                    continue
                 if cleaned and st.paths and all(p in cleaned for p in st.paths):
                     continue
                 if st.log:

@@ -273,11 +273,16 @@ class HudiTable:
         from .concurrency import LockTimeoutError, get_lock_provider
 
         def _run() -> int:
-            return self.timeline.archive(
+            n = self.timeline.archive(
                 self.cfg.keep_min_commits,
                 self.cfg.keep_max_commits,
                 protected_ts=set(self.savepoint_instants()),
             )
+            # bound the batch-file count a fresh reader's view fold pays
+            self.timeline.consolidate_archive(
+                getattr(self.cfg, "archive_merge_batches", 16)
+            )
+            return n
 
         if self.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
             return _run()

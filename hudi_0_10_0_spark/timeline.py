@@ -351,6 +351,93 @@ class Timeline:
             self.delete_instant_files(inst.timestamp, inst.action)
         return len(kept) + len(residual)
 
+    def consolidate_archive(self, max_batches: int = 16) -> bool:
+        """Merge the archive's batch files into one once their count
+        exceeds ``max_batches``, stripping write_stats whose every path
+        the cleaner has recorded deleted.
+
+        Why it scales: the view fold reads EVERY archive batch on a
+        fresh build, so an unbounded batch count makes a new reader's
+        first view O(all commits ever) in file round-trips, and at
+        steady state most archived write_stats describe files the
+        cleaner physically deleted long ago — pure dead parse volume
+        (``FileSystemView._build`` skips exactly these entries).
+        Stripping keeps a SKELETON per dead stat — (partition, file_id,
+        log, ``stripped: true``) with paths/col_stats/rows dropped — so
+        every manifest consumer behaves exactly as before: the
+        incremental touched-set still sees the file group, conflict
+        checks still see the overlap, and the fold skips the entry via
+        the explicit flag just as it skipped the cleaned paths.
+
+        Crash/rival safety: the consolidated file is written FIRST
+        (atomic rename-overwrite; its record set is a superset of every
+        batch this listing saw), then the listed batches are deleted —
+        any crash window leaves overlapping files that
+        ``archived_instants`` already dedups by (timestamp, action). A
+        rival consolidating concurrently deletes only batches IT
+        listed, so a batch that landed after our listing survives both.
+        Runs under the table lock in OCC mode (``table.archive``)."""
+        names = [
+            n
+            for n in sorted(self.fs.list_names(self.archive_dir))
+            if n.endswith(".archive.jsonl")
+        ]
+        if len(names) <= max(1, int(max_batches)):
+            return False
+        recs = self.archived_instants()
+        if not recs:
+            return False
+        recs.sort(key=lambda r: (r["timestamp"], r["action"]))
+        cleaned: set[str] = set()
+        for r in recs:
+            if r["action"] == CLEAN:
+                cleaned.update(r["metadata"].get("deleted", []))
+        for inst in self.completed((CLEAN,)):
+            cleaned.update(self.read_metadata(inst).get("deleted", []))
+        lines = []
+        for r in recs:
+            md = r["metadata"]
+            stats = md.get("write_stats") if isinstance(md, dict) else None
+            if r["action"] in WRITE_ACTIONS and cleaned and stats:
+                keep, changed = [], False
+                for sd in stats:
+                    if sd.get("paths") and all(p in cleaned for p in sd["paths"]):
+                        keep.append(
+                            {
+                                "partition": sd.get("partition", ""),
+                                "file_id": sd["file_id"],
+                                "log": bool(sd.get("log")),
+                                "paths": [],
+                                "rows": 0,
+                                "bytes": 0,
+                                "stripped": True,
+                            }
+                        )
+                        changed = True
+                    else:
+                        keep.append(sd)
+                if changed:
+                    md = dict(md)
+                    md["write_stats"] = keep
+            lines.append(
+                json.dumps(
+                    {
+                        "timestamp": r["timestamp"],
+                        "action": r["action"],
+                        "metadata": md,
+                    },
+                    sort_keys=True,
+                )
+            )
+        name = f"{recs[0]['timestamp']}_{recs[-1]['timestamp']}.archive.jsonl"
+        self.fs.write_text_atomic(
+            f"{self.archive_dir}/{name}", "\n".join(lines), overwrite=True
+        )
+        for n in names:
+            if n != name:
+                self.fs.delete(f"{self.archive_dir}/{n}")
+        return True
+
     def archived_instants(self) -> list[dict]:
         out = []
         seen: set[tuple[str, str]] = set()

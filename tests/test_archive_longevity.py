@@ -159,3 +159,73 @@ def test_archive_multi_batch_with_crash_repair(spark, tmp_table_path, table_type
     for cts in sample:
         got = _snap_dict(t.snapshot(as_of=cts))
         assert got == by_ts[cts], f"time travel to {cts} diverged"
+
+
+@pytest.mark.slow
+def test_archive_consolidation_preserves_views(spark, tmp_table_path):
+    """``consolidate_archive`` merges every batch into ONE file and
+    strips write_stats whose files the cleaner physically deleted
+    (exactly the entries the view fold already skips). Snapshot,
+    time-travel, archived dedup, and ancient-begin incremental (which
+    must keep FALLING BACK — the stripped marker replaces the per-path
+    cleaned check) are byte-identical before and after."""
+    rng = random.Random(7)
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="ts",
+        keep_min_commits=4,
+        keep_max_commits=6,
+        auto_clean=True,           # cleaner retires old versions → strippable stats
+        cleaner_commits_retained=2,
+        auto_archive=False,        # archive driven explicitly below
+        archive_merge_batches=1_000_000,  # no auto-consolidation mid-soak
+    )
+    t = HudiTable.create(spark, tmp_table_path, cfg)
+    model: dict = {}
+    init = _rows(rng, 20, ts=0)
+    t.bulk_insert(spark.createDataFrame(init, SCHEMA))
+    _apply(model, init, "insert")
+    first_commit = t.commits()[-1]
+
+    for step in range(1, 22):
+        rows = _rows(rng, rng.randrange(2, 8), step)
+        t.upsert(spark.createDataFrame(rows, SCHEMA))
+        _apply(model, rows, "upsert")
+        if len(t.timeline.completed_write_instants()) > cfg.keep_max_commits:
+            t.archive()
+
+    batches_before = [
+        n for n in t.fs.list_names(t.timeline.archive_dir)
+        if n.endswith(".archive.jsonl")
+    ]
+    assert len(batches_before) >= 3, batches_before
+    arch_before = {
+        (a["timestamp"], a["action"]) for a in t.timeline.archived_instants()
+    }
+    snap_before = _snap_dict(t.snapshot())
+    inc_before = _snap_dict(t.incremental(first_commit))
+
+    assert t.timeline.consolidate_archive(max_batches=1)
+
+    batches_after = [
+        n for n in t.fs.list_names(t.timeline.archive_dir)
+        if n.endswith(".archive.jsonl")
+    ]
+    assert len(batches_after) == 1, batches_after
+    arch = t.timeline.archived_instants()
+    assert {(a["timestamp"], a["action"]) for a in arch} == arch_before
+    # the cleaner retired versions in the archived band — stripping
+    # must actually have happened (otherwise this test is vacuous)
+    assert any(
+        sd.get("stripped")
+        for a in arch
+        for sd in a["metadata"].get("write_stats", [])
+    ), "no write_stats were strippable — raise the soak length"
+
+    # FRESH loads (no per-process view cache): identical reads
+    h = HudiTable.load(spark, tmp_table_path)
+    assert _snap_dict(h.snapshot()) == snap_before == model
+    assert _snap_dict(h.incremental(first_commit)) == inc_before
+    # idempotent no-op below the threshold
+    assert not h.timeline.consolidate_archive(max_batches=16)
