@@ -229,3 +229,80 @@ def test_archive_consolidation_preserves_views(spark, tmp_table_path):
     assert _snap_dict(h.incremental(first_commit)) == inc_before
     # idempotent no-op below the threshold
     assert not h.timeline.consolidate_archive(max_batches=16)
+
+
+@pytest.mark.slow
+def test_archive_consolidation_crash_matrix(spark, tmp_table_path):
+    """Crash consolidate_archive at EVERY fs-mutation point: reads and
+    the archived-instant set must be invariant at every point (the
+    consolidated superset is written before any batch delete; overlap
+    windows dedup), and a retried consolidation converges to one file."""
+    import shutil
+
+    from test_crash_matrix import SimulatedCrash, _install
+
+    rng = random.Random(3)
+    cfg = WriteConfig(
+        record_key_field="id",
+        partition_field="part",
+        precombine_field="ts",
+        keep_min_commits=4,
+        keep_max_commits=6,
+        auto_clean=True,
+        cleaner_commits_retained=2,
+        auto_archive=True,
+        archive_merge_batches=1_000_000,  # matrix drives it explicitly
+    )
+    pristine = tmp_table_path + "/pristine"
+    t = HudiTable.create(spark, pristine, cfg)
+    model: dict = {}
+    init = _rows(rng, 20, ts=0)
+    t.bulk_insert(spark.createDataFrame(init, SCHEMA))
+    _apply(model, init, "insert")
+    for step in range(1, 16):
+        rows = _rows(rng, rng.randrange(2, 8), step)
+        t.upsert(spark.createDataFrame(rows, SCHEMA))
+        _apply(model, rows, "upsert")
+    arch_set = {
+        (a["timestamp"], a["action"]) for a in t.timeline.archived_instants()
+    }
+    assert len(arch_set) > 4
+
+    # reference run → mutation count
+    ref = HudiTable.load(spark, pristine + "")  # same dir is fine: copy next
+    d0 = tmp_table_path + "/ref"
+    shutil.copytree(pristine, d0)
+    ref = HudiTable.load(spark, d0)
+    proxy = _install(ref)
+    assert ref.timeline.consolidate_archive(max_batches=1)
+    total = proxy.n
+    assert total > 0
+    shutil.rmtree(d0)
+
+    for n in range(1, total + 1):
+        d = tmp_table_path + f"/crash{n}"
+        shutil.copytree(pristine, d)
+        victim = HudiTable.load(spark, d)
+        _install(victim, crash_at=n)
+        try:
+            victim.timeline.consolidate_archive(max_batches=1)
+            crashed = False
+        except SimulatedCrash:
+            crashed = True
+        h = HudiTable.load(spark, d)
+        got = {(a["timestamp"], a["action"]) for a in h.timeline.archived_instants()}
+        assert got == arch_set, f"crash@{n}: archived set changed"
+        assert _snap_dict(h.snapshot()) == model, f"crash@{n}: reads drifted"
+        if crashed:
+            h.timeline.consolidate_archive(max_batches=1)
+            batches = [
+                x for x in h.fs.list_names(h.timeline.archive_dir)
+                if x.endswith(".archive.jsonl")
+            ]
+            assert len(batches) == 1, f"crash@{n}: retry did not converge"
+            got2 = {
+                (a["timestamp"], a["action"])
+                for a in h.timeline.archived_instants()
+            }
+            assert got2 == arch_set
+        shutil.rmtree(d)
