@@ -1901,6 +1901,107 @@ FROM hits
 """
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (functions/text.py pii_scrub): deterministic
+    synthetic PII is appended per doc (the corpus itself is clean word
+    salad — a scrub over it would be vacuous), then emails / IPv4s /
+    phone numbers are counted and redacted. The md5 of the scrubbed
+    text pins the byte-exact redaction against the oracle."""
+    from hudi_0_10_0_spark.functions.text import pii_scrub
+
+    docs = _pq(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@example.com from 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+            F.lit(" tel +1555"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return pii_scrub(injected).select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.length("text_scrubbed").cast("long").alias("scrub_len"),
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+_SQL_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+      || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+      || ' tel +1555' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+), scrub AS (
+  SELECT doc_id, text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+      '\+\d{7,15}', '<PHONE>', 'g') AS text_scrubbed
+  FROM injected
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
+  length(text_scrubbed) AS scrub_len,
+  md5(text_scrubbed) AS scrub_md5
+FROM scrub
+"""
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (functions/text.py
+    repetition_features): distinct-token fraction, duplicated-bigram
+    fraction, and the standard >0.2 rejection flag — all JVM array
+    expressions, no explode/shuffle."""
+    from hudi_0_10_0_spark.functions.text import repetition_features
+
+    docs = _pq(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_frac",
+        "dup_bigram_frac",
+        "flag_repetitive",
+    )
+
+
+_SQL_TEXT_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, t,
+    list_transform(range(1, greatest(len(t), 1)),
+                   i -> t[i] || ' ' || t[i + 1]) AS b
+  FROM tok
+)
+SELECT doc_id,
+  len(t) AS n_tokens,
+  CASE WHEN len(t) = 0 THEN 0.0
+       ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS distinct_token_frac,
+  CASE WHEN len(b) = 0 THEN 0.0
+       ELSE 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b) END AS dup_bigram_frac,
+  (CASE WHEN len(b) = 0 THEN 0.0
+        ELSE 1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b) END) > 0.2
+    AS flag_repetitive
+FROM big
+"""
+
+
 def q_fingerprint_groups(spark, sf_dir):
     """Whole-document fingerprint dedup groups: 64-bit fingerprint =
     xxhash64(normalized text) (functions/text.py fingerprint); emit one
@@ -2548,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_groups": q_fingerprint_groups,
         "text_vocab_topk": q_vocab_topk,
         "text_contamination": q_contamination,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repetition": q_text_repetition,
         "dedup_components": q_dedup_components,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
@@ -2650,6 +2753,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_groups": _SQL_FINGERPRINT_GROUPS,
         "text_vocab_topk": _SQL_VOCAB_TOPK,
         "text_contamination": _SQL_CONTAMINATION,
+        "text_pii_scrub": _SQL_PII_SCRUB,
+        "text_repetition": _SQL_TEXT_REPETITION,
         "dedup_components": _SQL_DEDUP_COMPONENTS,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,

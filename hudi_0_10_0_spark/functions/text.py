@@ -114,6 +114,67 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII redaction (training-data pipelines scrub these before tokenizer
+# training; the patterns stay in the Java-regex ∩ RE2 common subset so
+# an external SQL engine can verify the scrub byte-for-byte)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers with ``<KIND>`` placeholder
+    tokens and count each kind. Counts are taken on the ORIGINAL text;
+    redaction applies the patterns in ``PII_PATTERNS`` insertion order
+    (deterministic — the placeholder of an earlier pattern contains no
+    digits, so it can never create a later match). Pure JVM regexps in
+    whole-stage codegen: scan-parallel at 100 TB, no shuffle."""
+    c = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long"),
+        )
+    scrubbed = c
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.withColumn("text_scrubbed", scrubbed)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): the
+    distinct-token fraction and the duplicated-bigram fraction, plus
+    the standard >0.2 dup-bigram rejection flag. Entirely JVM array
+    expressions over the tokenized text — per-row columnar work, no
+    explode, no shuffle."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_tok - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+        )
+    )
+    n_big = F.size(bigrams)
+    distinct_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct(toks)).cast("double") / n_tok
+    )
+    dup_big_frac = F.when(n_big == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_big
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("distinct_token_frac", distinct_frac)
+        .withColumn("dup_bigram_frac", dup_big_frac)
+        .withColumn("flag_repetitive", dup_big_frac > F.lit(0.2))
+    )
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, strip non-alnum,
     collapse whitespace."""

@@ -613,3 +613,36 @@ def test_sampling_rejects_non_numeric_key(spark):
         deterministic_sample(df, key_col="doc", fraction=0.5)
     with pytest.raises(ValueError, match="integer key"):
         stratified_sample(df, key_col="doc", strata_col="src", fractions={"s": 1.0})
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    rows = [
+        (1, "reach me at jo.na+x@sub.example.org or 10.1.2.3 tel +4915551234567"),
+        (2, "no pii here at all"),
+        (3, "a@b.io b@c.io 1.2.3.4 256.1.1.1 +1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["text_scrubbed"] == "reach me at <EMAIL> or <IPV4> tel <PHONE>"
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert got[2]["text_scrubbed"] == "no pii here at all"
+    # 256.1.1.1 still matches the \d{1,3} octet pattern (documented:
+    # redaction favours recall over strict range validation)
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (2, 2, 1)
+
+
+def test_repetition_features_flags_loops(spark):
+    rows = [
+        (1, "spam ham " * 50),             # 1 distinct bigram pair repeated
+        (2, "all words here are unique"),  # no repetition
+        (3, "one"),                        # single token: no bigrams
+        (4, ""),                           # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.repetition_features(df).collect()}
+    assert got[1]["flag_repetitive"] and got[1]["dup_bigram_frac"] > 0.9
+    assert got[1]["distinct_token_frac"] == 2 / 100
+    assert not got[2]["flag_repetitive"] and got[2]["dup_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+    assert got[4]["n_tokens"] == 0 and got[4]["distinct_token_frac"] == 0.0

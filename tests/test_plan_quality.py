@@ -28,6 +28,7 @@ READ_QUERIES = [
     "sampling_stratified", "sampling_deterministic",
     "pipeline_pack_sequences", "pipeline_training_data",
     "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
+    "text_pii_scrub", "text_repetition",
     "dedup_components",
 ]
 
