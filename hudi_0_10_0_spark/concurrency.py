@@ -67,8 +67,12 @@ class Heartbeat:
         while not self._stop_evt.wait(self.interval):
             try:
                 self.table.fs.write_text(self.path, str(time.time()))
-            except Exception:
-                pass  # transient refresh failure → mtime ages toward expiry
+            except BaseException:
+                # refresh failure of ANY kind (including BaseExceptions a
+                # test harness injects to simulate the process dying) must
+                # never propagate out of the daemon thread: the contract
+                # is simply that the mtime ages toward expiry
+                pass
 
     def stop(self, delete: bool = True) -> None:
         """``delete=False`` for a lost instant-claim (timestamp
