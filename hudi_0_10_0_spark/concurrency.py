@@ -340,7 +340,21 @@ class FcntlLockProvider(LockProvider):
     (flock has no meaning on HDFS/object stores); construction rejects
     anything else."""
 
-    def __init__(self, meta_path: str):
+    def __init__(self, meta_path: str, resolved_scheme: str | None = None):
+        # Locality is judged by the RESOLVED filesystem scheme when the
+        # caller can supply it (get_lock_provider passes the table FS's
+        # actual scheme), never by path-string inspection alone: a
+        # scheme-less path on a cluster with fs.defaultFS=hdfs:// puts
+        # the table on HDFS while a string check would happily flock a
+        # file on each driver's LOCAL disk — two hosts would both
+        # "acquire" and commit with no mutual exclusion (code-review
+        # r7; same rule as fs.create_exclusive's scheme resolution).
+        if resolved_scheme is not None and resolved_scheme not in ("", "file"):
+            raise ValueError(
+                "FCNTL lock provider requires a driver-local table "
+                f"(filesystem scheme {resolved_scheme!r}); use FILESYSTEM "
+                "or a session-backed provider for shared stores"
+            )
         if meta_path.startswith("file:"):
             meta_path = meta_path[len("file:"):]
         if "://" in meta_path:
@@ -403,7 +417,9 @@ def get_lock_provider(table) -> LockProvider:
     if up in ("IN_PROCESS", "INPROCESS", "IN_MEMORY", "INMEMORY"):
         return InProcessLockProvider(table.base_path)
     if up in ("FCNTL", "FLOCK", "LOCAL_OS"):
-        return FcntlLockProvider(table.meta_path)
+        return FcntlLockProvider(
+            table.meta_path, resolved_scheme=table.fs._resolved_scheme()
+        )
     if ":" in name:
         mod_name, cls_name = name.rsplit(":", 1)
         import importlib
@@ -611,18 +627,44 @@ def guarded_commit(
                 # behavior, which never re-validates post-write at
                 # all) — closes the r7 watch item on rival-service
                 # interaction inside the TTL-displacement window.
+                # "Consumed" is judged by ACTUAL overlap with our file
+                # groups, not mere existence of a newer service — an
+                # inline-clean deployment produces a newer CLEAN after
+                # every rival commit, and a blanket refusal would
+                # disable the undo exactly where it matters
+                # (code-review r7). A clean consumed us iff it deleted
+                # a file version OF A GROUP WE TOUCHED (undo would
+                # leave that group with a hole in its version chain); a
+                # compact/cluster consumed us iff its own write_stats /
+                # replaced set intersects ours.
+                from .operators.write import _parse_layout_path
                 from .timeline import CLEAN
 
-                consumed = [
-                    i.timestamp
-                    for i in tl.completed((CLEAN,))
-                    if i.timestamp > instant
-                ] + [
-                    ts
-                    for ts, _act, md in recheck
-                    if ts > instant
-                    and (md or {}).get("operation") in ("compact", "cluster")
-                ]
+                consumed: list[str] = []
+                for i in tl.completed((CLEAN,)):
+                    if i.timestamp <= instant:
+                        continue
+                    for p in tl.read_metadata(i).get("deleted", []):
+                        parsed = _parse_layout_path(
+                            table.base_path, table.abs_path(p)
+                        )
+                        if parsed is not None and (parsed[0], parsed[1]) in written:
+                            consumed.append(i.timestamp)
+                            break
+                for ts, _act, md in recheck:
+                    if ts <= instant or (md or {}).get("operation") not in (
+                        "compact",
+                        "cluster",
+                    ):
+                        continue
+                    touched = {
+                        (s.get("partition", ""), s["file_id"])
+                        for s in (md or {}).get("write_stats", [])
+                    }
+                    for pp, fids in (md or {}).get("replaced", {}).items():
+                        touched.update((pp, f) for f in fids)
+                    if touched & written:
+                        consumed.append(ts)
                 if not consumed:
                     from .timeline import COMPLETED, Instant
 

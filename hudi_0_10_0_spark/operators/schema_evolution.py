@@ -66,10 +66,20 @@ def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
         try:
             table.timeline.create_requested(instant, "commit", {"operation": operation})
             break
-        except (IOError, OSError) as e:
+        except BaseException as e:
+            # stop the refresher on EVERY failure kind — a non-OSError
+            # (e.g. a py4j transport error) escaping with the thread
+            # alive would keep heartbeat/<ts> perpetually fresh, making
+            # the stranded claim uncollectable for the process lifetime
+            # (code-review r7). IOError/OSError = create-once rejection:
+            # on a legacy layout the heartbeat path may be the RIVAL's
+            # liveness guard, so keep the file (delete=False). Any other
+            # kind is our own infra failure on a claim WE own — delete.
             if hb is not None:
-                hb.stop(delete=False)  # legacy shared path = rival's guard
+                hb.stop(delete=not isinstance(e, (IOError, OSError)))
             hb = None
+            if not isinstance(e, (IOError, OSError)):
+                raise
             last = e
     else:
         raise last
@@ -82,6 +92,9 @@ def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
         guarded_commit(table, instant, "commit", md, txn_start=txn_start_marker(table))
     except BaseException:
         table.timeline.delete_pending_instant_files(instant, "commit")
+        # the claim is ours (claim_timestamp succeeded) — collect it now
+        # rather than stranding it for the orphan sweep (code-review r7)
+        table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
         raise
     finally:
         if hb is not None:

@@ -853,9 +853,13 @@ def _claim_write_instant(table, action, operation, instant_time=None):
             return instant, hb
         except BaseException as e:
             if hb is not None:
-                # keep the file: on a legacy-layout collision it is the
-                # RIVAL's liveness guard (shared path, shared instant)
-                hb.stop(delete=False)
+                # an IOError/OSError is a create-once rejection: on a
+                # legacy-layout collision the heartbeat path is the
+                # RIVAL's liveness guard (shared path, shared instant),
+                # so keep the file. Any other kind is our own infra
+                # failure on a claim we own — delete, or the refresher's
+                # last write leaves a fresh orphan (code-review r7)
+                hb.stop(delete=not isinstance(e, (IOError, OSError)))
             if instant_time is not None or not isinstance(e, (IOError, OSError)):
                 raise
             last = e
@@ -969,6 +973,10 @@ def run_batch_write(
         if hb is not None:
             hb.stop()
         table.timeline.delete_pending_instant_files(instant, action)
+        # the claim is provably OURS here (claim_timestamp returned
+        # True) — delete it directly instead of stranding it for the
+        # age-gated orphan sweep (code-review r7)
+        table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
         raise
     committed = False
     try:
@@ -1424,6 +1432,7 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
         if hb is not None:
             hb.stop()
         table.timeline.delete_pending_instant_files(instant, "commit")
+        table.fs.delete(f"{table.timeline.dir}/{instant}.claim")  # ours
         raise
     try:
         stats = []
@@ -1487,6 +1496,7 @@ def run_replace_write(
         if hb is not None:
             hb.stop()  # else the refresh thread outlives the failed write
         table.timeline.delete_pending_instant_files(instant, "replacecommit")
+        table.fs.delete(f"{table.timeline.dir}/{instant}.claim")  # ours
         raise
     try:
         stats: list[WriteStat] = []

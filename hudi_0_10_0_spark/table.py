@@ -419,7 +419,12 @@ class HudiTable:
                     md.get("operation", ""),
                     sum(s.get("rows", 0) for s in stats),
                     sum(s.get("bytes", 0) for s in stats),
-                    sum(len(s.get("paths", [])) for s in stats),
+                    # archive consolidation skeletons drop paths but
+                    # keep the original file count as n_files
+                    sum(
+                        s.get("n_files", len(s.get("paths", [])))
+                        for s in stats
+                    ),
                     len({s.get("partition", "") for s in stats}),
                 )
             )

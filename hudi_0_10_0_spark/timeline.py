@@ -90,12 +90,16 @@ def claim_timestamp(table, instant: str) -> bool:
     deltacommit X would write (and on abort, DELETE) each other's data.
     One ``<ts>.claim`` file arbitrates the millisecond across all
     actions; ``Instant.parse`` ignores the name, completion and
-    instant-file deletion clean it up."""
-    try:
-        table.fs.mkdirs(table.timeline.dir)
-        return table.fs.create_exclusive(f"{table.timeline.dir}/{instant}.claim", "")
-    except Exception:
-        return False
+    instant-file deletion clean it up.
+
+    False means exactly "a rival owns this millisecond"
+    (``create_exclusive`` is a CAS returning False on exists); any
+    OTHER storage failure propagates — swallowing it into False would
+    burn the caller's five retries and then misreport a permission or
+    connectivity error as 'timestamp claimed by a rival'
+    (code-review r7)."""
+    table.fs.mkdirs(table.timeline.dir)
+    return table.fs.create_exclusive(f"{table.timeline.dir}/{instant}.claim", "")
 
 
 def claim_new_instant(table, action: str, metadata: dict | None = None) -> str:
@@ -371,12 +375,22 @@ class Timeline:
 
         Crash/rival safety: the consolidated file is written FIRST
         (atomic rename-overwrite; its record set is a superset of every
-        batch this listing saw), then the listed batches are deleted —
+        batch this merge read), then the merged batches are deleted —
         any crash window leaves overlapping files that
         ``archived_instants`` already dedups by (timestamp, action). A
         rival consolidating concurrently deletes only batches IT
         listed, so a batch that landed after our listing survives both.
-        Runs under the table lock in OCC mode (``table.archive``)."""
+        Runs under the table lock in OCC mode (``table.archive``).
+
+        TIERED (code-review r7): a flat merge-everything would re-read
+        and rewrite the ENTIRE archived history every 16 batches —
+        O(total commits ever) per trigger, quadratic cumulative I/O
+        over the table's lifetime. Instead the trailing small batches
+        are merged into a second-level file and the big consolidated
+        prefix is only rewritten when the trailing tier has grown to
+        its size (the LSM/geometric rule), bounding cumulative
+        consolidation I/O at O(N log N) while keeping the same
+        reader-side batch-count bound."""
         names = [
             n
             for n in sorted(self.fs.list_names(self.archive_dir))
@@ -384,10 +398,64 @@ class Timeline:
         ]
         if len(names) <= max(1, int(max_batches)):
             return False
-        recs = self.archived_instants()
+        sizes: dict[str, int] = {}
+        for n in names:
+            try:
+                sizes[n] = self.fs.path_size(f"{self.archive_dir}/{n}")
+            except Exception:
+                sizes[n] = 0  # vanished under a rival — treat as empty
+        big = max(names, key=lambda n: sizes[n])
+        rest = [n for n in names if n != big]
+        # full rewrite only when the tail has grown to the prefix's size
+        # (geometric amortization), or when even a tail merge cannot get
+        # the count under the cap (max_batches=1 demands ONE file)
+        full = (
+            sum(sizes[n] for n in rest) >= sizes[big]
+            or max(1, int(max_batches)) < 2
+        )
+        merge_names = names if full else rest
+        recs: list[dict] = []
+        seen: set[tuple[str, str]] = set()
+        if not full:
+            # records already in the untouched prefix must not be
+            # re-serialized into the tail tier (a crash between a
+            # previous merge's write and its batch deletes leaves the
+            # originals on disk as pure subsets of the consolidated
+            # file — the retry must converge by deleting them, not by
+            # duplicating their records)
+            try:
+                for line in self.fs.read_text(
+                    f"{self.archive_dir}/{big}"
+                ).splitlines():
+                    if line.strip():
+                        rec = json.loads(line)
+                        seen.add((rec["timestamp"], rec["action"]))
+            except Exception:
+                pass  # unreadable prefix → fall back to plain tail merge
+        for n in sorted(merge_names):
+            for line in self.fs.read_text(f"{self.archive_dir}/{n}").splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                key = (rec["timestamp"], rec["action"])
+                if key in seen:  # overlapping batches (crash repair)
+                    continue
+                seen.add(key)
+                recs.append(rec)
         if not recs:
+            if not full and merge_names:
+                # every tail record already lives in the prefix — these
+                # are a crashed merge's leftovers; converge by deleting
+                # the redundant batches
+                for n in merge_names:
+                    self.fs.delete(f"{self.archive_dir}/{n}")
+                return True
             return False
         recs.sort(key=lambda r: (r["timestamp"], r["action"]))
+        # cleaned-path set: cleans inside THIS merge plus the active
+        # timeline. A clean recorded only in the untouched prefix can
+        # leave some rewritten stats unstripped — that's an optimization
+        # miss the next full-tier merge repairs, never a correctness gap
         cleaned: set[str] = set()
         for r in recs:
             if r["action"] == CLEAN:
@@ -402,14 +470,21 @@ class Timeline:
                 keep, changed = [], False
                 for sd in stats:
                     if sd.get("paths") and all(p in cleaned for p in sd["paths"]):
+                        # skeleton: drop paths/col_stats (the bulk) but
+                        # KEEP rows/bytes/file count — commits_df and
+                        # any ops-facing history still report true
+                        # totals for archived commits (code-review r7)
                         keep.append(
                             {
                                 "partition": sd.get("partition", ""),
                                 "file_id": sd["file_id"],
                                 "log": bool(sd.get("log")),
                                 "paths": [],
-                                "rows": 0,
-                                "bytes": 0,
+                                "n_files": sd.get(
+                                    "n_files", len(sd.get("paths", []))
+                                ),
+                                "rows": sd.get("rows", 0),
+                                "bytes": sd.get("bytes", 0),
                                 "stripped": True,
                             }
                         )
@@ -433,7 +508,7 @@ class Timeline:
         self.fs.write_text_atomic(
             f"{self.archive_dir}/{name}", "\n".join(lines), overwrite=True
         )
-        for n in names:
+        for n in merge_names:
             if n != name:
                 self.fs.delete(f"{self.archive_dir}/{n}")
         return True

@@ -306,3 +306,113 @@ def test_archive_consolidation_crash_matrix(spark, tmp_table_path):
             }
             assert got2 == arch_set
         shutil.rmtree(d)
+
+
+def test_archive_consolidation_tiered(spark, tmp_table_path):
+    """Tiered merge (code-review r7): once a big consolidated prefix
+    exists, routine consolidation merges only the trailing small
+    batches into a second-level file — the prefix is NOT re-read or
+    rewritten (O(tail) per trigger, not O(all commits ever)) — until
+    the tail has grown to the prefix's size, at which point one full
+    merge folds everything (geometric amortization). Readers see the
+    identical archived set at every step."""
+    import json
+    import os
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts"),
+    )
+    tl = t.timeline
+    arch = tl.archive_dir.replace("file:", "")
+    os.makedirs(arch, exist_ok=True)
+
+    def batch(i, n_records, pad=0):
+        ts0 = f"{20200101000000000 + i * 1000:017d}"
+        lines = []
+        for j in range(n_records):
+            ts = f"{int(ts0) + j:017d}"
+            lines.append(json.dumps({
+                "timestamp": ts, "action": "commit",
+                "metadata": {"operation": "upsert",
+                             "pad": "x" * pad, "write_stats": []},
+            }, sort_keys=True))
+        name = f"{ts0}_{int(ts0) + n_records - 1:017d}.archive.jsonl"
+        with open(os.path.join(arch, name), "w") as f:
+            f.write("\n".join(lines))
+        return name
+
+    # one big prefix (earlier full merge) + 17 small tail batches
+    big = batch(0, 40, pad=2000)
+    for i in range(1, 18):
+        batch(i, 2)
+    all_recs = {(a["timestamp"], a["action"]) for a in tl.archived_instants()}
+
+    big_stat = os.stat(os.path.join(arch, big))
+    assert tl.consolidate_archive(max_batches=16)
+    names = sorted(n for n in os.listdir(arch) if n.endswith(".archive.jsonl"))
+    assert len(names) == 2, names                      # prefix + ONE tail tier
+    assert big in names, "big prefix was rewritten by a tail merge"
+    after_stat = os.stat(os.path.join(arch, big))
+    assert (after_stat.st_mtime_ns, after_stat.st_size) == (
+        big_stat.st_mtime_ns, big_stat.st_size), "prefix file was touched"
+    assert {(a["timestamp"], a["action"]) for a in tl.archived_instants()} == all_recs
+
+    # grow the tail past the prefix's size → the NEXT consolidation is
+    # a full merge down to one file
+    for i in range(18, 36):
+        batch(i, 3, pad=3000)
+    all_recs = {(a["timestamp"], a["action"]) for a in tl.archived_instants()}
+    assert tl.consolidate_archive(max_batches=16)
+    names = sorted(n for n in os.listdir(arch) if n.endswith(".archive.jsonl"))
+    assert len(names) == 1, names
+    assert {(a["timestamp"], a["action"]) for a in tl.archived_instants()} == all_recs
+
+
+def test_archive_consolidation_converges_on_crash_leftovers(spark, tmp_table_path):
+    """A crash between a full merge's consolidated write and its batch
+    deletes leaves the originals as pure SUBSETS of the big file. The
+    tiered retry must converge by deleting them — never by duplicating
+    their records into a tail tier."""
+    import json
+    import os
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts"),
+    )
+    tl = t.timeline
+    arch = tl.archive_dir.replace("file:", "")
+    os.makedirs(arch, exist_ok=True)
+
+    recs = []
+    for i in range(6):
+        ts = f"{20200101000000000 + i:017d}"
+        # the big file's copy carries the full metadata (padded so the
+        # prefix dominates by size and the merge stays TIERED); the
+        # leftover's copy is the same (timestamp, action) KEY — dedup
+        # is by key, so it is a pure subset
+        recs.append(json.dumps({
+            "timestamp": ts, "action": "commit",
+            "metadata": {"operation": "upsert", "pad": "x" * 2000,
+                         "write_stats": []},
+        }, sort_keys=True))
+        with open(os.path.join(arch, f"{ts}_{ts}.archive.jsonl"), "w") as f:
+            f.write(json.dumps({
+                "timestamp": ts, "action": "commit",
+                "metadata": {"operation": "upsert", "write_stats": []},
+            }, sort_keys=True))
+    big = f"{20200101000000000:017d}_{20200101000000005:017d}.archive.jsonl"
+    with open(os.path.join(arch, big), "w") as f:
+        f.write("\n".join(recs))
+
+    before = {(a["timestamp"], a["action"]) for a in tl.archived_instants()}
+    assert len(before) == 6
+    assert tl.consolidate_archive(max_batches=2)
+    names = [n for n in os.listdir(arch) if n.endswith(".archive.jsonl")]
+    assert names == [big], names
+    assert {(a["timestamp"], a["action"]) for a in tl.archived_instants()} == before

@@ -562,8 +562,10 @@ def test_commit_fencing_undo_refused_after_rival_service(spark, tmp_table_path):
 
     def stalled(instant, action, metadata):
         # rival takes the lock, lands an overlapping commit (the undo
-        # trigger) AND completes a clean newer than our instant (the
-        # undo blocker) before our completion write reaches disk
+        # trigger) AND completes a clean that DELETED a version of a
+        # file group our commit touched (the undo blocker: actual
+        # consumption, not mere existence — code-review r7) before our
+        # completion write reaches disk
         if "done" not in stole:
             assert rival.try_lock("rival-takeover")
             riv_md = {
@@ -576,7 +578,18 @@ def test_commit_fencing_undo_refused_after_rival_service(spark, tmp_table_path):
                 ],
             }
             orig(t.new_instant(), "commit", riv_md)
-            orig(t.new_instant(), "clean", {"deleted": []})
+            s0 = metadata["write_stats"][0]
+            pp_dir = s0.get("partition") or "__HIVE_DEFAULT_PARTITION__"
+            orig(
+                t.new_instant(),
+                "clean",
+                {
+                    "deleted": [
+                        "data/00000000000000000/"
+                        f"_pp={pp_dir}/_fg={s0['file_id']}/part-0.parquet"
+                    ]
+                },
+            )
             stole["done"] = True
         return orig(instant, action, metadata)
 
@@ -594,6 +607,68 @@ def test_commit_fencing_undo_refused_after_rival_service(spark, tmp_table_path):
     # zero-row commit supersedes the file group), never a broken table:
     # the snapshot must still build and read
     t.snapshot().count()
+
+
+def test_commit_fencing_undo_fires_despite_unrelated_service(spark, tmp_table_path):
+    """The refusal is consumption-based, not existence-based
+    (code-review r7): a newer clean that touched only FOREIGN file
+    groups did not consume our momentarily-visible commit, so the undo
+    must still fire — otherwise inline-clean deployments (a clean after
+    every commit) would never undo anything and the lost-update
+    anomaly the r5/r6 fencing closed would be reintroduced."""
+    from hudi_0_10_0_spark.concurrency import (
+        FileSystemLockProvider,
+        LockTimeoutError,
+    )
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+    before = [i.timestamp for i in t.timeline.completed_write_instants()]
+
+    orig = t.timeline.transition_to_completed
+    rival = FileSystemLockProvider(t.fs, t.meta_path, ttl_seconds=0.0)
+    stole = {}
+
+    def stalled(instant, action, metadata):
+        if "done" not in stole:
+            assert rival.try_lock("rival-takeover")
+            riv_md = {
+                "operation": "upsert",
+                "write_stats": [
+                    {"partition": s.get("partition", ""),
+                     "file_id": s["file_id"], "paths": [], "rows": 0,
+                     "bytes": 0, "log": False}
+                    for s in metadata.get("write_stats", [])
+                ],
+            }
+            orig(t.new_instant(), "commit", riv_md)
+            # clean newer than our instant, but over a file group we
+            # never touched — no consumption
+            orig(
+                t.new_instant(),
+                "clean",
+                {
+                    "deleted": [
+                        "data/00000000000000000/_pp=zz/"
+                        "_fg=ffffffff-0000-0000-0000-000000000000-0/"
+                        "part-0.parquet"
+                    ]
+                },
+            )
+            stole["done"] = True
+        return orig(instant, action, metadata)
+
+    t.timeline.transition_to_completed = stalled
+    try:
+        with pytest.raises(LockTimeoutError, match="taken over"):
+            t.upsert(_df(spark, [(1, "p0", 2)]))
+    finally:
+        t.timeline.transition_to_completed = orig
+        rival.unlock("rival-takeover")
+    # ours undone: seed + rival commit remain (the clean is not a write)
+    after = [i.timestamp for i in t.timeline.completed_write_instants()]
+    assert len(after) == len(before) + 1
+    assert t.timeline.pending() == []
 
 
 def test_multi_writer_kill_soak(spark, tmp_table_path):
@@ -805,6 +880,14 @@ def test_fcntl_lock_provider_rejects_remote_paths(tmp_path):
         FcntlLockProvider("hdfs://nn/warehouse/t/_hoodie_meta")
     # file: prefix is the local scheme — accepted
     FcntlLockProvider(f"file:{tmp_path}/meta")
+    # locality is judged by the RESOLVED scheme, not the path string
+    # (code-review r7): a scheme-less path on fs.defaultFS=hdfs:// is a
+    # REMOTE table — flocking each driver's local disk would break
+    # mutual exclusion silently
+    with pytest.raises(ValueError, match="scheme"):
+        FcntlLockProvider(f"{tmp_path}/meta", resolved_scheme="hdfs")
+    FcntlLockProvider(f"{tmp_path}/meta", resolved_scheme="file")
+    FcntlLockProvider(f"{tmp_path}/meta", resolved_scheme="")
 
 
 def test_fcntl_lock_released_on_holder_death(tmp_path):

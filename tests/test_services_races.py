@@ -488,3 +488,47 @@ def test_sweeping_crashed_write_removes_its_claim(spark, tmp_table_path):
     assert f"{crashed}.claim" not in _claims(t), (
         "swept instant's claim left behind"
     )
+
+
+def test_claim_storage_failure_propagates_not_misreported(spark, tmp_table_path):
+    """claim_timestamp returns False ONLY for a genuine rival collision
+    (create_exclusive's CAS says the file exists). A broken store —
+    permissions, connectivity — must propagate as the REAL error, not
+    burn five retries and surface as 'timestamp claimed by a rival'
+    (code-review r7)."""
+    from hudi_0_10_0_spark.timeline import claim_new_instant
+
+    t = HudiTable.create(spark, tmp_table_path, _mor_cfg())
+
+    orig = t.fs.create_exclusive
+    calls = {"n": 0}
+
+    def broken(path, content):
+        calls["n"] += 1
+        raise PermissionError("timeline dir is read-only")
+
+    t.fs.create_exclusive = broken
+    try:
+        with pytest.raises(PermissionError, match="read-only"):
+            claim_new_instant(t, "commit", {})
+    finally:
+        t.fs.create_exclusive = orig
+    assert calls["n"] == 1, "storage failure must fail fast, not retry as a collision"
+
+    # early-abort claim hygiene (code-review r7): a write that fails at
+    # transition_to_inflight deletes its own claim directly instead of
+    # stranding it for the age-gated orphan sweep
+    orig_inflight = t.timeline.transition_to_inflight
+
+    def explode(ts, action):
+        raise RuntimeError("inflight marker write failed")
+
+    t.timeline.transition_to_inflight = explode
+    try:
+        with pytest.raises(RuntimeError, match="inflight"):
+            t.upsert(_df(spark, UPD))
+    finally:
+        t.timeline.transition_to_inflight = orig_inflight
+    assert _claims(t) == [], "early abort stranded its own claim"
+    hb_dir = f"{t.meta_path}/heartbeat"
+    assert t.fs.list_names(hb_dir) == [], "early abort stranded a heartbeat"
