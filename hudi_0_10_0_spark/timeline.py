@@ -145,6 +145,18 @@ def new_instant_time() -> str:
         return ts
 
 
+def _archive_ranges_overlap(a: str, b: str) -> bool:
+    """Do two archive batch files overlap by the timestamp range their
+    names encode (``{min}_{max}.archive.jsonl``)? Unparseable names are
+    treated as overlapping (conservative: forces the dedup read)."""
+    try:
+        alo, ahi = a.rsplit(".archive.jsonl", 1)[0].split("_")
+        blo, bhi = b.rsplit(".archive.jsonl", 1)[0].split("_")
+        return alo <= bhi and blo <= ahi
+    except ValueError:
+        return True
+
+
 @dataclass(frozen=True, order=True)
 class Instant:
     timestamp: str
@@ -416,13 +428,20 @@ class Timeline:
         merge_names = names if full else rest
         recs: list[dict] = []
         seen: set[tuple[str, str]] = set()
-        if not full:
+        if not full and any(
+            _archive_ranges_overlap(n, big) for n in rest
+        ):
             # records already in the untouched prefix must not be
             # re-serialized into the tail tier (a crash between a
             # previous merge's write and its batch deletes leaves the
             # originals on disk as pure subsets of the consolidated
             # file — the retry must converge by deleting them, not by
-            # duplicating their records)
+            # duplicating their records). The prefix is only READ when
+            # a tail batch's filename range actually overlaps it —
+            # in steady state archive batches are strictly newer than
+            # the prefix, so the routine tiered trigger touches O(tail)
+            # bytes total; the prefix read happens only during crash
+            # repair, where the overlap is real
             try:
                 for line in self.fs.read_text(
                     f"{self.archive_dir}/{big}"

@@ -351,10 +351,19 @@ def test_archive_consolidation_tiered(spark, tmp_table_path):
     all_recs = {(a["timestamp"], a["action"]) for a in tl.archived_instants()}
 
     big_stat = os.stat(os.path.join(arch, big))
-    assert tl.consolidate_archive(max_batches=16)
+    reads = []
+    orig_read = tl.fs.read_text
+    tl.fs.read_text = lambda p: (reads.append(p), orig_read(p))[1]
+    try:
+        assert tl.consolidate_archive(max_batches=16)
+    finally:
+        tl.fs.read_text = orig_read
     names = sorted(n for n in os.listdir(arch) if n.endswith(".archive.jsonl"))
     assert len(names) == 2, names                      # prefix + ONE tail tier
     assert big in names, "big prefix was rewritten by a tail merge"
+    # steady state (tail strictly newer than the prefix range): the
+    # prefix is not even READ — the tiered trigger is O(tail) bytes
+    assert not any(r.endswith(big) for r in reads), reads
     after_stat = os.stat(os.path.join(arch, big))
     assert (after_stat.st_mtime_ns, after_stat.st_size) == (
         big_stat.st_mtime_ns, big_stat.st_size), "prefix file was touched"
