@@ -142,6 +142,20 @@ def _b_sweep_then_upsert(spark, h):
     h.upsert(_df(spark, B_UPD))
 
 
+def _b_cluster(spark, h):
+    h.cluster(sort_cols=["id"])
+
+
+def _retry_cluster(spark, h):
+    _age_heartbeats(h)
+    h.rollback_pending_writes()
+    pend = [i for i in h.timeline.pending() if i.action == "replacecommit"]
+    if pend:
+        h.run_cluster(pend[0].timestamp)
+    else:
+        h.cluster(sort_cols=["id"])
+
+
 def _seed_cow(spark, t):
     t.bulk_insert(_df(spark, SEED))
 
@@ -204,6 +218,35 @@ PAIRINGS = {
         retry=_retry_upsert,
         base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, []),
         a_rows=A_UPD,
+        b_rows=B_UPD,
+    ),
+    # A's upsert crashes; B runs inline z-less clustering over the
+    # whole table (sort layout). B's plan sees only COMMITTED versions
+    # (A's half-written data is invisible), so the replace is
+    # value-neutral; A's retry tags against the post-clustering view
+    "upsert_x_clustering": dict(
+        cfg={},
+        seed=_seed_cow,
+        a_op=lambda s, t: t.upsert(_df(s, A_UPD)),
+        b_op=_b_cluster,
+        retry=_retry_upsert,
+        base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, []),
+        a_rows=A_UPD,
+        b_rows=[],
+    ),
+    # A's clustering crashes at every point (mid-schedule, mid-replace
+    # write, mid-commit) with a fresh heartbeat; B's sweep must leave
+    # the pending plan alone (cluster plans are categorically not
+    # failed writes) and B's upsert — under ALLOW_ROLLBACK — rolls back
+    # exactly the conflicting pinned plan and proceeds
+    "clustering_x_sweep": dict(
+        cfg={"clustering_updates_strategy": "ALLOW_ROLLBACK"},
+        seed=_seed_cow_versions,
+        a_op=lambda s, t: t.cluster(sort_cols=["id"]),
+        b_op=_b_sweep_then_upsert,
+        retry=_retry_cluster,
+        base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, FIRST),
+        a_rows=[],
         b_rows=B_UPD,
     ),
     # A's compaction crashes with a fresh heartbeat; B runs the lazy
