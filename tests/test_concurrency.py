@@ -671,6 +671,61 @@ def test_commit_fencing_undo_fires_despite_unrelated_service(spark, tmp_table_pa
     assert t.timeline.pending() == []
 
 
+def test_commit_fencing_undo_refused_after_rival_compaction(spark, tmp_table_path):
+    """The compact/cluster consumption branch (code-review r7): a rival
+    compaction newer than our instant whose write_stats overlap our
+    touched file groups consumed our momentarily-visible commit (it may
+    have folded our log rows into its new base) — the undo must be
+    refused and the commit stand. A compaction over FOREIGN groups is
+    also landed first to prove the overlap check is per-group, not
+    existence-based."""
+    from hudi_0_10_0_spark.concurrency import FileSystemLockProvider
+
+    t = HudiTable.create(spark, tmp_table_path, _cfg())
+    t.bulk_insert(_df(spark, [(1, "p0", 1)]))
+
+    orig = t.timeline.transition_to_completed
+    rival = FileSystemLockProvider(t.fs, t.meta_path, ttl_seconds=0.0)
+    stole = {}
+
+    def stalled(instant, action, metadata):
+        if "done" not in stole:
+            assert rival.try_lock("rival-takeover")
+            ours = [
+                {"partition": s.get("partition", ""), "file_id": s["file_id"],
+                 "paths": [], "rows": 0, "bytes": 0, "log": False}
+                for s in metadata.get("write_stats", [])
+            ]
+            # overlapping rival commit = the undo trigger
+            orig(t.new_instant(), "commit",
+                 {"operation": "upsert", "write_stats": ours})
+            # foreign-group compaction: must NOT count as consumption
+            orig(t.new_instant(), "commit", {
+                "operation": "compact",
+                "write_stats": [{"partition": "zz",
+                                 "file_id": "ffffffff-0000-0000-0000-000000000000-0",
+                                 "paths": [], "rows": 0, "bytes": 0,
+                                 "log": False}],
+            })
+            # overlapping compaction = the undo blocker
+            orig(t.new_instant(), "commit",
+                 {"operation": "compact", "write_stats": ours})
+            stole["done"] = True
+        return orig(instant, action, metadata)
+
+    t.timeline.transition_to_completed = stalled
+    try:
+        mine = t.upsert(_df(spark, [(1, "p0", 2)]))  # must SUCCEED
+    finally:
+        t.timeline.transition_to_completed = orig
+        rival.unlock("rival-takeover")
+    assert stole == {"done": True}
+    done = {i.timestamp for i in t.timeline.completed_write_instants()}
+    assert mine in done, "undo fired despite a consuming rival compaction"
+    assert t.timeline.pending() == []
+    t.snapshot().count()
+
+
 def test_multi_writer_kill_soak(spark, tmp_table_path):
     """VERDICT r5 #6: SIGKILL a writer process mid-iteration while two
     rivals keep writing. The dead writer's pending instants must be
