@@ -1845,6 +1845,62 @@ GROUP BY comp
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Near-dup survivor selection (functions/dedup.py dedup_canonical):
+    connected components over the exact 0.7-Jaccard pair graph, then
+    keep ONE representative per component — longest text wins, smallest
+    doc_id breaks ties (the keep-the-longest rule). Returns the KEPT
+    corpus' doc_ids; documents in no component pass through."""
+    from hudi_0_10_0_spark.functions.dedup import (
+        connected_components,
+        dedup_canonical,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _pq(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.7)
+    labels = connected_components(edges)
+    kept = dedup_canonical(docs, labels, id_col="doc_id")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+_SQL_DEDUP_CANONICAL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         END AS s
+  FROM toks
+), edges AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) >= 0.7 * len(list_distinct(list_concat(a.s, b.s)))
+), sym AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION
+  SELECT id_b AS s, id_a AS d FROM edges
+), reach(id, comp) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.comp FROM sym JOIN reach ON sym.d = reach.id
+), comps AS (
+  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+), losers AS (
+  SELECT id FROM (
+    SELECT c.id,
+           ROW_NUMBER() OVER (PARTITION BY c.comp
+                              ORDER BY length(d.text) DESC, c.id) AS rn
+    FROM comps c JOIN documents d ON d.doc_id = c.id
+  ) WHERE rn > 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM losers)
+"""
+
+
 def q_text_stats(spark, sf_dir):
     """Token count, language ID, quality score per document."""
     from hudi_0_10_0_spark.functions.text import lang_id, quality_features
@@ -2652,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_repetition": q_text_repetition,
         "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
@@ -2756,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _SQL_PII_SCRUB,
         "text_repetition": _SQL_TEXT_REPETITION,
         "dedup_components": _SQL_DEDUP_COMPONENTS,
+        "dedup_canonical": _SQL_DEDUP_CANONICAL,
         "pipeline_training_data": _SQL_PIPELINE,
         "similarity_topk": _SQL_SIMILARITY_TOPK,
         # exhaustive configs (probe-all / nprobe=nlist) provably equal

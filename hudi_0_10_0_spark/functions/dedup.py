@@ -471,3 +471,39 @@ def embedding_dedup(
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_canonical(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    order_by: list | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Survivor selection — the step every training pipeline runs AFTER
+    near-dup group resolution: keep exactly ONE representative per
+    duplicate component and drop the rest. ``labels`` is the
+    ``connected_components`` output (id, comp); documents in no
+    component pass through untouched. The survivor is the component's
+    best row under ``order_by`` (default: longest ``text_col`` wins,
+    smallest id breaks ties — the usual keep-the-longest rule).
+
+    Scale shape (100 TB): ``labels`` covers only CLUSTERED documents —
+    a tiny fraction of the corpus — so the ranking window shuffles
+    O(clustered) rows keyed by comp, and the final drop is a broadcast
+    LEFT ANTI join of the loser-id set against the full corpus scan.
+    No corpus-proportional shuffle anywhere."""
+    from pyspark.sql.window import Window
+
+    if order_by is None:
+        order_by = [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+    ranked = labels.withColumnRenamed("id", id_col).join(
+        df, id_col
+    )
+    w = Window.partitionBy("comp").orderBy(*order_by)
+    losers = (
+        ranked.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") > 1)
+        .select(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -646,3 +646,32 @@ def test_repetition_features_flags_loops(spark):
     assert not got[2]["flag_repetitive"] and got[2]["dup_bigram_frac"] == 0.0
     assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
     assert got[4]["n_tokens"] == 0 and got[4]["distinct_token_frac"] == 0.0
+
+
+def test_dedup_canonical_survivor_selection(spark):
+    """dedup_canonical(): one survivor per component — longest text
+    wins, smallest id breaks ties; unclustered docs pass through; the
+    loser anti-join is broadcast (no corpus-proportional shuffle)."""
+    from hudi_0_10_0_spark.functions.dedup import (
+        connected_components,
+        dedup_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),          # comp {1,2,3}: 2 is longest
+            (2, "the longest text of the component"),
+            (3, "medium length"),
+            (10, "same size a"),   # comp {10,11}: equal length → min id
+            (11, "same size b"),
+            (99, "untouched singleton"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    kept = dedup_canonical(docs, connected_components(edges), id_col="doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 10, 99]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -29,7 +29,7 @@ READ_QUERIES = [
     "pipeline_pack_sequences", "pipeline_training_data",
     "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
     "text_pii_scrub", "text_repetition",
-    "dedup_components",
+    "dedup_components", "dedup_canonical",
 ]
 
 # table-format fixture queries: each builds a whole Hudi table (minutes
