@@ -79,6 +79,9 @@ def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
                 hb.stop(delete=not isinstance(e, (IOError, OSError)))
             hb = None
             if not isinstance(e, (IOError, OSError)):
+                # infra failure on a millisecond WE claimed, before any
+                # instant file existed — release the claim directly
+                table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
                 raise
             last = e
     else:

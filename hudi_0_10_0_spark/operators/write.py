@@ -861,6 +861,11 @@ def _claim_write_instant(table, action, operation, instant_time=None):
                 # last write leaves a fresh orphan (code-review r7)
                 hb.stop(delete=not isinstance(e, (IOError, OSError)))
             if instant_time is not None or not isinstance(e, (IOError, OSError)):
+                if instant_time is None and not isinstance(e, (IOError, OSError)):
+                    # infra failure on a millisecond WE claimed, before
+                    # any instant file existed — release the claim
+                    # directly rather than stranding it for the sweep
+                    table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
                 raise
             last = e
     raise last

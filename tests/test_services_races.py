@@ -532,3 +532,28 @@ def test_claim_storage_failure_propagates_not_misreported(spark, tmp_table_path)
     assert _claims(t) == [], "early abort stranded its own claim"
     hb_dir = f"{t.meta_path}/heartbeat"
     assert t.fs.list_names(hb_dir) == [], "early abort stranded a heartbeat"
+
+
+def test_claim_released_on_requested_write_infra_failure(spark, tmp_table_path):
+    """A non-OSError failure writing the requested file (own infra, not
+    a create-once collision) happens on a millisecond WE claimed with
+    no instant file on disk — the claim must be released directly, and
+    the heartbeat refresher must not leave a fresh orphan behind
+    (code-review r7 follow-up)."""
+    t = HudiTable.create(spark, tmp_table_path, _mor_cfg())
+
+    orig = t.timeline.create_requested
+
+    def explode(instant, action, metadata=None):
+        raise RuntimeError("py4j transport dropped")
+
+    t.timeline.create_requested = explode
+    try:
+        with pytest.raises(RuntimeError, match="transport"):
+            t.upsert(_df(spark, UPD))
+    finally:
+        t.timeline.create_requested = orig
+    assert _claims(t) == [], "infra failure stranded its own claim"
+    hb_dir = f"{t.meta_path}/heartbeat"
+    assert t.fs.list_names(hb_dir) == [], "infra failure stranded a heartbeat"
+    assert t.timeline.pending() == []
