@@ -103,6 +103,16 @@ def start_heartbeat(table, instant: str) -> Heartbeat | None:
     return Heartbeat(table, instant).start()
 
 
+def heartbeat_expiry_seconds(cfg) -> float:
+    """THE liveness-staleness window: a guard file older than 3 missed
+    heartbeat intervals reads as a crashed owner. One definition shared
+    by heartbeat_live, plan-staleness, the orphan-heartbeat sweep, and
+    the orphan-claim sweep, so a policy change cannot leave claims
+    judged by a different expiry than the plans and heartbeats guarding
+    the same instants (code-review r7)."""
+    return 3.0 * float(getattr(cfg, "heartbeat_interval_seconds", 60.0))
+
+
 def heartbeat_live(table, instant: str) -> bool:
     """True iff a live writer's heartbeat guards this pending instant.
     The caller's next step is DESTRUCTIVE (sweeping the instant), so
@@ -110,7 +120,7 @@ def heartbeat_live(table, instant: str) -> bool:
     transient metadata error (namenode failover, object-store 503) must
     not be mistaken for a crashed writer (diff-review r5)."""
     path = f"{table.meta_path}/heartbeat/{instant}"
-    expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
+    expiry = heartbeat_expiry_seconds(table.cfg)
     try:
         return (time.time() - table.fs.mtime(path)) <= expiry
     except Exception:
@@ -450,6 +460,40 @@ def txn_start_marker(table, view=None) -> str | None:
     return max((i.timestamp for i in done), default="")
 
 
+def _conflict_candidates(tl, after_ts: str, exclude: str) -> list[tuple]:
+    """(timestamp, action, metadata) of every completed write instant
+    newer than ``after_ts`` (excluding ``exclude``) — active timeline
+    plus, when an archive batch's name-encoded upper bound says one
+    could hold such an instant (a long txn straddling an archive run),
+    the archived manifests. ONE definition used by both the pre-commit
+    conflict check and the post-write undo recheck, so the two can
+    never consult different candidate sets (code-review r7)."""
+    from .timeline import WRITE_ACTIONS
+
+    out = [
+        (i.timestamp, i.action, tl.read_metadata(i))
+        for i in tl.completed_write_instants()
+        if i.timestamp > after_ts and i.timestamp != exclude
+    ]
+    newest_archived = max(
+        (
+            n.rsplit(".archive.jsonl", 1)[0].split("_")[-1]
+            for n in tl.fs.list_names(tl.archive_dir)
+            if n.endswith(".archive.jsonl")
+        ),
+        default="",
+    )
+    if newest_archived > after_ts:
+        out += [
+            (a["timestamp"], a["action"], a["metadata"])
+            for a in tl.archived_instants()
+            if a["action"] in WRITE_ACTIONS
+            and a["timestamp"] > after_ts
+            and a["timestamp"] != exclude
+        ]
+    return out
+
+
 def find_conflicts(
     view_commits: list[tuple[str, str, dict]],
     after_ts: str,
@@ -516,27 +560,7 @@ def guarded_commit(
         # timestamp says one could hold such an instant (a long txn that
         # straddled an archive run).
         tl = table.timeline
-        candidates = [
-            (i.timestamp, i.action, tl.read_metadata(i))
-            for i in tl.completed_write_instants()
-            if i.timestamp > after_ts
-        ]
-        newest_archived = max(
-            (
-                n.rsplit(".archive.jsonl", 1)[0].split("_")[-1]
-                for n in tl.fs.list_names(tl.archive_dir)
-                if n.endswith(".archive.jsonl")
-            ),
-            default="",
-        )
-        if newest_archived > after_ts:
-            from .timeline import WRITE_ACTIONS
-
-            candidates += [
-                (a["timestamp"], a["action"], a["metadata"])
-                for a in tl.archived_instants()
-                if a["action"] in WRITE_ACTIONS and a["timestamp"] > after_ts
-            ]
+        candidates = _conflict_candidates(tl, after_ts, exclude=instant)
         losers = find_conflicts(candidates, after_ts, written)
         if losers:
             raise ConcurrentWriteConflictError(
@@ -586,33 +610,11 @@ def guarded_commit(
         # inside the displacement window is handled below: the undo is
         # refused when one exists (r7 watch item, closed).
         if hasattr(lock, "validate") and not lock.validate(owner):
-            recheck = [
-                (i.timestamp, i.action, tl.read_metadata(i))
-                for i in tl.completed_write_instants()
-                if i.timestamp > after_ts and i.timestamp != instant
-            ]
-            # consult archive batches like the pre-commit check does
-            # (code-review r7): a conflicting rival that committed AND
+            # same candidate definition as the pre-commit check — incl.
+            # archive batches: a conflicting rival that committed AND
             # was archived during a long displacement window must not
-            # escape the undo
-            newest_arch2 = max(
-                (
-                    n.rsplit(".archive.jsonl", 1)[0].split("_")[-1]
-                    for n in tl.fs.list_names(tl.archive_dir)
-                    if n.endswith(".archive.jsonl")
-                ),
-                default="",
-            )
-            if newest_arch2 > after_ts:
-                from .timeline import WRITE_ACTIONS as _WA
-
-                recheck += [
-                    (a["timestamp"], a["action"], a["metadata"])
-                    for a in tl.archived_instants()
-                    if a["action"] in _WA
-                    and a["timestamp"] > after_ts
-                    and a["timestamp"] != instant
-                ]
+            # escape the undo (code-review r7)
+            recheck = _conflict_candidates(tl, after_ts, exclude=instant)
             if find_conflicts(recheck, after_ts, written):
                 # The undo is only safe while nothing has CONSUMED the
                 # momentarily-visible commit. A rival SERVICE newer than

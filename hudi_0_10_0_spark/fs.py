@@ -275,3 +275,21 @@ class FS:
         if not self.rename_noreplace(tmp, p):
             self.delete(tmp)
             raise IOError(f"atomic rename failed (already exists?): {p}")
+
+
+def is_not_found(exc: BaseException) -> bool:
+    """True when ``exc`` means "the file does not exist" — Python's
+    FileNotFoundError, or a py4j-wrapped Hadoop/Java
+    FileNotFoundException (the form every ``FileSystem.open`` miss
+    takes). Lock-less readers racing a consolidation/clean use this to
+    distinguish a vanished-under-rival file from a real I/O failure."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    java_exc = getattr(exc, "java_exception", None)
+    if java_exc is not None:
+        try:
+            name = java_exc.getClass().getName()
+        except Exception:
+            return False
+        return "FileNotFoundException" in name or "PathNotFound" in name
+    return "FileNotFoundException" in str(exc)

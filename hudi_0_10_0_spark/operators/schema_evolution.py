@@ -47,45 +47,16 @@ def is_widening(old: T.DataType, new: T.DataType) -> bool:
 
 
 def _commit_schema(table, new_schema: T.StructType, operation: str) -> str:
-    from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
+    from ..concurrency import guarded_commit, txn_start_marker
 
-    # collision-retrying claim (timeline.claim_new_instant rationale),
-    # with the heartbeat guarding the pending window (advice r5):
-    # without it a rival's lazy failed-write sweep could judge this
-    # pending commit crashed and delete its files mid-DDL
-    from ..timeline import claim_timestamp
+    # ONE claim/heartbeat/create-once implementation for every commit
+    # path (code-review r7 — this used to be a hand-rolled copy that
+    # error-handling fixes had to be applied to twice): the heartbeat
+    # guards the pending window (advice r5) so a rival's lazy
+    # failed-write sweep never judges this pending DDL crashed
+    from .write import _claim_write_instant
 
-    last = None
-    for _ in range(5):
-        instant = table.new_instant()
-        if not claim_timestamp(table, instant):
-            last = IOError(f"timestamp {instant} claimed by a rival")
-            hb = None
-            continue
-        hb = start_heartbeat(table, instant)
-        try:
-            table.timeline.create_requested(instant, "commit", {"operation": operation})
-            break
-        except BaseException as e:
-            # stop the refresher on EVERY failure kind — a non-OSError
-            # (e.g. a py4j transport error) escaping with the thread
-            # alive would keep heartbeat/<ts> perpetually fresh, making
-            # the stranded claim uncollectable for the process lifetime
-            # (code-review r7). IOError/OSError = create-once rejection:
-            # on a legacy layout the heartbeat path may be the RIVAL's
-            # liveness guard, so keep the file (delete=False). Any other
-            # kind is our own infra failure on a claim WE own — delete.
-            if hb is not None:
-                hb.stop(delete=not isinstance(e, (IOError, OSError)))
-            hb = None
-            if not isinstance(e, (IOError, OSError)):
-                # infra failure on a millisecond WE claimed, before any
-                # instant file existed — release the claim directly
-                table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
-                raise
-            last = e
-    else:
-        raise last
+    instant, hb = _claim_write_instant(table, "commit", operation)
     try:
         table.timeline.transition_to_inflight(instant, "commit")
         md = make_commit_metadata(operation, new_schema.json(), [])

@@ -456,10 +456,11 @@ def _plan_stale(table, instant: str, action: str) -> bool:
     sweep, and the orphan-heartbeat sweep so they cannot drift."""
     import time as _time
 
+    from ..concurrency import heartbeat_expiry_seconds
     from ..timeline import Instant as _Instant
 
     path = f"{table.timeline.dir}/{_Instant(instant, action, 'requested').filename()}"
-    expiry = 3.0 * float(getattr(table.cfg, "heartbeat_interval_seconds", 60.0))
+    expiry = heartbeat_expiry_seconds(table.cfg)
     try:
         return (_time.time() - table.fs.mtime(path)) > expiry
     except Exception:
@@ -712,13 +713,16 @@ def rollback_pending_writes(table) -> list[str]:
         # create_requested, or crashed after commit before stop): no
         # pending instant will ever sweep them, so collect any EXPIRED
         # heartbeat whose instant is no longer pending
-        if occ:
-            import time as _time
+        import time as _time
 
-            expiry = 3.0 * float(
-                getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
-            )
-            still_pending = {i.timestamp for i in table.timeline.pending()}
+        from ..concurrency import heartbeat_expiry_seconds
+
+        expiry = heartbeat_expiry_seconds(table.cfg)
+        # ONE pending() listing shared by the orphan-heartbeat and
+        # orphan-claim sweeps below (both run after the destructive
+        # loops above, so the listing is current — code-review r7)
+        still_pending = {i.timestamp for i in table.timeline.pending()}
+        if occ:
             hb_dir = f"{table.meta_path}/heartbeat"
             for name in table.fs.list_names(hb_dir):
                 if name in still_pending:
@@ -744,29 +748,25 @@ def rollback_pending_writes(table) -> list[str]:
         # be INSIDE the milliseconds-wide claim→create_requested window
         # — collect only when the claim has aged past heartbeat expiry
         # AND no live heartbeat guards the timestamp.
-        import time as _time2
-
-        claim_expiry = 3.0 * float(
-            getattr(table.cfg, "heartbeat_interval_seconds", 60.0)
+        completed_ts = (
+            {
+                i.timestamp
+                for i in table.timeline.instants()
+                if i.state == COMPLETED
+            }
+            if occ
+            else set()  # only consulted under OCC (code-review r7)
         )
-        pending_ts = {i.timestamp for i in table.timeline.pending()}
-        completed_ts = {
-            i.timestamp
-            for i in table.timeline.instants()
-            if i.state == COMPLETED
-        }
         for name in table.fs.list_names(table.timeline.dir):
             if not name.endswith(".claim"):
                 continue
             ts = name[: -len(".claim")]
-            if ts in pending_ts:
+            if ts in still_pending:
                 continue  # instant files own the claim's lifecycle
             path = f"{table.timeline.dir}/{name}"
             if occ and ts not in completed_ts:
                 try:
-                    young = (
-                        _time2.time() - table.fs.mtime(path)
-                    ) <= claim_expiry
+                    young = (_time.time() - table.fs.mtime(path)) <= expiry
                 except Exception:
                     young = True  # confirm-absent rule, like heartbeats
                 if young or heartbeat_live(table, ts):

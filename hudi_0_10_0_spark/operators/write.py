@@ -835,9 +835,11 @@ def _claim_write_instant(table, action, operation, instant_time=None):
     requested file becomes visible so rivals' lazy failed-write sweep
     never sees a pending instant without one; a losing claim's
     heartbeat is stopped and nothing else is touched — the colliding
-    requested file belongs to the RIVAL."""
+    requested file belongs to the RIVAL. ``operation`` is a
+    WriteOperation or a plain string (DDL commits)."""
     from ..timeline import claim_timestamp
 
+    op = operation.value if hasattr(operation, "value") else str(operation)
     last: Exception | None = None
     for _ in range(5):
         instant = instant_time or table.new_instant()
@@ -848,7 +850,7 @@ def _claim_write_instant(table, action, operation, instant_time=None):
         hb = start_heartbeat(table, instant)
         try:
             table.timeline.create_requested(
-                instant, action, {"operation": operation.value}
+                instant, action, {"operation": op}
             )
             return instant, hb
         except BaseException as e:
@@ -978,10 +980,15 @@ def run_batch_write(
         if hb is not None:
             hb.stop()
         table.timeline.delete_pending_instant_files(instant, action)
-        # the claim is provably OURS here (claim_timestamp returned
-        # True) — delete it directly instead of stranding it for the
-        # age-gated orphan sweep (code-review r7)
-        table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
+        if instant_time is None:
+            # the claim is provably OURS here (claim_timestamp returned
+            # True) — delete it directly instead of stranding it for the
+            # age-gated orphan sweep. NEVER when the instant was
+            # caller-supplied: claim_timestamp never ran, so a claim
+            # file at this timestamp belongs to a RIVAL and deleting it
+            # would reopen the millisecond to a third writer
+            # (code-review r7)
+            table.fs.delete(f"{table.timeline.dir}/{instant}.claim")
         raise
     committed = False
     try:

@@ -451,8 +451,22 @@ class Timeline:
                         seen.add((rec["timestamp"], rec["action"]))
             except Exception:
                 pass  # unreadable prefix → fall back to plain tail merge
+        from .fs import is_not_found
+
+        vanished: set[str] = set()
         for n in sorted(merge_names):
-            for line in self.fs.read_text(f"{self.archive_dir}/{n}").splitlines():
+            try:
+                text = self.fs.read_text(f"{self.archive_dir}/{n}")
+            except Exception as e:
+                if not is_not_found(e):
+                    raise
+                # a rival consolidation deleted this batch AFTER writing
+                # its own merged superset (write-before-delete ordering),
+                # so its records are safe in the rival's file — skip it
+                # here and never try to delete it below (code-review r7)
+                vanished.add(n)
+                continue
+            for line in text.splitlines():
                 if not line.strip():
                     continue
                 rec = json.loads(line)
@@ -461,6 +475,7 @@ class Timeline:
                     continue
                 seen.add(key)
                 recs.append(rec)
+        merge_names = [n for n in merge_names if n not in vanished]
         if not recs:
             if not full and merge_names:
                 # every tail record already lives in the prefix — these
@@ -533,16 +548,41 @@ class Timeline:
         return True
 
     def archived_instants(self) -> list[dict]:
-        out = []
-        seen: set[tuple[str, str]] = set()
-        for name in sorted(self.fs.list_names(self.archive_dir)):
-            if name.endswith(".archive.jsonl"):
-                for line in self.fs.read_text(f"{self.archive_dir}/{name}").splitlines():
-                    if line.strip():
-                        rec = json.loads(line)
-                        key = (rec["timestamp"], rec["action"])
-                        if key in seen:  # overlapping batches (crash repair)
-                            continue
-                        seen.add(key)
-                        out.append(rec)
-        return out
+        """All archived records, deduped by (timestamp, action).
+
+        Readers take no lock, and a concurrent consolidation DELETES the
+        batch files it merged (after writing their superset) — so a
+        batch listed here can vanish before its read. Because the
+        merged file is always written BEFORE its inputs are deleted,
+        any listing taken after the vanish contains a superset of the
+        vanished records: on a missing file the whole list+read pass is
+        retried from a fresh listing (code-review r7)."""
+        from .fs import is_not_found
+
+        last: BaseException | None = None
+        for _ in range(5):
+            out: list[dict] = []
+            seen: set[tuple[str, str]] = set()
+            try:
+                for name in sorted(self.fs.list_names(self.archive_dir)):
+                    if name.endswith(".archive.jsonl"):
+                        for line in self.fs.read_text(
+                            f"{self.archive_dir}/{name}"
+                        ).splitlines():
+                            if line.strip():
+                                rec = json.loads(line)
+                                key = (rec["timestamp"], rec["action"])
+                                if key in seen:  # overlapping batches
+                                    continue
+                                seen.add(key)
+                                out.append(rec)
+            except Exception as e:
+                if not is_not_found(e):
+                    raise
+                last = e  # a rival's consolidation deleted a listed batch
+                continue
+            return out
+        raise IOError(
+            "archive listing kept changing under concurrent consolidation "
+            f"after 5 attempts: {self.archive_dir}"
+        ) from last

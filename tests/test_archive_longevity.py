@@ -425,3 +425,107 @@ def test_archive_consolidation_converges_on_crash_leftovers(spark, tmp_table_pat
     names = [n for n in os.listdir(arch) if n.endswith(".archive.jsonl")]
     assert names == [big], names
     assert {(a["timestamp"], a["action"]) for a in tl.archived_instants()} == before
+
+
+def test_archived_instants_retries_when_rival_consolidates(spark, tmp_table_path):
+    """Lock-less readers race consolidation's batch deletes: a listed
+    batch vanishing mid-read must trigger a fresh list+read pass (the
+    merged superset is written BEFORE the deletes, so the retry sees
+    every record), not crash the view build (code-review r7)."""
+    import json
+    import os
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts"),
+    )
+    tl = t.timeline
+    arch = tl.archive_dir.replace("file:", "")
+    os.makedirs(arch, exist_ok=True)
+    recs = []
+    for i in range(4):
+        ts = f"{20200101000000000 + i:017d}"
+        rec = json.dumps({"timestamp": ts, "action": "commit",
+                          "metadata": {"operation": "upsert",
+                                       "write_stats": []}}, sort_keys=True)
+        recs.append(rec)
+        with open(os.path.join(arch, f"{ts}_{ts}.archive.jsonl"), "w") as f:
+            f.write(rec)
+
+    orig_read = tl.fs.read_text
+    state = {"fired": False}
+
+    def racy_read(p):
+        if not state["fired"] and p.endswith(
+            f"{20200101000000002:017d}_{20200101000000002:017d}.archive.jsonl"
+        ):
+            # rival consolidation: merged superset first, then deletes
+            state["fired"] = True
+            big = os.path.join(
+                arch,
+                f"{20200101000000000:017d}_{20200101000000003:017d}.archive.jsonl",
+            )
+            with open(big, "w") as f:
+                f.write("\n".join(recs))
+            for i in range(4):
+                ts = f"{20200101000000000 + i:017d}"
+                os.remove(os.path.join(arch, f"{ts}_{ts}.archive.jsonl"))
+        return orig_read(p)
+
+    tl.fs.read_text = racy_read
+    try:
+        got = {(a["timestamp"], a["action"]) for a in tl.archived_instants()}
+    finally:
+        tl.fs.read_text = orig_read
+    assert state["fired"], "race never fired — test is vacuous"
+    assert got == {(f"{20200101000000000 + i:017d}", "commit") for i in range(4)}
+
+
+def test_consolidate_skips_batch_vanished_under_rival(spark, tmp_table_path):
+    """A batch deleted by a rival consolidation between our listing and
+    our read is SKIPPED (its records live in the rival's superset file),
+    never raised, and never deleted by us (code-review r7)."""
+    import json
+    import os
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(record_key_field="id", partition_field="part",
+                    precombine_field="ts"),
+    )
+    tl = t.timeline
+    arch = tl.archive_dir.replace("file:", "")
+    os.makedirs(arch, exist_ok=True)
+    for i in range(5):
+        ts = f"{20200101000000000 + i:017d}"
+        with open(os.path.join(arch, f"{ts}_{ts}.archive.jsonl"), "w") as f:
+            f.write(json.dumps({"timestamp": ts, "action": "commit",
+                                "metadata": {"operation": "upsert",
+                                             "write_stats": []}},
+                               sort_keys=True))
+    victim = f"{20200101000000001:017d}_{20200101000000001:017d}.archive.jsonl"
+
+    orig_read = tl.fs.read_text
+    fired = {"n": 0}
+
+    def read(p):
+        # the rival deletes the victim AFTER our listing/size pass saw
+        # it and right before we read it — the exact race window
+        if p.endswith(victim) and fired["n"] == 0:
+            fired["n"] = 1
+            os.remove(os.path.join(arch, victim))
+        return orig_read(p)
+
+    tl.fs.read_text = read
+    try:
+        assert tl.consolidate_archive(max_batches=2)
+    finally:
+        tl.fs.read_text = orig_read
+    assert fired["n"] == 1, "race never fired — test is vacuous"
+    got = {a["timestamp"] for a in tl.archived_instants()}
+    # the four surviving records were merged; the vanished record is
+    # NOT resurrected by us (it lives in the rival's superset file)
+    assert got == {f"{20200101000000000 + i:017d}" for i in (0, 2, 3, 4)}

@@ -557,3 +557,40 @@ def test_claim_released_on_requested_write_infra_failure(spark, tmp_table_path):
     hb_dir = f"{t.meta_path}/heartbeat"
     assert t.fs.list_names(hb_dir) == [], "infra failure stranded a heartbeat"
     assert t.timeline.pending() == []
+
+
+def test_abort_with_caller_instant_keeps_rival_claim(spark, tmp_table_path):
+    """When the write's instant is CALLER-supplied (streaming replay,
+    backdated txn), claim_timestamp never ran — a claim file at that
+    timestamp belongs to a RIVAL, and an early abort must NOT delete it
+    (deleting would reopen the millisecond to a third writer —
+    code-review r7). OCC mode: rivals only exist there (the
+    single-writer eager sweep rightly collects any unowned claim)."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        _mor_cfg(
+            concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+            lock_wait_seconds=30.0,
+        ),
+    )
+    t.bulk_insert(_df(spark, SEED))
+
+    ts = t.new_instant()
+    # a rival claimed this millisecond
+    t.fs.write_text(f"{t.timeline.dir}/{ts}.claim", "")
+
+    orig = t.timeline.transition_to_inflight
+
+    def explode(instant, action):
+        raise RuntimeError("inflight marker write failed")
+
+    t.timeline.transition_to_inflight = explode
+    try:
+        with pytest.raises(RuntimeError, match="inflight"):
+            t.upsert(_df(spark, UPD), instant_time=ts)
+    finally:
+        t.timeline.transition_to_inflight = orig
+    assert _claims(t) == [f"{ts}.claim"], (
+        "abort with caller-supplied instant deleted the rival's claim"
+    )
