@@ -170,6 +170,14 @@ class WriteConfig:
     # scale curve — see SCALE.md)
     mor_bypass_broadcast_budget_bytes: int = 64 << 20
     mor_bypass_fixed_overhead_bytes: int = 64 << 20
+    # Write-commit callbacks (hoodie.write.commit.callback.*,
+    # HoodieWriteCommitCallbackConfig.java:39-67) — fired after every
+    # successful USER WRITE commit (not table services); see callbacks.py
+    write_commit_callback_on: bool = False
+    write_commit_callback_class: str = "http"
+    write_commit_callback_http_url: str | None = None
+    write_commit_callback_http_api_key: str = "hudi_write_commit_http_callback"
+    write_commit_callback_http_timeout_seconds: float = 3.0
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field

@@ -40,6 +40,7 @@ from ..config import (
     WriteConfig,
     WriteOperation,
 )
+from ..callbacks import fire_commit_callback
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
@@ -1009,6 +1010,7 @@ def run_batch_write(
             )
             guarded_commit(table, instant, action, md, txn_start)
             committed = True
+            fire_commit_callback(table, instant, action, md)
             table.run_post_commit_services()
             return instant
 
@@ -1307,6 +1309,7 @@ def run_batch_write(
         )
         guarded_commit(table, instant, action, md, txn_start)
         committed = True
+        fire_commit_callback(table, instant, action, md)
     except Exception as exc:
         if committed:
             # the instant is durable — a post-commit service failure must
@@ -1481,6 +1484,8 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
     finally:
         if hb is not None:
             hb.stop()
+    # post-durability: a callback failure can't undo the bootstrap
+    fire_commit_callback(table, instant, "commit", md)
     return instant
 
 
@@ -1566,5 +1571,8 @@ def run_replace_write(
     finally:
         if hb is not None:
             hb.stop()
+    # post-durability (outside the try: the except above deletes instant
+    # files, which must never run for a committed instant)
+    fire_commit_callback(table, instant, "replacecommit", md)
     table.run_post_commit_services()
     return instant
