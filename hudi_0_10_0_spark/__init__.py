@@ -25,7 +25,15 @@ Public API::
 
 from .config import TableType, WriteConfig, WriteOperation
 from .table import HudiTable
+from .utilities import snapshot_export
 from . import datasource
 
-__all__ = ["HudiTable", "WriteConfig", "TableType", "WriteOperation", "datasource"]
+__all__ = [
+    "HudiTable",
+    "WriteConfig",
+    "TableType",
+    "WriteOperation",
+    "datasource",
+    "snapshot_export",
+]
 __version__ = "0.1.0"

@@ -124,6 +124,20 @@ class FS:
             return False
         return self.rename(src, dst)
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Stream-copy one file (``org.apache.hadoop.fs.FileUtil.copy``
+        — no driver-memory buffering). ``dst`` parents are created; an
+        existing ``dst`` is an error (create-once, like the reference's
+        snapshot copy)."""
+        dst_fs = self._Path(dst).getFileSystem(self._conf)
+        if dst_fs.exists(self._Path(dst)):
+            raise FileExistsError(dst)
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs, self._Path(src), dst_fs, self._Path(dst), False, self._conf
+        )
+        if not ok:
+            raise IOError(f"copy {src} -> {dst} failed")
+
     def list_names(self, p: str) -> list[str]:
         """Names of direct children of directory ``p`` (empty if missing)."""
         if not self.exists(p):

@@ -1,0 +1,164 @@
+"""Stand-alone table utilities.
+
+``snapshot_export`` mirrors ``util/HoodieSnapshotExporter.java:72-265``
+(and subsumes ``util/HoodieSnapshotCopier.java`` — the copier is the
+exporter's "hudi" output format): export the latest snapshot of a table
+either as a plain dataset (parquet/json/orc, meta columns dropped,
+optional repartitioning) or as a copy that is itself a readable table.
+
+Deliberate divergences from the reference, both documented inline:
+
+- For ``output_format="hudi"`` on a MOR source we copy FULL latest file
+  slices (base + delta files), so the export answers snapshot reads
+  identically to the source. The reference copies base files only
+  (``getLatestBaseFilesBeforeOrOn``) while copying ALL commit metadata,
+  which leaves a MOR export whose logs dangle.
+- Older file versions are NOT copied (exactly like the reference), so
+  time travel to instants before the export is not functional in the
+  copy; snapshot and incremental-from-export reads are.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+log = logging.getLogger(__name__)
+
+EXPORT_FORMATS = ("parquet", "json", "orc", "hudi")
+
+# _hoodie_meta/ entries that are writer-process state, never part of a
+# table's durable identity: lock files, heartbeats, instant claims.
+_EPHEMERAL_META_DIRS = ("locks", ".locks", "heartbeat")
+
+
+class SnapshotExportError(ValueError):
+    """HoodieSnapshotExporterException analogue."""
+
+
+def snapshot_export(
+    spark,
+    source_base_path: str,
+    target_path: str,
+    output_format: str = "parquet",
+    output_partition_field: str | None = None,
+    partitioner: Callable | None = None,
+) -> str:
+    """Export the source table's latest snapshot to ``target_path``.
+
+    ``partitioner(df) -> DataFrameWriter`` overrides the default layout
+    for non-hudi formats (reference ``Partitioner`` SPI,
+    ``HoodieSnapshotExporter.java:76-78``). Returns the latest source
+    commit timestamp the export captured. A ``_SUCCESS`` marker is
+    written last (reference ``createSuccessTag``).
+    """
+    from .table import HudiTable
+
+    if output_format not in EXPORT_FORMATS:
+        raise SnapshotExportError(
+            f"output_format must be one of {EXPORT_FORMATS}, got {output_format!r}"
+        )
+    table = HudiTable.load(spark, source_base_path)
+    if table.fs.exists(target_path):
+        raise SnapshotExportError("The target output path already exists.")
+    latest = table.timeline.latest_completed()
+    if latest is None:
+        raise SnapshotExportError("No commits present. Nothing to snapshot.")
+    view = table.view()
+    slices = view.latest_file_slices(as_of=latest.timestamp)
+    if not slices:
+        raise SnapshotExportError("The source dataset has 0 partition to snapshot.")
+
+    if output_format == "hudi":
+        _export_as_hudi(table, target_path, latest.timestamp, slices)
+    else:
+        _export_as_non_hudi(
+            table, target_path, output_format, output_partition_field, partitioner
+        )
+    table.fs.write_text(f"{target_path.rstrip('/')}/_SUCCESS", "")
+    return latest.timestamp
+
+
+def _export_as_non_hudi(table, target_path, output_format, partition_field, partitioner):
+    from .config import META_COLS
+
+    # BaseFileOnlyView semantics (HoodieSnapshotExporter.java:183-189):
+    # latest base files only — a MOR source exports its read-optimized
+    # view, exactly like the reference
+    df = table.read_optimized()
+    df = df.drop(*[c for c in META_COLS if c in df.columns])
+    if partitioner is not None:
+        writer = partitioner(df)
+    elif partition_field:
+        from pyspark.sql import functions as F
+
+        # one shuffle keyed by the output partition column so each
+        # partition directory is written by few tasks (reference default
+        # partitioner: repartition(col) + partitionBy(col))
+        writer = df.repartition(F.col(partition_field)).write.partitionBy(
+            partition_field
+        )
+    else:
+        writer = df.write
+    writer.format(output_format).mode("overwrite").save(target_path)
+
+
+def _export_as_hudi(table, target_path, latest_ts, slices):
+    """Copy latest file slices + table metadata so the target loads as a
+    table (`HudiTable.load(spark, target_path)`) and answers the same
+    snapshot query. Metadata copied: table config, COMPLETED timeline
+    instants <= latest, archived manifests (a latest slice's base may
+    have been written by an archived commit), key-index files. Skipped:
+    pending instants, instant claims, locks, heartbeats — writer-process
+    state, not table state."""
+    from .table import META_DIR
+
+    fs = table.fs
+    src_root = table.base_path.rstrip("/")
+    dst_root = target_path.rstrip("/")
+
+    # -- data: latest slices only, relative paths preserved ---------------
+    n_files = 0
+    for s in slices:
+        if s.base.raw:
+            # METADATA_ONLY-bootstrapped group: the base file is
+            # source-owned, referenced by (absolute) path in the
+            # manifest — the copy keeps the reference, not the bytes,
+            # exactly like the source table itself
+            paths = [p for l in s.logs for p in l.paths]
+        else:
+            paths = s.all_paths()
+        for rel in paths:
+            fs.copy_file(table.abs_path(rel), f"{dst_root}/{rel}")
+            n_files += 1
+
+    # -- metadata ----------------------------------------------------------
+    src_meta = f"{src_root}/{META_DIR}"
+    dst_meta = f"{dst_root}/{META_DIR}"
+    for name in fs.list_names(src_meta):
+        if name in _EPHEMERAL_META_DIRS or name == "timeline":
+            continue
+        _copy_tree(fs, f"{src_meta}/{name}", f"{dst_meta}/{name}")
+    tl = table.timeline
+    fs.mkdirs(f"{dst_meta}/timeline")
+    for inst in tl.completed():
+        if inst.timestamp <= latest_ts:
+            fs.copy_file(
+                f"{tl.dir}/{inst.filename()}",
+                f"{dst_meta}/timeline/{inst.filename()}",
+            )
+    # archived manifests (folded into every view build)
+    if fs.exists(tl.archive_dir):
+        _copy_tree(fs, tl.archive_dir, f"{dst_meta}/timeline/archived")
+    log.info(
+        "exported %d data files + timeline<=%s to %s", n_files, latest_ts, dst_root
+    )
+
+
+def _copy_tree(fs, src: str, dst: str) -> None:
+    if not fs.is_dir(src):
+        fs.copy_file(src, dst)
+        return
+    fs.mkdirs(dst)
+    for name in fs.list_names(src):
+        _copy_tree(fs, f"{src}/{name}", f"{dst}/{name}")
