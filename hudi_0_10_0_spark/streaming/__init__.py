@@ -8,12 +8,13 @@ DeltaStreamer ingest driver stores its source checkpoint inside commit
 metadata (``util/deltastreamer/DeltaSync.java``).
 """
 
-from .delta_streamer import DeltaStreamer
+from .delta_streamer import DeltaStreamer, MultiTableDeltaStreamer
 from .sink import last_committed_batch_id, write_stream
 from .source import HudiStreamDataSource, incremental_batches, read_stream
 
 __all__ = [
     "DeltaStreamer",
+    "MultiTableDeltaStreamer",
     "HudiStreamDataSource",
     "incremental_batches",
     "last_committed_batch_id",

@@ -294,6 +294,58 @@ class DeltaStreamer:
         return commits
 
 
+class MultiTableDeltaStreamer:
+    """Sequential multi-table ingest
+    (``util/deltastreamer/HoodieMultiTableDeltaStreamer.java:59,381-396``):
+    one :class:`DeltaStreamer` per target table, synced in order; a
+    table's failure is recorded and the remaining tables still ingest
+    (the reference collects ``successTables`` / ``failedTables`` and
+    never aborts the loop).
+
+    ``tables`` is a list of per-table kwarg dicts for
+    :class:`DeltaStreamer` (each must carry ``target`` and ``source``);
+    ``common`` kwargs fill any key a table dict doesn't set — the same
+    common-props-then-table-props layering the reference reads from its
+    properties files (``populateTableExecutionContextList``).
+    """
+
+    def __init__(self, spark: SparkSession, tables: list[dict], **common):
+        self.spark = spark
+        self.streamers: list[DeltaStreamer] = []
+        for t in tables:
+            merged = {**common, **t}
+            if "target" not in merged or "source" not in merged:
+                raise ValueError(
+                    "each table config needs 'target' and 'source' "
+                    f"(got keys {sorted(t)})"
+                )
+            self.streamers.append(DeltaStreamer(spark, **merged))
+        self.success_tables: list[str] = []
+        self.failed_tables: dict[str, Exception] = {}
+
+    def sync(self) -> dict:
+        """One sync pass over every table. Returns
+        ``{"success": [table_name...], "failed": {table_name: exc},
+        "commits": {table_name: instant | None}}``; cumulative
+        success/failure sets mirror the reference fields."""
+        commits: dict[str, str | None] = {}
+        failed: dict[str, Exception] = {}
+        for s in self.streamers:
+            name = s.target.cfg.table_name
+            try:
+                commits[name] = s.sync_once()
+                if name not in self.success_tables:
+                    self.success_tables.append(name)
+            except Exception as e:  # isolate per-table failures
+                failed[name] = e
+                self.failed_tables[name] = e
+        return {
+            "success": [n for n in commits if n not in failed],
+            "failed": failed,
+            "commits": commits,
+        }
+
+
 def aws_dms_transformer(df: DataFrame) -> DataFrame:
     """AWSDmsTransformer (``util/transform/AWSDmsTransformer.java``):
     DMS full-load files lack the ``Op`` column that CDC files carry —
