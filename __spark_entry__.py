@@ -218,6 +218,26 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
                 "o_orderstatus", F.lit("R")
             )
         )
+    elif kind == "virtual_keys":
+        # hoodie.populate.meta.fields=false (virtual keys,
+        # HoodieTableConfig.java:159-163): data files carry NO meta
+        # columns — key re-derived via keygen, identity via file path;
+        # same upsert/delete lifecycle as the COW fixture so the oracle
+        # pins that virtual tables answer identically
+        t = HudiTable.create(
+            spark, path, _orders_cfg(populate_meta_fields=False)
+        )
+        commits["c0"] = t.bulk_insert(orders)
+        commits["c1"] = t.upsert(
+            orders.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+                "o_orderstatus", F.lit("V")
+            )
+        )
+        commits["c2"] = t.delete(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", "o_orderpriority"
+            )
+        )
     elif kind == "precombine":
         # one upsert batch containing two versions per key; preCombine
         # (max o_orderdate) must keep the bumped copy
@@ -300,6 +320,14 @@ def _snap(t: HudiTable, **kw) -> DataFrame:
 
 def q_cow_snapshot(spark, sf_dir):
     t, _ = _fixture(spark, sf_dir, "cow")
+    return _snap(t)
+
+
+def q_virtual_keys_snapshot(spark, sf_dir):
+    """populate_meta_fields=false end-to-end: bulk_insert → upsert →
+    delete on a table whose files store no meta columns; the snapshot
+    must match the identical-lifecycle COW oracle exactly."""
+    t, _ = _fixture(spark, sf_dir, "virtual_keys")
     return _snap(t)
 
 
@@ -2666,7 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_add_column": q_schema_evolution,
         "cdc_aws_dms": q_cdc_dms,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "virtual_keys_snapshot": q_virtual_keys_snapshot,
         "sampling_stratified": q_sampling_stratified,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
         # --- r3 additions (new driver evidence) ---
@@ -2712,6 +2740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_data": q_pipeline_training_data,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
+        # --- swept non-TPC-H (past the 50-entry driver window; covered
+        # by tools/check_oracle.py's full sweep + the pytest suite —
+        # each has an in-window sibling of the same operator family) ---
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         # --- stable twice-green TPC-H relational demos (r7: ALL 22 now
         # rotate past the driver's 50-entry window — the window is
         # exactly the 50 operator/pipeline queries; the TPC-H block is
@@ -2744,6 +2776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cow_snapshot_upsert_delete": _SQL_COW_FINAL,
+        "virtual_keys_snapshot": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'V' ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 5 <> 0
+        """,
         "cow_incremental": """
             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                    o_totalprice, o_orderdate, o_orderpriority

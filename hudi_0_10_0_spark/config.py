@@ -170,6 +170,15 @@ class WriteConfig:
     # scale curve — see SCALE.md)
     mor_bypass_broadcast_budget_bytes: int = 64 << 20
     mor_bypass_fixed_overhead_bytes: int = 64 << 20
+    # Virtual keys (hoodie.populate.meta.fields,
+    # HoodieTableConfig.java:159-163): when False, data files carry NO
+    # meta columns — the record key is re-derived from the key-generator
+    # expression at read time and partition/file-group/commit identity
+    # comes from the file path (both pure Column exprs folded into the
+    # scan). Incremental queries are not functional (the reference
+    # documents the same limitation: rewritten COW groups lose row-level
+    # commit history without a stored _hoodie_commit_time).
+    populate_meta_fields: bool = True
     # Write-commit callbacks (hoodie.write.commit.callback.*,
     # HoodieWriteCommitCallbackConfig.java:39-67) — fired after every
     # successful USER WRITE commit (not table services); see callbacks.py
@@ -178,6 +187,24 @@ class WriteConfig:
     write_commit_callback_http_url: str | None = None
     write_commit_callback_http_api_key: str = "hudi_write_commit_http_callback"
     write_commit_callback_http_timeout_seconds: float = 3.0
+
+    def validate_virtual_keys(self) -> None:
+        """Combinations virtual keys cannot support, refused up front
+        (the reference raises similarly: HoodieSparkCopyOnWriteTable.java
+        :308-314 requires a deterministic BaseKeyGenerator)."""
+        if self.populate_meta_fields:
+            return
+        if self.keygen == "uuid":
+            raise ValueError(
+                "populate_meta_fields=False requires a deterministic key "
+                "generator: uuid keys cannot be re-derived at read time"
+            )
+        if self.index_type.upper() == "RECORD_INDEX":
+            raise ValueError(
+                "populate_meta_fields=False is not supported with "
+                "RECORD_INDEX: the persisted key index is built from the "
+                "written files' key column, which virtual-key files omit"
+            )
 
     def key_fields(self) -> list[str]:
         k = self.record_key_field

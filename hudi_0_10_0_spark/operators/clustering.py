@@ -204,16 +204,15 @@ def _execute_cluster(
     target = target_file_size or cfg.max_file_size_bytes
     table.timeline.transition_to_inflight(instant, REPLACE_COMMIT)
     try:
-        from ..sources.read import slices_to_df
+        from ..sources.read import _read_paths, slices_to_df
 
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
         df = slices_to_df(table, slices)
         if log_paths:  # MOR: fold deltas while clustering
+            # _read_paths pins the table schema and derives meta
+            # columns for virtual-key tables (the merge keys on them)
             df = df.withColumn("__log", F.lit(0)).unionByName(
-                table.spark.read.schema(table.read_schema())
-                .format(_base_format(table))
-                .load([table.abs_path(p) for p in log_paths])
-                .withColumn("__log", F.lit(1))
+                _read_paths(table, log_paths).withColumn("__log", F.lit(1))
             )
             df = mor_merge_window(
                 df, get_payload(cfg.payload, cfg.precombine_field)
@@ -268,6 +267,12 @@ def _execute_cluster(
             out = out.drop(
                 *[f for f in table.cfg.partition_fields() if f in out.columns]
             )
+        if not table.cfg.populate_meta_fields:
+            # virtual keys: clustered output files stay meta-free, like
+            # every other writer (write.py write_instant_files)
+            from ..config import META_COLS as _META_COLS
+
+            out = out.drop(*[c for c in _META_COLS if c in out.columns])
         # crash recovery: a process killed mid-save leaves a partial
         # data/<instant>/ dir (rollback_pending_writes deliberately skips
         # cluster plans so the plan stays retryable) — clear it, or the

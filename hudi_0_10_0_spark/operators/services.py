@@ -241,18 +241,18 @@ def _run_compaction_claimed(table, instant, req, hb):
     created_commit = False
     try:
         payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-        from ..sources.read import base_format, slices_to_df
+        from ..sources.read import _read_paths, slices_to_df
 
         from pyspark.sql import functions as _F
 
         log_paths = [p for s in slices for l in s.logs for p in l.paths]
         union = slices_to_df(table, slices).withColumn("__log", _F.lit(0))
         if log_paths:
+            # _read_paths (not a bare spark.read): pins the table
+            # schema AND derives the meta columns for virtual-key
+            # tables, which this merge keys on
             union = union.unionByName(
-                table.spark.read.schema(table.read_schema())
-                .format(base_format(table))
-                .load([table.abs_path(p) for p in log_paths])
-                .withColumn("__log", _F.lit(1))
+                _read_paths(table, log_paths).withColumn("__log", _F.lit(1))
             )
         # single shuffle keyed by file group: the window merge's
         # ClusteredDistribution((fid, pp, key)) is satisfied by

@@ -482,6 +482,17 @@ def write_instant_files(
         out = out.drop(
             *[f for f in table.cfg.partition_fields() if f in out.columns]
         )
+    if not table.cfg.populate_meta_fields:
+        # virtual keys (hoodie.populate.meta.fields=false): data files
+        # carry NO meta columns — readers re-derive the key from the
+        # keygen expression and partition/group/commit identity from the
+        # file path (sources/read.py _derive_virtual_meta). Dropping is
+        # a projection AFTER the sort, so file key-order is preserved.
+        # The reference writes the meta fields as nulls instead
+        # (HoodieParquetWriter.java:78-85 skips prepRecordWithMetadata);
+        # omitting the columns entirely is the columnar-native
+        # equivalent — read_schema() pins them back as nulls.
+        out = out.drop(*[c for c in META_COLS if c in out.columns])
     out.write.mode("error").partitionBy(
         LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL
     ).format(base_format(table)).save(table.instant_data_path(instant))
@@ -892,6 +903,7 @@ def run_batch_write(
     supplies already-located records."""
     """upsert / insert / bulk_insert / delete, COW and MOR."""
     cfg = table.cfg
+    cfg.validate_virtual_keys()
     spark = table.spark
     is_delete = operation == WriteOperation.DELETE
     payload = payload or get_payload(

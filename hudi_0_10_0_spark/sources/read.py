@@ -54,9 +54,81 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
         .format(base_format(table))
         .load([table.abs_path(p) for p in paths])
     )
+    if not table.cfg.populate_meta_fields:
+        # virtual keys: the pinned schema surfaced the absent meta
+        # columns as nulls — fill them before anything keys on them
+        df = _derive_virtual_meta(table, df, paths)
     if table.cfg.drop_partition_columns and table.cfg.partition_fields():
         df = _restore_partition_columns(table, df)
     return df
+
+
+def _derive_virtual_meta(table, df: DataFrame, paths: list[str]) -> DataFrame:
+    """Virtual keys (``hoodie.populate.meta.fields=false``,
+    ``HoodieTableConfig.java:159-163``): data files omit the meta
+    columns. Re-derive them at scan time, the same machinery as
+    METADATA_ONLY bootstrap reads (:func:`_read_raw_slices`):
+
+    - ``_hoodie_record_key``: the key-generator expression (virtual
+      keys require a deterministic keygen — enforced at write)
+    - ``_hoodie_partition_path`` / ``_hoodie_file_id`` /
+      ``_hoodie_commit_time``: every data and delta file lives under
+      ``data/<instant>/_pp=…/_fg=…/``, so identity is a driver-side
+      parse of the file list broadcast-joined on ``input_file_name()``
+      — O(files read) rows, no shuffle
+    - ``_hoodie_commit_seqno``: synthesized (ordering-shaped, like the
+      bootstrap reader); with virtual keys nothing persists row arrival
+      order, which is exactly why the reference documents incremental
+      queries as non-functional on such tables
+
+    The derived values are what the writer WOULD have stamped for the
+    file's current version — a deliberate improvement over the
+    reference, which returns nulls for the meta fields and thereby
+    loses MOR merge/compaction support for virtual-key tables.
+    """
+    from ..keygen import _record_key_expr
+    from ..operators.write import _parse_layout_path
+
+    cfg = table.cfg
+    mapping = []
+    for p in paths:
+        absp = table.abs_path(p)
+        parsed = _parse_layout_path(table.base_path, absp)
+        if parsed is None:
+            raise ValueError(
+                f"virtual-key read: cannot derive file identity from {p!r}"
+            )
+        pp, fid, rel = parsed
+        # rel = data/<instant>/_pp=…/_fg=…/file
+        instant = rel.split("/", 2)[1]
+        mapping.append((absp, fid, instant, pp))
+    map_df = table.spark.createDataFrame(
+        mapping, "__vm_path string, __vm_fid string, __vm_instant string, __vm_pp string"
+    ).withColumn("__vm_path", _strip_file_scheme(F.col("__vm_path")))
+    decoded = F.expr(
+        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
+        " input_file_name())"
+    )
+    df = df.withColumn("__vm_file", _strip_file_scheme(decoded))
+    df = df.join(
+        F.broadcast(map_df), F.col("__vm_file") == F.col("__vm_path"), "inner"
+    )
+    df = (
+        df.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
+        .withColumn(PARTITION_PATH_COL, F.col("__vm_pp"))
+        .withColumn(FILE_ID_COL, F.col("__vm_fid"))
+        .withColumn(COMMIT_TIME_COL, F.col("__vm_instant"))
+        .withColumn(
+            SEQNO_COL,
+            F.format_string(
+                "%s_%010d_%019d",
+                F.col("__vm_instant"),
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+        )
+    )
+    return df.select(*[f.name for f in table.read_schema().fields])
 
 
 def _restore_partition_columns(table, df: DataFrame) -> DataFrame:
@@ -425,6 +497,18 @@ def incremental(
     (``IncrementalRelation.scala:101-175``). With the fallback DISABLED
     an unreadable range raises (HoodieException posture) rather than
     silently returning a partial result."""
+    if not table.cfg.populate_meta_fields:
+        # the reference documents the same limitation verbatim
+        # (HoodieTableConfig.java:163 "incremental queries will not be
+        # functional"): without a stored _hoodie_commit_time, rows of a
+        # rewritten COW group cannot be attributed to their original
+        # commit — a path-derived commit time would silently return
+        # every row of every touched file
+        raise ValueError(
+            "incremental queries are not functional when "
+            "populate_meta_fields=false (virtual keys): data files store "
+            "no _hoodie_commit_time"
+        )
     view = table.view()
     commits = view.commits_in_range(begin, end)
     if not commits:

@@ -39,6 +39,7 @@ class HudiTable:
     def create(
         spark: SparkSession, base_path: str, cfg: WriteConfig, exist_ok: bool = False
     ) -> "HudiTable":
+        cfg.validate_virtual_keys()
         t = HudiTable(spark, base_path, cfg)
         cfg_path = f"{t.meta_path}/table_config.json"
         if t.fs.exists(cfg_path):
@@ -60,6 +61,7 @@ class HudiTable:
                 "keygen", "payload", "precombine_field", "index_type",
                 "hive_style_partitioning", "url_encode_partitioning",
                 "drop_partition_columns", "key_index_buckets",
+                "populate_meta_fields",
             ):
                 new_v, cur_v = getattr(cfg, f), getattr(existing.cfg, f)
                 if f in ("record_key_field", "partition_field"):
