@@ -339,6 +339,179 @@ def _run_compaction_claimed(table, instant, req, hb):
 
 
 # --------------------------------------------------------------------------
+# Compaction admin (client/client/CompactionAdminClient.java:64-217)
+#
+# The reference's admin client exists because its MOR log files embed
+# the compaction instant as their base-instant: unscheduling a plan
+# there means RENAMING every later log file back to the prior base
+# instant (getRenamingActionsForUnschedulingCompactionPlan), and
+# repair means re-executing half-done renames. Our deltas are plain
+# parquet files attached to file groups by the MANIFEST, so
+# unscheduling is a pure timeline operation and the rename/repair
+# machinery has no analogue — repair reduces to clearing a crashed
+# execution's partial output.
+# --------------------------------------------------------------------------
+
+
+def _pending_compaction_plan(table, instant: str) -> dict | None:
+    tl = table.timeline
+    if any(
+        i.timestamp == instant and i.action == COMPACTION and i.state == "requested"
+        for i in tl.instants()
+    ):
+        return tl.read_requested_metadata(instant, COMPACTION)
+    return None
+
+
+def _guard_compaction_admin(table, instant: str) -> None:
+    """Refuse admin mutations when the plan is not safely pending:
+    already committed (completed or mid-swap COMMIT), or a live rival
+    is executing it (fresh heartbeat)."""
+    tl = table.timeline
+    if any(i.timestamp == instant and i.action == COMMIT for i in tl.instants()):
+        raise ValueError(
+            f"compaction {instant} has a COMMIT on the timeline — "
+            "already executed (or mid-completion); admin ops refused"
+        )
+    from ..concurrency import heartbeat_live
+
+    if heartbeat_live(table, instant):
+        raise ValueError(
+            f"compaction {instant} is being executed by a live writer "
+            "(fresh heartbeat) — admin ops refused"
+        )
+
+
+def validate_compaction(table, instant: str) -> list[dict]:
+    """``validateCompactionPlan``: every planned slice must still
+    resolve in the file-system view with its base file present on
+    storage. Returns one dict per planned slice:
+    ``{partition, file_id, valid, error}``."""
+    plan = _pending_compaction_plan(table, instant)
+    if plan is None:
+        raise ValueError(f"no pending compaction plan at {instant}")
+    view = table.view()
+    slices = {
+        (s.partition, s.file_id): s
+        for s in view.latest_file_slices()
+    }
+    out = []
+    for d in plan.get("slices", []):
+        key = (d["partition"], d["file_id"])
+        err = None
+        s = slices.get(key)
+        if s is None:
+            err = "file group no longer resolves in the latest view"
+        else:
+            missing = [
+                p for p in s.base.paths if not table.fs.exists(table.abs_path(p))
+            ]
+            if missing:
+                err = f"base file(s) missing on storage: {missing}"
+        out.append(
+            {
+                "partition": key[0],
+                "file_id": key[1],
+                "valid": err is None,
+                "error": err,
+            }
+        )
+    return out
+
+
+def unschedule_compaction(table, instant: str) -> bool:
+    """``unscheduleCompactionPlan``: drop a pending plan. Metadata-only
+    here (no log renames — see the section comment); leftover partial
+    output of a crashed execution is cleared with it. Runs under the
+    table lock in OCC mode so it cannot race a compactor's claim."""
+    lock_ctx = _admin_lock(table, f"unschedule-{instant}")
+    with lock_ctx:
+        if _pending_compaction_plan(table, instant) is None:
+            return False
+        _guard_compaction_admin(table, instant)
+        table.timeline.delete_pending_instant_files(instant, COMPACTION)
+        table.fs.delete(table.instant_data_path(instant), recursive=True)
+    return True
+
+
+def unschedule_compaction_file_id(
+    table, instant: str, partition: str, file_id: str
+) -> bool:
+    """``unscheduleCompactionFileId``: remove ONE file group from a
+    pending plan (plan rewritten in place; dropping the last slice
+    drops the plan)."""
+    lock_ctx = _admin_lock(table, f"unschedule-fid-{instant}")
+    with lock_ctx:
+        plan = _pending_compaction_plan(table, instant)
+        if plan is None:
+            raise ValueError(f"no pending compaction plan at {instant}")
+        _guard_compaction_admin(table, instant)
+        before = plan.get("slices", [])
+        after = [
+            d for d in before
+            if not (d["partition"] == partition and d["file_id"] == file_id)
+        ]
+        if len(after) == len(before):
+            return False
+        if not after:
+            table.timeline.delete_pending_instant_files(instant, COMPACTION)
+            table.fs.delete(table.instant_data_path(instant), recursive=True)
+            return True
+        import json as _json
+
+        from ..timeline import Instant, REQUESTED
+
+        plan["slices"] = after
+        table.fs.write_text_atomic(
+            f"{table.timeline.dir}/"
+            f"{Instant(instant, COMPACTION, REQUESTED).filename()}",
+            _json.dumps(plan),
+            overwrite=True,
+        )
+    return True
+
+
+def repair_compaction(table, instant: str) -> dict:
+    """``repairCompaction``: with manifest-attached deltas there are no
+    half-done log renames to redo — the only repairable damage is a
+    crashed execution's partial ``data/<instant>/`` output, which would
+    fail the retry's ``mode('error')`` writer. Clears it (when the plan
+    is still safely pending) and returns the validation report."""
+    report = validate_compaction(table, instant)
+    lock_ctx = _admin_lock(table, f"repair-{instant}")
+    with lock_ctx:
+        _guard_compaction_admin(table, instant)
+        leftover = table.instant_data_path(instant)
+        cleared = False
+        if table.fs.exists(leftover):
+            table.fs.delete(leftover, recursive=True)
+            cleared = True
+    return {"instant": instant, "cleared_partial_output": cleared,
+            "validation": report}
+
+
+def _admin_lock(table, owner: str):
+    """Table lock in OCC mode; no-op context otherwise."""
+    import contextlib
+
+    if table.cfg.concurrency_mode.upper() != "OPTIMISTIC_CONCURRENCY_CONTROL":
+        return contextlib.nullcontext()
+
+    from ..concurrency import get_lock_provider
+
+    @contextlib.contextmanager
+    def _ctx():
+        lock = get_lock_provider(table)
+        lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
+        try:
+            yield
+        finally:
+            lock.unlock(owner)
+
+    return _ctx()
+
+
+# --------------------------------------------------------------------------
 # Cleaning (client/table/action/clean/CleanPlanner.java:207-390)
 # --------------------------------------------------------------------------
 

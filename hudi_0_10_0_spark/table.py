@@ -246,6 +246,28 @@ class HudiTable:
 
         return run_compaction(self, instant)
 
+    def validate_compaction(self, instant: str) -> list[dict]:
+        from .operators.services import validate_compaction
+
+        return validate_compaction(self, instant)
+
+    def unschedule_compaction(self, instant: str) -> bool:
+        from .operators.services import unschedule_compaction
+
+        return unschedule_compaction(self, instant)
+
+    def unschedule_compaction_file_id(
+        self, instant: str, partition: str, file_id: str
+    ) -> bool:
+        from .operators.services import unschedule_compaction_file_id
+
+        return unschedule_compaction_file_id(self, instant, partition, file_id)
+
+    def repair_compaction(self, instant: str) -> dict:
+        from .operators.services import repair_compaction
+
+        return repair_compaction(self, instant)
+
     def cluster(self, **kw) -> str | None:
         from .operators.clustering import cluster
 
