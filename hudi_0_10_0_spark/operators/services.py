@@ -18,7 +18,10 @@ from ..timeline import (
     COMPACTION,
     COMPLETED,
     DELTA_COMMIT,
+    INFLIGHT,
+    Instant,
     REPLACE_COMMIT,
+    REQUESTED,
     RESTORE,
     ROLLBACK,
     SAVEPOINT,
@@ -354,31 +357,68 @@ def _run_compaction_claimed(table, instant, req, hb):
 
 
 def _pending_compaction_plan(table, instant: str) -> dict | None:
+    """The pinned plan, or None when NO requested file exists. A plan
+    file that exists but cannot be READ raises as-is: swallowing a
+    transient read error into ``{}`` would make validate return a
+    vacuous all-clear and unschedule-file-id report "not in plan"
+    (code-review r7 part 3)."""
     tl = table.timeline
     if any(
-        i.timestamp == instant and i.action == COMPACTION and i.state == "requested"
+        i.timestamp == instant and i.action == COMPACTION and i.state == REQUESTED
         for i in tl.instants()
     ):
-        return tl.read_requested_metadata(instant, COMPACTION)
+        return tl.read_metadata(Instant(instant, COMPACTION, REQUESTED))
     return None
+
+
+def _compaction_committed(table, instant: str) -> bool:
+    """True when the compaction's COMMIT exists — on the ACTIVE timeline
+    (any state: a pending COMMIT is a rival mid-swap) OR in the ARCHIVE.
+    The archive check matters: a crash between the commit point and the
+    plan-file cleanup leaves the plan pending forever (the failed-write
+    sweep skips COMPACTION), and once the COMMIT is archived an
+    active-only check would let unschedule/repair delete
+    ``data/<instant>/`` — committed base files (code-review r7 part 3)."""
+    tl = table.timeline
+    if any(i.timestamp == instant and i.action == COMMIT for i in tl.instants()):
+        return True
+    return any(
+        a["timestamp"] == instant and a["action"] == COMMIT
+        for a in tl.archived_instants()
+    )
 
 
 def _guard_compaction_admin(table, instant: str) -> None:
     """Refuse admin mutations when the plan is not safely pending:
-    already committed (completed or mid-swap COMMIT), or a live rival
-    is executing it (fresh heartbeat)."""
-    tl = table.timeline
-    if any(i.timestamp == instant and i.action == COMMIT for i in tl.instants()):
+    already committed (completed, mid-swap, or archived), or an
+    execution may be live — a fresh heartbeat in OCC mode, or ANY
+    inflight marker in single-writer mode (without heartbeats there is
+    no way to tell a live async compactor from a crashed one; the
+    crashed-run cleanup path is ``compact(instant)`` itself, whose
+    retry converges)."""
+    if _compaction_committed(table, instant):
         raise ValueError(
             f"compaction {instant} has a COMMIT on the timeline — "
             "already executed (or mid-completion); admin ops refused"
         )
     from ..concurrency import heartbeat_live
 
-    if heartbeat_live(table, instant):
+    occ = table.cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
+    if occ:
+        if heartbeat_live(table, instant):
+            raise ValueError(
+                f"compaction {instant} is being executed by a live writer "
+                "(fresh heartbeat) — admin ops refused"
+            )
+    elif any(
+        i.timestamp == instant and i.action == COMPACTION and i.state == INFLIGHT
+        for i in table.timeline.instants()
+    ):
         raise ValueError(
-            f"compaction {instant} is being executed by a live writer "
-            "(fresh heartbeat) — admin ops refused"
+            f"compaction {instant} has an inflight marker and single-writer "
+            "mode has no heartbeat to prove the executor dead — if it "
+            "crashed, retry compact(instant) instead (its recovery "
+            "converges); admin ops refused"
         )
 
 
@@ -429,8 +469,12 @@ def unschedule_compaction(table, instant: str) -> bool:
         if _pending_compaction_plan(table, instant) is None:
             return False
         _guard_compaction_admin(table, instant)
-        table.timeline.delete_pending_instant_files(instant, COMPACTION)
+        # data dir BEFORE plan files: a crash between the two leaves a
+        # still-pending, still-unschedulable plan (self-healing); the
+        # reverse order would orphan data/<instant>/ forever — nothing
+        # sweeps it once the plan is gone (code-review r7 part 3)
         table.fs.delete(table.instant_data_path(instant), recursive=True)
+        table.timeline.delete_pending_instant_files(instant, COMPACTION)
     return True
 
 
@@ -454,12 +498,13 @@ def unschedule_compaction_file_id(
         if len(after) == len(before):
             return False
         if not after:
-            table.timeline.delete_pending_instant_files(instant, COMPACTION)
+            # same order rationale as unschedule_compaction: data dir
+            # first, plan last (crash leaves a retryable plan, never an
+            # orphaned data dir)
             table.fs.delete(table.instant_data_path(instant), recursive=True)
+            table.timeline.delete_pending_instant_files(instant, COMPACTION)
             return True
         import json as _json
-
-        from ..timeline import Instant, REQUESTED
 
         plan["slices"] = after
         table.fs.write_text_atomic(
@@ -473,21 +518,39 @@ def unschedule_compaction_file_id(
 
 def repair_compaction(table, instant: str) -> dict:
     """``repairCompaction``: with manifest-attached deltas there are no
-    half-done log renames to redo — the only repairable damage is a
-    crashed execution's partial ``data/<instant>/`` output, which would
-    fail the retry's ``mode('error')`` writer. Clears it (when the plan
-    is still safely pending) and returns the validation report."""
-    report = validate_compaction(table, instant)
+    half-done log renames to redo — the repairable states are (a) a
+    COMMITTED compaction whose crash left its plan files behind
+    (finish the cleanup, exactly ``run_compaction``'s own recovery) and
+    (b) a crashed execution's partial ``data/<instant>/`` output, which
+    would fail the retry's ``mode('error')`` writer. Everything —
+    including the validation report — runs under the admin lock so the
+    report describes the state the repair acted on
+    (code-review r7 part 3)."""
     lock_ctx = _admin_lock(table, f"repair-{instant}")
     with lock_ctx:
+        if _compaction_committed(table, instant) and _pending_compaction_plan(
+            table, instant
+        ) is not None:
+            # the one crash window run_compaction's own entry guard
+            # fixes: COMMIT durable, plan files leftover — finish the
+            # cleanup instead of refusing (data dir holds COMMITTED
+            # files: never touch it here)
+            table.timeline.delete_pending_instant_files(instant, COMPACTION)
+            return {
+                "instant": instant,
+                "finished_committed_cleanup": True,
+                "cleared_partial_output": False,
+                "validation": [],
+            }
+        report = validate_compaction(table, instant)
         _guard_compaction_admin(table, instant)
         leftover = table.instant_data_path(instant)
         cleared = False
         if table.fs.exists(leftover):
             table.fs.delete(leftover, recursive=True)
             cleared = True
-    return {"instant": instant, "cleared_partial_output": cleared,
-            "validation": report}
+    return {"instant": instant, "finished_committed_cleanup": False,
+            "cleared_partial_output": cleared, "validation": report}
 
 
 def _admin_lock(table, owner: str):

@@ -112,6 +112,7 @@ def test_repair_clears_partial_output(mor):
     mor.fs.write_text(partial + "/_pp=x/_fg=y/part-000.parquet", "torn")
     res = mor.repair_compaction(inst)
     assert res["cleared_partial_output"] is True
+    assert res["finished_committed_cleanup"] is False
     assert not mor.fs.exists(partial)
     assert mor.compact(inst) == inst  # retry converges
 
@@ -122,3 +123,62 @@ def test_admin_refused_after_execution(mor):
     with pytest.raises(ValueError, match="no pending compaction plan|COMMIT"):
         mor.validate_compaction(inst)
     assert mor.unschedule_compaction(inst) is False
+
+
+def test_repair_finishes_committed_cleanup_and_unschedule_refuses(mor, orders):
+    """Crash window between the compaction's commit point and its
+    plan-file cleanup: COMMIT durable, plan files leftover. Repair
+    finishes the cleanup; unschedule refuses (the data dir holds
+    COMMITTED base files)."""
+    inst = mor.schedule_compaction()
+    assert mor.compact(inst) == inst
+    # recreate the leftover plan files (what the crash would leave)
+    mor.timeline.create_requested(inst, "compaction", {"slices": []})
+    with pytest.raises(ValueError, match="COMMIT"):
+        mor.unschedule_compaction(inst)
+    res = mor.repair_compaction(inst)
+    assert res["finished_committed_cleanup"] is True
+    # plan gone, committed data intact
+    assert mor.timeline.read_requested_metadata(inst, "compaction") == {}
+    assert mor.snapshot().filter("o_comment='d2'").count() == 20
+
+
+def test_admin_consults_archived_commits(spark, tmp_table_path, orders):
+    """A committed compaction whose COMMIT was ARCHIVED while its
+    crash-leftover plan survived must still refuse unschedule — an
+    active-only check would delete committed base files
+    (code-review r7)."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/arch",
+        _cfg(keep_min_commits=2, keep_max_commits=3),
+    )
+    t.bulk_insert(orders.limit(60))
+    t.upsert(orders.limit(10).withColumn("o_comment", F.lit("x")))
+    inst = t.schedule_compaction()
+    assert t.compact(inst) == inst
+    for i in range(4):  # push the compaction COMMIT past keep_max
+        t.upsert(orders.limit(3).withColumn("o_comment", F.lit(f"w{i}")))
+    assert t.archive() > 0
+    assert not any(
+        x.timestamp == inst for x in t.timeline.completed(("commit",))
+    ), "fixture must archive the compaction commit"
+    t.timeline.create_requested(inst, "compaction", {"slices": []})
+    with pytest.raises(ValueError, match="COMMIT"):
+        t.unschedule_compaction(inst)
+    res = t.repair_compaction(inst)
+    assert res["finished_committed_cleanup"] is True
+
+
+def test_single_writer_inflight_refusal(mor):
+    """Without heartbeats, an inflight marker may be a LIVE async
+    compactor — unschedule/repair must refuse rather than delete its
+    output mid-write; the crashed-run remedy is compact(instant)."""
+    inst = mor.schedule_compaction()
+    mor.timeline.transition_to_inflight(inst, "compaction")
+    with pytest.raises(ValueError, match="inflight"):
+        mor.unschedule_compaction(inst)
+    with pytest.raises(ValueError, match="inflight"):
+        mor.repair_compaction(inst)
+    # the documented remedy converges
+    assert mor.compact(inst) == inst
