@@ -142,6 +142,16 @@ def create_callback(cfg):
     )
 
 
+def validate_callback_config(cfg) -> None:
+    """Fail fast BEFORE any data is written: a misconfigured callback
+    (unknown class, http with no URL) would otherwise surface only
+    after the commit is durable, making the write look failed and
+    inviting a duplicate-data retry (code-review r7). Resolving the
+    callback once up front costs nothing and pins the config."""
+    if getattr(cfg, "write_commit_callback_on", False):
+        create_callback(cfg)
+
+
 def fire_commit_callback(table, instant: str, action: str, metadata: dict) -> None:
     """Called by the write paths right after a successful
     ``guarded_commit``. No-op unless ``write_commit_callback_on``."""

@@ -40,7 +40,7 @@ from ..config import (
     WriteConfig,
     WriteOperation,
 )
-from ..callbacks import fire_commit_callback
+from ..callbacks import fire_commit_callback, validate_callback_config
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
@@ -904,6 +904,7 @@ def run_batch_write(
     """upsert / insert / bulk_insert / delete, COW and MOR."""
     cfg = table.cfg
     cfg.validate_virtual_keys()
+    validate_callback_config(cfg)  # fail fast, never post-commit
     spark = table.spark
     is_delete = operation == WriteOperation.DELETE
     payload = payload or get_payload(
@@ -1369,6 +1370,7 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
     reads — no row is touched, so adopting a 100 TB dataset costs
     minutes, not a rewrite."""
     cfg = table.cfg
+    validate_callback_config(cfg)  # fail fast, never post-commit
     if table.schema() is not None:
         raise ValueError("bootstrap requires a table with no commits")
     src = parquet_path.rstrip("/")
@@ -1514,6 +1516,7 @@ def run_replace_write(
     (``SparkInsertOverwriteCommitActionExecutor``,
     ``SparkDeletePartitionCommitActionExecutor``)."""
     cfg = table.cfg
+    validate_callback_config(cfg)  # fail fast, never post-commit
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()

@@ -57,10 +57,37 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
     if not table.cfg.populate_meta_fields:
         # virtual keys: the pinned schema surfaced the absent meta
         # columns as nulls — fill them before anything keys on them
-        df = _derive_virtual_meta(table, df, paths)
+        # (restores dropped partition columns itself, ORDER-SENSITIVELY:
+        # the keygen expression may read a partition column)
+        return _derive_virtual_meta(table, df, paths)
     if table.cfg.drop_partition_columns and table.cfg.partition_fields():
         df = _restore_partition_columns(table, df)
     return df
+
+
+def _decoded_input_file():
+    """``input_file_name()`` as a join-ready plain path: projected into
+    a column (the function is non-deterministic), percent-decoded
+    (space → %20 in the URI) with literal ``+`` shielded (url_decode
+    would turn it into a space). Shared by the bootstrap raw reader and
+    the virtual-key reader — the shielding subtlety must not fork."""
+    return F.expr(
+        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
+        " input_file_name())"
+    )
+
+
+def _synth_seqno(instant_col):
+    """Synthesized ``_hoodie_commit_seqno`` for readers of files that
+    store none (bootstrap raw files, virtual-key tables): zero-padded
+    like operators/merge.seqno_expr so seqno string order ==
+    generation order everywhere."""
+    return F.format_string(
+        "%s_%010d_%019d",
+        instant_col,
+        F.spark_partition_id(),
+        F.monotonically_increasing_id(),
+    )
 
 
 def _derive_virtual_meta(table, df: DataFrame, paths: list[str]) -> DataFrame:
@@ -105,29 +132,24 @@ def _derive_virtual_meta(table, df: DataFrame, paths: list[str]) -> DataFrame:
     map_df = table.spark.createDataFrame(
         mapping, "__vm_path string, __vm_fid string, __vm_instant string, __vm_pp string"
     ).withColumn("__vm_path", _strip_file_scheme(F.col("__vm_path")))
-    decoded = F.expr(
-        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
-        " input_file_name())"
-    )
-    df = df.withColumn("__vm_file", _strip_file_scheme(decoded))
+    df = df.withColumn("__vm_file", _strip_file_scheme(_decoded_input_file()))
     df = df.join(
         F.broadcast(map_df), F.col("__vm_file") == F.col("__vm_path"), "inner"
     )
     df = (
-        df.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
-        .withColumn(PARTITION_PATH_COL, F.col("__vm_pp"))
+        df.withColumn(PARTITION_PATH_COL, F.col("__vm_pp"))
         .withColumn(FILE_ID_COL, F.col("__vm_fid"))
         .withColumn(COMMIT_TIME_COL, F.col("__vm_instant"))
-        .withColumn(
-            SEQNO_COL,
-            F.format_string(
-                "%s_%010d_%019d",
-                F.col("__vm_instant"),
-                F.spark_partition_id(),
-                F.monotonically_increasing_id(),
-            ),
-        )
+        .withColumn(SEQNO_COL, _synth_seqno(F.col("__vm_instant")))
     )
+    # restore dropped partition columns BEFORE deriving the key: with
+    # drop_partition_columns=true a record_key_field that is also a
+    # partition field is absent from the files, and the keygen
+    # expression raises on null key sources — the restored value is the
+    # key source (code-review r7 part 3)
+    if cfg.drop_partition_columns and cfg.partition_fields():
+        df = _restore_partition_columns(table, df)
+    df = df.withColumn(RECORD_KEY_COL, _record_key_expr(cfg))
     return df.select(*[f.name for f in table.read_schema().fields])
 
 
@@ -234,15 +256,7 @@ def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
     df = table.spark.read.schema(T.StructType(data_fields)).parquet(
         *[m[0] for m in mapping]
     )
-    # input_file_name() is non-deterministic — project it into a column
-    # before using it as a join key. It returns a percent-encoded URI
-    # (space → %20), while manifest paths are plain: decode, shielding
-    # literal '+' (url_decode would turn it into a space)
-    decoded = F.expr(
-        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
-        " input_file_name())"
-    )
-    df = df.withColumn("__raw_file", _strip_file_scheme(decoded))
+    df = df.withColumn("__raw_file", _strip_file_scheme(_decoded_input_file()))
     df = df.join(
         F.broadcast(map_df), F.col("__raw_file") == F.col("__raw_path"), "inner"
     )
@@ -255,17 +269,7 @@ def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
     df = stamp_keys(df, cfg)  # adds the record key; partition kept as-is
     df = (
         df.withColumn(COMMIT_TIME_COL, F.col("__raw_instant"))
-        .withColumn(
-            SEQNO_COL,
-            # zero-padded like operators/merge.seqno_expr so seqno
-            # string order == generation order everywhere
-            F.format_string(
-                "%s_%010d_%019d",
-                F.col("__raw_instant"),
-                F.spark_partition_id(),
-                F.monotonically_increasing_id(),
-            ),
-        )
+        .withColumn(SEQNO_COL, _synth_seqno(F.col("__raw_instant")))
         .withColumn(FILE_ID_COL, F.col("__raw_fid"))
         .withColumn(DELETE_MARKER_COL, F.lit(False))
     )

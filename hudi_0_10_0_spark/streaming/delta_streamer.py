@@ -320,6 +320,16 @@ class MultiTableDeltaStreamer:
                     f"(got keys {sorted(t)})"
                 )
             self.streamers.append(DeltaStreamer(spark, **merged))
+        # results are keyed by table_name — duplicates (e.g. two targets
+        # left on the WriteConfig default) would collapse into one entry
+        # and misattribute success/failure (code-review r7)
+        names = [s.target.cfg.table_name for s in self.streamers]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise ValueError(
+                f"duplicate table_name(s) across targets: {sorted(dupes)} — "
+                "give each target WriteConfig a distinct table_name"
+            )
         self.success_tables: list[str] = []
         self.failed_tables: dict[str, Exception] = {}
 

@@ -52,6 +52,7 @@ def snapshot_export(
     commit timestamp the export captured. A ``_SUCCESS`` marker is
     written last (reference ``createSuccessTag``).
     """
+    from .fs import FS
     from .table import HudiTable
 
     if output_format not in EXPORT_FORMATS:
@@ -59,7 +60,12 @@ def snapshot_export(
             f"output_format must be one of {EXPORT_FORMATS}, got {output_format!r}"
         )
     table = HudiTable.load(spark, source_base_path)
-    if table.fs.exists(target_path):
+    # target-side operations need a FileSystem bound to the TARGET's
+    # scheme — the table's fs is pinned to the source base URI and a
+    # cross-store export (local → s3a://…) would die on "Wrong FS"
+    # (code-review r7); copy_file already resolves its destination
+    tfs = FS(spark, target_path)
+    if tfs.exists(target_path):
         raise SnapshotExportError("The target output path already exists.")
     latest = table.timeline.latest_completed()
     if latest is None:
@@ -70,12 +76,12 @@ def snapshot_export(
         raise SnapshotExportError("The source dataset has 0 partition to snapshot.")
 
     if output_format == "hudi":
-        _export_as_hudi(table, target_path, latest.timestamp, slices)
+        _export_as_hudi(table, tfs, target_path, latest.timestamp, slices)
     else:
         _export_as_non_hudi(
             table, target_path, output_format, output_partition_field, partitioner
         )
-    table.fs.write_text(f"{target_path.rstrip('/')}/_SUCCESS", "")
+    tfs.write_text(f"{target_path.rstrip('/')}/_SUCCESS", "")
     return latest.timestamp
 
 
@@ -103,14 +109,15 @@ def _export_as_non_hudi(table, target_path, output_format, partition_field, part
     writer.format(output_format).mode("overwrite").save(target_path)
 
 
-def _export_as_hudi(table, target_path, latest_ts, slices):
+def _export_as_hudi(table, tfs, target_path, latest_ts, slices):
     """Copy latest file slices + table metadata so the target loads as a
     table (`HudiTable.load(spark, target_path)`) and answers the same
     snapshot query. Metadata copied: table config, COMPLETED timeline
     instants <= latest, archived manifests (a latest slice's base may
     have been written by an archived commit), key-index files. Skipped:
     pending instants, instant claims, locks, heartbeats — writer-process
-    state, not table state."""
+    state, not table state. ``tfs`` is a FileSystem bound to the target
+    scheme (mkdirs on the destination side)."""
     from .table import META_DIR
 
     fs = table.fs
@@ -118,7 +125,7 @@ def _export_as_hudi(table, target_path, latest_ts, slices):
     dst_root = target_path.rstrip("/")
 
     # -- data: latest slices only, relative paths preserved ---------------
-    n_files = 0
+    pairs: list[tuple[str, str]] = []
     for s in slices:
         if s.base.raw:
             # METADATA_ONLY-bootstrapped group: the base file is
@@ -128,19 +135,18 @@ def _export_as_hudi(table, target_path, latest_ts, slices):
             paths = [p for l in s.logs for p in l.paths]
         else:
             paths = s.all_paths()
-        for rel in paths:
-            fs.copy_file(table.abs_path(rel), f"{dst_root}/{rel}")
-            n_files += 1
+        pairs.extend((table.abs_path(rel), f"{dst_root}/{rel}") for rel in paths)
+    _copy_data_files(table.spark, fs, pairs)
 
-    # -- metadata ----------------------------------------------------------
+    # -- metadata (O(timeline) small files — driver-side is fine) ---------
     src_meta = f"{src_root}/{META_DIR}"
     dst_meta = f"{dst_root}/{META_DIR}"
     for name in fs.list_names(src_meta):
         if name in _EPHEMERAL_META_DIRS or name == "timeline":
             continue
-        _copy_tree(fs, f"{src_meta}/{name}", f"{dst_meta}/{name}")
+        _copy_tree(fs, tfs, f"{src_meta}/{name}", f"{dst_meta}/{name}")
     tl = table.timeline
-    fs.mkdirs(f"{dst_meta}/timeline")
+    tfs.mkdirs(f"{dst_meta}/timeline")
     for inst in tl.completed():
         if inst.timestamp <= latest_ts:
             fs.copy_file(
@@ -149,16 +155,57 @@ def _export_as_hudi(table, target_path, latest_ts, slices):
             )
     # archived manifests (folded into every view build)
     if fs.exists(tl.archive_dir):
-        _copy_tree(fs, tl.archive_dir, f"{dst_meta}/timeline/archived")
+        _copy_tree(fs, tfs, tl.archive_dir, f"{dst_meta}/timeline/archived")
     log.info(
-        "exported %d data files + timeline<=%s to %s", n_files, latest_ts, dst_root
+        "exported %d data files + timeline<=%s to %s",
+        len(pairs), latest_ts, dst_root,
     )
 
 
-def _copy_tree(fs, src: str, dst: str) -> None:
+def _copy_data_files(spark, fs, pairs: list[tuple[str, str]]) -> None:
+    """Copy the data files. Small exports run on the driver (FileUtil
+    stream copy); past 64 files the pairs fan out over executors
+    (reference: ``context.foreach(files, …)`` in
+    ``HoodieSnapshotExporter.exportAsHudi``) via ``pyarrow.fs``, which
+    resolves local/hdfs/s3 URIs inside Python workers where the JVM
+    Hadoop FileSystem is unreachable."""
+    if len(pairs) <= 64:
+        for src, dst in pairs:
+            fs.copy_file(src, dst)
+        return
+    sc = spark.sparkContext
+    sc.parallelize(pairs, max(2, len(pairs) // 16)).foreach(_pa_copy_pair)
+
+
+def _pa_copy_pair(pair: tuple[str, str]) -> None:
+    """Executor-side single-file copy via pyarrow.fs (runs in a Python
+    worker — no py4j gateway)."""
+    import posixpath
+
+    from pyarrow import fs as pafs
+
+    src, dst = pair
+    src_fs, src_path = pafs.FileSystem.from_uri(src) if "://" in src else (
+        pafs.LocalFileSystem(), src
+    )
+    dst_fs, dst_path = pafs.FileSystem.from_uri(dst) if "://" in dst else (
+        pafs.LocalFileSystem(), dst
+    )
+    dst_fs.create_dir(posixpath.dirname(dst_path), recursive=True)
+    with src_fs.open_input_stream(src_path) as r, dst_fs.open_output_stream(
+        dst_path
+    ) as w:
+        while True:
+            chunk = r.read(4 << 20)
+            if not chunk:
+                break
+            w.write(chunk)
+
+
+def _copy_tree(fs, tfs, src: str, dst: str) -> None:
     if not fs.is_dir(src):
         fs.copy_file(src, dst)
         return
-    fs.mkdirs(dst)
+    tfs.mkdirs(dst)
     for name in fs.list_names(src):
-        _copy_tree(fs, f"{src}/{name}", f"{dst}/{name}")
+        _copy_tree(fs, tfs, f"{src}/{name}", f"{dst}/{name}")

@@ -195,10 +195,23 @@ def test_http_callback_failures_never_fail_the_write(
     assert i2 in t2.commits()
 
 
-def test_unknown_callback_class_raises(spark, tmp_table_path, orders):
+def test_unknown_callback_class_fails_fast_before_any_write(
+    spark, tmp_table_path, orders
+):
     t = HudiTable.create(
         spark, tmp_table_path + "/t",
         _cfg(write_commit_callback_class="nope_not_registered"),
     )
     with pytest.raises(ValueError, match="nope_not_registered"):
         t.bulk_insert(orders.limit(5))
+    # fail-fast: nothing committed, nothing written — a retry after
+    # fixing the config cannot double-ingest (code-review r7)
+    assert t.commits() == []
+    # http with no URL is the same class of misconfiguration
+    t2 = HudiTable.create(
+        spark, tmp_table_path + "/t2",
+        _cfg(write_commit_callback_class="http"),
+    )
+    with pytest.raises(ValueError, match="url"):
+        t2.insert_overwrite(orders.limit(5))
+    assert t2.commits() == []

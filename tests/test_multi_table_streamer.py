@@ -124,3 +124,16 @@ def test_one_failing_table_does_not_block_the_rest(spark, scratch_dir):
 def test_table_config_requires_target_and_source(spark, scratch_dir):
     with pytest.raises(ValueError, match="target"):
         MultiTableDeltaStreamer(spark, tables=[{"source": "/x"}])
+
+
+def test_duplicate_table_names_rejected(spark, scratch_dir):
+    ta = HudiTable.create(spark, f"{scratch_dir}/d1", _cfg("same"))
+    tb = HudiTable.create(spark, f"{scratch_dir}/d2", _cfg("same"))
+    with pytest.raises(ValueError, match="duplicate table_name"):
+        MultiTableDeltaStreamer(
+            spark,
+            tables=[
+                {"target": ta, "source": "/x"},
+                {"target": tb, "source": "/y"},
+            ],
+        )

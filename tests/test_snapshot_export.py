@@ -126,3 +126,24 @@ def test_export_errors(spark, tmp_table_path, cow):
     )
     with pytest.raises(SnapshotExportError, match="No commits"):
         snapshot_export(spark, empty.base_path, tmp_table_path + "/y", "parquet")
+
+
+def test_distributed_copy_path_over_64_files(spark, tmp_table_path, cow):
+    """>64 data files routes the copy through executors (pyarrow.fs in
+    Python workers); result must be byte-identical."""
+    import os
+
+    from hudi_0_10_0_spark.utilities import _copy_data_files
+
+    src_dir = tmp_table_path + "/many_src"
+    os.makedirs(src_dir)
+    pairs = []
+    for i in range(70):
+        p = f"{src_dir}/f{i:03d}.bin"
+        with open(p, "wb") as f:
+            f.write(bytes([i % 256]) * (100 + i))
+        pairs.append((p, f"{tmp_table_path}/many_dst/sub/f{i:03d}.bin"))
+    _copy_data_files(spark, cow.fs, pairs)
+    for i, (src, dst) in enumerate(pairs):
+        with open(src, "rb") as a, open(dst, "rb") as b:
+            assert a.read() == b.read(), dst

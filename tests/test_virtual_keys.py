@@ -185,3 +185,32 @@ def test_populate_meta_fields_is_a_creation_identity_field(
             _cfg(populate_meta_fields=True),
             exist_ok=True,
         )
+
+
+def test_record_key_is_dropped_partition_column(spark, tmp_table_path):
+    """drop_partition_columns + record_key_field inside partition_fields:
+    the key source column is absent from data files, so the virtual-key
+    reader must restore it from the partition path BEFORE deriving the
+    key (code-review r7)."""
+    df = spark.createDataFrame(
+        [("r1", 1.0), ("r2", 2.0), ("r3", 3.0)], "region string, v double"
+    )
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/kp",
+        WriteConfig(
+            record_key_field="region",
+            partition_field="region",
+            precombine_field="v",
+            drop_partition_columns=True,
+            populate_meta_fields=False,
+        ),
+    )
+    t.bulk_insert(df)
+    snap = t.snapshot()
+    assert snap.count() == 3
+    r = snap.filter("region='r2'").first()
+    assert r["_hoodie_record_key"] == "r2" and r["v"] == 2.0
+    t.upsert(spark.createDataFrame([("r2", 20.0)], "region string, v double"))
+    assert t.snapshot().filter("region='r2'").first()["v"] == 20.0
+    assert t.snapshot().count() == 3
