@@ -179,6 +179,15 @@ class WriteConfig:
     # documents the same limitation: rewritten COW groups lose row-level
     # commit history without a stored _hoodie_commit_time).
     populate_meta_fields: bool = True
+    # Pre-commit validators (hoodie.precommit.validators*,
+    # HoodiePreCommitValidatorConfig.java:39-75): comma list of
+    # {equality, inequality, single_value}; queries are ';'-separated
+    # with <TABLE_NAME> substituted by the staged before/after views —
+    # see precommit.py
+    precommit_validators: str = ""
+    precommit_equality_sql: str | None = None
+    precommit_inequality_sql: str | None = None
+    precommit_single_value_sql: str | None = None
     # Write-commit callbacks (hoodie.write.commit.callback.*,
     # HoodieWriteCommitCallbackConfig.java:39-67) — fired after every
     # successful USER WRITE commit (not table services); see callbacks.py

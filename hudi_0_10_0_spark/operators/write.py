@@ -41,6 +41,7 @@ from ..config import (
     WriteOperation,
 )
 from ..callbacks import fire_commit_callback, validate_callback_config
+from ..precommit import run_precommit_validators, validate_precommit_config
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
@@ -905,6 +906,7 @@ def run_batch_write(
     cfg = table.cfg
     cfg.validate_virtual_keys()
     validate_callback_config(cfg)  # fail fast, never post-commit
+    validate_precommit_config(cfg)
     spark = table.spark
     is_delete = operation == WriteOperation.DELETE
     payload = payload or get_payload(
@@ -1021,6 +1023,7 @@ def run_batch_write(
             md = make_commit_metadata(
                 operation.value, out.schema.json(), stats, extra=extra
             )
+            run_precommit_validators(table, instant, action, md)
             guarded_commit(table, instant, action, md, txn_start)
             committed = True
             fire_commit_callback(table, instant, action, md)
@@ -1320,6 +1323,7 @@ def run_batch_write(
             stats,
             extra=extra,
         )
+        run_precommit_validators(table, instant, action, md)
         guarded_commit(table, instant, action, md, txn_start)
         committed = True
         fire_commit_callback(table, instant, action, md)
@@ -1517,6 +1521,7 @@ def run_replace_write(
     ``SparkDeletePartitionCommitActionExecutor``)."""
     cfg = table.cfg
     validate_callback_config(cfg)  # fail fast, never post-commit
+    validate_precommit_config(cfg)
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()
@@ -1572,6 +1577,7 @@ def run_replace_write(
         md = make_commit_metadata(
             operation.value, schema_json, stats, replaced=replaced, extra=extra
         )
+        run_precommit_validators(table, instant, "replacecommit", md)
         guarded_commit(table, instant, "replacecommit", md, txn_start)
     except Exception as exc:
         table.timeline.delete_instant_files(instant, "replacecommit")
