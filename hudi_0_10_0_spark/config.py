@@ -179,6 +179,12 @@ class WriteConfig:
     # documents the same limitation: rewritten COW groups lose row-level
     # commit history without a stored _hoodie_commit_time).
     populate_meta_fields: bool = True
+    # Metrics (hoodie.metrics.*, HoodieMetrics.java /
+    # MetricsReporterType.java): INMEMORY | CONSOLE built in; network
+    # reporters plug in via metrics.register_reporter
+    metrics_on: bool = False
+    metrics_reporter_type: str = "INMEMORY"
+    metrics_prefix: str | None = None  # defaults to table_name
     # Pre-commit validators (hoodie.precommit.validators*,
     # HoodiePreCommitValidatorConfig.java:39-75): comma list of
     # {equality, inequality, single_value}; queries are ';'-separated

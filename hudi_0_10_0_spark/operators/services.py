@@ -594,6 +594,11 @@ def clean(table) -> str | None:
     clean found at entry is re-executed from its plan first — file
     deletions are therefore always recorded, never inferred, and a
     crashed clean finishes instead of leaving unrecorded deletions."""
+    import time as _time
+
+    from ..metrics import table_metrics
+
+    _t0 = _time.time()
     cfg = table.cfg
     occ = cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL"
     for inst in table.timeline.pending():
@@ -681,6 +686,9 @@ def clean(table) -> str | None:
         },
     )
     _finish_clean(table, instant)
+    table_metrics(table).update_clean_metrics(
+        _time.time() - _t0, len([p for p in deletable if p not in external])
+    )
     return instant
 
 
@@ -808,10 +816,17 @@ def rollback_instant(table, timestamp: str) -> str:
     # the failed-write sweep REPLAYS to completion (never discards).
     from ..timeline import claim_new_instant
 
+    import time as _time
+
+    from ..metrics import table_metrics
+
+    _t0 = _time.time()
+    n_files = len(table.fs.list_files_recursive(table.instant_data_path(timestamp)))
     inst = claim_new_instant(
         table, ROLLBACK, {"rolled_back": timestamp, "action": action}
     )
     _finish_rollback(table, inst)
+    table_metrics(table).update_rollback_metrics(_time.time() - _t0, n_files)
     return inst
 
 

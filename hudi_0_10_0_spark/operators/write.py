@@ -41,6 +41,7 @@ from ..config import (
     WriteOperation,
 )
 from ..callbacks import fire_commit_callback, validate_callback_config
+from ..metrics import table_metrics
 from ..precommit import run_precommit_validators, validate_precommit_config
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
@@ -907,6 +908,7 @@ def run_batch_write(
     cfg.validate_virtual_keys()
     validate_callback_config(cfg)  # fail fast, never post-commit
     validate_precommit_config(cfg)
+    _write_t0 = time.time()
     spark = table.spark
     is_delete = operation == WriteOperation.DELETE
     payload = payload or get_payload(
@@ -1027,6 +1029,9 @@ def run_batch_write(
             guarded_commit(table, instant, action, md, txn_start)
             committed = True
             fire_commit_callback(table, instant, action, md)
+            table_metrics(table).update_commit_metrics(
+                action, time.time() - _write_t0, md
+            )
             table.run_post_commit_services()
             return instant
 
@@ -1327,6 +1332,9 @@ def run_batch_write(
         guarded_commit(table, instant, action, md, txn_start)
         committed = True
         fire_commit_callback(table, instant, action, md)
+        table_metrics(table).update_commit_metrics(
+            action, time.time() - _write_t0, md
+        )
     except Exception as exc:
         if committed:
             # the instant is durable — a post-commit service failure must
@@ -1522,6 +1530,7 @@ def run_replace_write(
     cfg = table.cfg
     validate_callback_config(cfg)  # fail fast, never post-commit
     validate_precommit_config(cfg)
+    _write_t0 = time.time()
     table.rollback_pending_writes()
     view = table.view()
     table_schema = table.schema()
@@ -1595,5 +1604,8 @@ def run_replace_write(
     # post-durability (outside the try: the except above deletes instant
     # files, which must never run for a committed instant)
     fire_commit_callback(table, instant, "replacecommit", md)
+    table_metrics(table).update_commit_metrics(
+        "replacecommit", time.time() - _write_t0, md
+    )
     table.run_post_commit_services()
     return instant
