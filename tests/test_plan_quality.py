@@ -46,6 +46,7 @@ TABLE_FORMAT_QUERIES = {
     "record_index_upsert_delete", "incremental_partition_glob",
     "clustering_sort", "clustering_zorder", "clustering_hilbert_async",
     "schema_evolution_add_column", "cdc_aws_dms",
+    "virtual_keys_snapshot",
 }
 
 
