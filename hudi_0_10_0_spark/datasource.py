@@ -186,6 +186,53 @@ def options_to_kwargs(options: dict) -> dict:
         "bulk_insert_sort_mode",
         lambda v: BulkInsertSortMode(str(v).upper()),
     )
+    # virtual keys (HoodieTableConfig.POPULATE_META_FIELDS)
+    take("hoodie.populate.meta.fields", "populate_meta_fields", _bool)
+    # write-commit callbacks (HoodieWriteCommitCallbackConfig)
+    take("hoodie.write.commit.callback.on", "write_commit_callback_on", _bool)
+    take(
+        "hoodie.write.commit.callback.class", "write_commit_callback_class", str
+    )
+    take(
+        "hoodie.write.commit.callback.http.url",
+        "write_commit_callback_http_url",
+        str,
+    )
+    take(
+        "hoodie.write.commit.callback.http.api.key",
+        "write_commit_callback_http_api_key",
+        str,
+    )
+    take(
+        "hoodie.write.commit.callback.http.timeout.seconds",
+        "write_commit_callback_http_timeout_seconds",
+        float,
+    )
+    # pre-commit validators (HoodiePreCommitValidatorConfig) — the
+    # reference configures class names; ours are the three type names
+    take("hoodie.precommit.validators", "precommit_validators", str)
+    take(
+        "hoodie.precommit.validators.equality.sql.queries",
+        "precommit_equality_sql",
+        str,
+    )
+    take(
+        "hoodie.precommit.validators.inequality.sql.queries",
+        "precommit_inequality_sql",
+        str,
+    )
+    take(
+        "hoodie.precommit.validators.single.value.sql.queries",
+        "precommit_single_value_sql",
+        str,
+    )
+    # metrics (HoodieMetricsConfig)
+    take("hoodie.metrics.on", "metrics_on", _bool)
+    take(
+        "hoodie.metrics.reporter.type",
+        "metrics_reporter_type",
+        lambda v: str(v).upper(),
+    )
     return kw
 
 
@@ -207,6 +254,10 @@ _IMMUTABLE_FIELDS = (
     # DATE_STRING source lands in — a per-write override would scatter
     # the same record across partitions (code-review r5)
     "timestamp_input_format",
+    # virtual keys shape every file the table ever writes — mixing
+    # meta-full and meta-free files in one table would break derive-at-
+    # read (table.py create() enforces the same on exist_ok)
+    "populate_meta_fields",
 )
 
 

@@ -329,3 +329,35 @@ def test_deltastreamer_timestamp_keygen_option_names():
     )
     assert cfg2.timestamp_input_type == "EPOCHMS"
     assert cfg2.timestamp_output_format == "yyyy/MM"
+
+
+def test_r7_option_mappings(spark, tmp_path_factory):
+    """hoodie.* spellings for the round-7 features map onto WriteConfig
+    (populate.meta.fields is creation-fixed, like the other layout
+    fields)."""
+    from hudi_0_10_0_spark.datasource import options_to_config
+
+    cfg = options_to_config(
+        {
+            "hoodie.table.name": "x",
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.populate.meta.fields": "false",
+            "hoodie.write.commit.callback.on": "true",
+            "hoodie.write.commit.callback.class": "http",
+            "hoodie.write.commit.callback.http.url": "http://h/cb",
+            "hoodie.write.commit.callback.http.api.key": "k",
+            "hoodie.precommit.validators": "equality",
+            "hoodie.precommit.validators.equality.sql.queries": (
+                "select 1 from <TABLE_NAME>"
+            ),
+            "hoodie.metrics.on": "true",
+            "hoodie.metrics.reporter.type": "console",
+        }
+    )
+    assert cfg.populate_meta_fields is False
+    assert cfg.write_commit_callback_on is True
+    assert cfg.write_commit_callback_http_url == "http://h/cb"
+    assert cfg.write_commit_callback_http_api_key == "k"
+    assert cfg.precommit_validators == "equality"
+    assert cfg.precommit_equality_sql.startswith("select 1")
+    assert cfg.metrics_on is True and cfg.metrics_reporter_type == "CONSOLE"
