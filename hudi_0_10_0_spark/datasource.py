@@ -233,6 +233,9 @@ def options_to_kwargs(options: dict) -> dict:
         "metrics_reporter_type",
         lambda v: str(v).upper(),
     )
+    take(
+        "hoodie.metrics.reporter.metricsname.prefix", "metrics_prefix", str
+    )
     return kw
 
 

@@ -116,6 +116,28 @@ class _NoopMetrics:
 _NOOP = _NoopMetrics()
 
 
+def validate_metrics_config(cfg) -> None:
+    """Fail fast at write entry (next to the callback/precommit
+    validators): an unknown reporter type must not surface only AFTER
+    the commit is durable, where the raise masquerades as a failed
+    write and invites a duplicate-data retry (code-review r7)."""
+    if not getattr(cfg, "metrics_on", False):
+        return
+    rtype = getattr(cfg, "metrics_reporter_type", "INMEMORY").upper()
+    if rtype not in _REPORTERS:
+        raise ValueError(
+            f"unknown metrics_reporter_type {rtype!r}; registered: "
+            f"{sorted(_REPORTERS)}"
+        )
+
+
+def metrics_enabled(table) -> bool:
+    """True when gauges are actually recorded — lets callers skip
+    gauge-only work (e.g. a recursive file listing) when the sink is
+    the shared no-op."""
+    return bool(getattr(table.cfg, "metrics_on", False))
+
+
 def table_metrics(table):
     """The table's Metrics instance (created lazily, cached on the
     table object); a shared no-op when ``metrics_on`` is false, so the

@@ -676,19 +676,18 @@ def clean(table) -> str | None:
     external = view.raw_paths()
     from ..timeline import claim_new_instant
 
+    physical = sorted(p for p in deletable if p not in external)
     instant = claim_new_instant(
         table,
         CLEAN,
         {
             "deletable": sorted(deletable),
-            "physical": sorted(p for p in deletable if p not in external),
+            "physical": physical,
             "policy": cfg.cleaner_policy,
         },
     )
     _finish_clean(table, instant)
-    table_metrics(table).update_clean_metrics(
-        _time.time() - _t0, len([p for p in deletable if p not in external])
-    )
+    table_metrics(table).update_clean_metrics(_time.time() - _t0, len(physical))
     return instant
 
 
@@ -818,10 +817,16 @@ def rollback_instant(table, timestamp: str) -> str:
 
     import time as _time
 
-    from ..metrics import table_metrics
+    from ..metrics import metrics_enabled, table_metrics
 
     _t0 = _time.time()
-    n_files = len(table.fs.list_files_recursive(table.instant_data_path(timestamp)))
+    # the recursive listing exists ONLY to feed the gauge — never pay
+    # it on the (metrics-off) failure-recovery path (code-review r7)
+    n_files = (
+        len(table.fs.list_files_recursive(table.instant_data_path(timestamp)))
+        if metrics_enabled(table)
+        else 0
+    )
     inst = claim_new_instant(
         table, ROLLBACK, {"rolled_back": timestamp, "action": action}
     )

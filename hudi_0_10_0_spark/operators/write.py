@@ -41,7 +41,7 @@ from ..config import (
     WriteOperation,
 )
 from ..callbacks import fire_commit_callback, validate_callback_config
-from ..metrics import table_metrics
+from ..metrics import table_metrics, validate_metrics_config
 from ..precommit import run_precommit_validators, validate_precommit_config
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
@@ -908,6 +908,7 @@ def run_batch_write(
     cfg.validate_virtual_keys()
     validate_callback_config(cfg)  # fail fast, never post-commit
     validate_precommit_config(cfg)
+    validate_metrics_config(cfg)
     _write_t0 = time.time()
     spark = table.spark
     is_delete = operation == WriteOperation.DELETE
@@ -1383,6 +1384,7 @@ def bootstrap_metadata_only(table, parquet_path: str) -> str:
     minutes, not a rewrite."""
     cfg = table.cfg
     validate_callback_config(cfg)  # fail fast, never post-commit
+    validate_metrics_config(cfg)
     if table.schema() is not None:
         raise ValueError("bootstrap requires a table with no commits")
     src = parquet_path.rstrip("/")
@@ -1530,6 +1532,7 @@ def run_replace_write(
     cfg = table.cfg
     validate_callback_config(cfg)  # fail fast, never post-commit
     validate_precommit_config(cfg)
+    validate_metrics_config(cfg)
     _write_t0 = time.time()
     table.rollback_pending_writes()
     view = table.view()

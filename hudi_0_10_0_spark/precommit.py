@@ -143,6 +143,23 @@ def _run_one(spark, kind: str, query: str, before_view: str, after_view: str):
         )
 
 
+class _PinnedSchemaTable:
+    """Delegating proxy that pins ``read_schema()`` to the staged
+    commit's schema so the after-state readers see columns this write
+    introduces. Everything else (cfg, fs, spark, view, abs_path, …)
+    passes through to the real table."""
+
+    def __init__(self, table, schema):
+        self._table = table
+        self._schema = schema
+
+    def read_schema(self):
+        return self._schema
+
+    def __getattr__(self, name):
+        return getattr(self._table, name)
+
+
 def _before_df(table):
     """The committed snapshot at validation time."""
     from .sources.read import snapshot
@@ -158,30 +175,48 @@ def _after_df(table, instant: str, action: str, metadata: dict):
     from .metadata import BaseFileVersion, FileSlice, LogFileVersion
     from .sources.read import _merge_slices
 
-    if table.schema() is None:
-        # first commit: no pinned table schema exists yet — read the
-        # staged files with the schema this very commit is about to
-        # record (virtual-key files simply surface null meta columns,
-        # which data-quality queries don't touch)
-        import json as _json
+    import json as _json
 
+    from pyspark.sql import types as T
+
+    # Read the composed state with the schema THIS COMMIT is about to
+    # record, not the last committed one: a schema-evolving write's new
+    # column must be visible to validators (the before view keeps the
+    # old schema — correct: the pre-write state has no such column).
+    # The pin rides a delegating proxy so every reader below it
+    # (slices_to_df, _read_paths, _restore_partition_columns) sees the
+    # staged schema (code-review r7).
+    commit_schema = T.StructType.fromJson(_json.loads(metadata["schema"]))
+    table = _PinnedSchemaTable(table, commit_schema)
+
+    if table.schema() is None:
+        # first commit: no committed slices to compose with — read the
+        # staged files directly (virtual-key files simply surface null
+        # meta columns, which data-quality queries don't touch)
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
         from .config import DELETE_MARKER_COL
-        from .sources.read import base_format
+        from .sources.read import (
+            _restore_partition_columns,
+            base_format,
+        )
 
-        schema = T.StructType.fromJson(_json.loads(metadata["schema"]))
         paths = [
             table.abs_path(p)
             for sd in metadata.get("write_stats", [])
             for p in sd.get("paths", [])
         ]
         df = (
-            table.spark.read.schema(schema)
+            table.spark.read.schema(commit_schema)
             .format(base_format(table))
             .load(paths)
         )
+        if table.cfg.drop_partition_columns and table.cfg.partition_fields():
+            # staged files omit the partition columns — rebuild them
+            # from _hoodie_partition_path exactly like every later read
+            # (code-review r7: a first-commit validator on a partition
+            # column otherwise sees nulls only on commit #1)
+            df = _restore_partition_columns(table, df)
         if DELETE_MARKER_COL in df.columns:
             df = df.filter(
                 ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))

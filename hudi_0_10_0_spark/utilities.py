@@ -162,14 +162,32 @@ def _export_as_hudi(table, tfs, target_path, latest_ts, slices):
     )
 
 
+# Schemes pyarrow.fs can resolve inside a Python worker ("" = plain
+# path, handled as LocalFileSystem). Hadoop-only spellings translate
+# (s3a/s3n → s3); hdfs is deliberately NOT here — pyarrow's HadoopFS
+# needs libhdfs + Hadoop env in every Python worker, which the
+# JVM-driver FileUtil path never needed, so hdfs stays driver-side.
+_PA_SCHEMES = {"", "file", "s3", "s3a", "s3n", "gs"}
+_PA_TRANSLATE = {"s3a": "s3", "s3n": "s3"}
+
+
+def _uri_scheme(p: str) -> str:
+    return p.split("://", 1)[0] if "://" in p else ""
+
+
 def _copy_data_files(spark, fs, pairs: list[tuple[str, str]]) -> None:
     """Copy the data files. Small exports run on the driver (FileUtil
     stream copy); past 64 files the pairs fan out over executors
     (reference: ``context.foreach(files, …)`` in
-    ``HoodieSnapshotExporter.exportAsHudi``) via ``pyarrow.fs``, which
-    resolves local/hdfs/s3 URIs inside Python workers where the JVM
-    Hadoop FileSystem is unreachable."""
-    if len(pairs) <= 64:
+    ``HoodieSnapshotExporter.exportAsHudi``) via ``pyarrow.fs``. URIs
+    whose scheme pyarrow cannot resolve in a Python worker fall back to
+    the driver loop rather than dying mid-copy on the executors
+    (code-review r7)."""
+    distributable = all(
+        _uri_scheme(s) in _PA_SCHEMES and _uri_scheme(d) in _PA_SCHEMES
+        for s, d in pairs
+    )
+    if len(pairs) <= 64 or not distributable:
         for src, dst in pairs:
             fs.copy_file(src, dst)
         return
@@ -177,20 +195,32 @@ def _copy_data_files(spark, fs, pairs: list[tuple[str, str]]) -> None:
     sc.parallelize(pairs, max(2, len(pairs) // 16)).foreach(_pa_copy_pair)
 
 
+def _pa_fs(p: str):
+    from pyarrow import fs as pafs
+
+    scheme = _uri_scheme(p)
+    if scheme == "":
+        return pafs.LocalFileSystem(), p
+    tr = _PA_TRANSLATE.get(scheme)
+    if tr:
+        p = tr + p[len(scheme):]
+    return pafs.FileSystem.from_uri(p)
+
+
 def _pa_copy_pair(pair: tuple[str, str]) -> None:
     """Executor-side single-file copy via pyarrow.fs (runs in a Python
-    worker — no py4j gateway)."""
+    worker — no py4j gateway). Create-once like the driver path's
+    ``FS.copy_file`` — collision behavior must not flip on file count
+    (code-review r7)."""
     import posixpath
 
     from pyarrow import fs as pafs
 
     src, dst = pair
-    src_fs, src_path = pafs.FileSystem.from_uri(src) if "://" in src else (
-        pafs.LocalFileSystem(), src
-    )
-    dst_fs, dst_path = pafs.FileSystem.from_uri(dst) if "://" in dst else (
-        pafs.LocalFileSystem(), dst
-    )
+    src_fs, src_path = _pa_fs(src)
+    dst_fs, dst_path = _pa_fs(dst)
+    if dst_fs.get_file_info(dst_path).type != pafs.FileType.NotFound:
+        raise FileExistsError(dst)
     dst_fs.create_dir(posixpath.dirname(dst_path), recursive=True)
     with src_fs.open_input_stream(src_path) as r, dst_fs.open_output_stream(
         dst_path

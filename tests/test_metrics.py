@@ -92,3 +92,32 @@ def test_unknown_reporter_raises(spark, tmp_table_path, orders):
     )
     with pytest.raises(ValueError, match="NOPE"):
         t.bulk_insert(orders.limit(5))
+
+
+def test_unknown_reporter_fails_fast_before_any_write(
+    spark, tmp_table_path, orders
+):
+    """Misconfiguration surfaces at write entry — nothing committed,
+    retry after fixing cannot double-ingest (code-review r7)."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/t",
+        _cfg(metrics_reporter_type="bogus", auto_clean=False),
+    )
+    with pytest.raises(ValueError, match="BOGUS"):
+        t.bulk_insert(orders.limit(5))
+    assert t.commits() == []
+
+
+def test_metrics_prefix_option_mapping():
+    from hudi_0_10_0_spark.datasource import options_to_config
+
+    cfg = options_to_config(
+        {
+            "hoodie.table.name": "x",
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.metrics.on": "true",
+            "hoodie.metrics.reporter.metricsname.prefix": "prod.tbl",
+        }
+    )
+    assert cfg.metrics_prefix == "prod.tbl"

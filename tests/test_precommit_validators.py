@@ -150,3 +150,49 @@ def test_replacecommit_validates_after_state(spark, tmp_table_path, orders):
     t.insert_overwrite(keep)
     snap = t.snapshot()
     assert snap.filter("o_orderstatus='F'").count() == 10
+
+
+def test_schema_evolving_write_is_visible_to_validators(
+    spark, tmp_table_path, orders
+):
+    """A write that introduces a new column must expose it in the
+    after view (the pinned-committed-schema read would hide it —
+    code-review r7)."""
+    t = HudiTable.create(spark, tmp_table_path + "/t", _cfg())
+    t.bulk_insert(orders.limit(100))
+    t.cfg.precommit_validators = "single_value"
+    t.cfg.precommit_single_value_sql = (
+        "select count(*) from <TABLE_NAME> where c2 = 'new'#3"
+    )
+    t.upsert(
+        orders.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+        .withColumn("c2", F.lit("new"))
+    )
+    assert t.snapshot().filter("c2 = 'new'").count() == 3
+
+
+def test_first_commit_with_dropped_partition_columns(
+    spark, tmp_table_path
+):
+    """First-commit validation must see restored partition values, not
+    nulls (code-review r7)."""
+    df = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0)],
+        "id long, dt string, v double",
+    )
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/t",
+        WriteConfig(
+            record_key_field="id",
+            partition_field="dt",
+            precombine_field="v",
+            drop_partition_columns=True,
+            precommit_validators="single_value",
+            precommit_single_value_sql=(
+                "select count(*) from <TABLE_NAME> where dt is not null#3"
+            ),
+        ),
+    )
+    assert t.bulk_insert(df) in t.commits()
