@@ -284,6 +284,50 @@ def _retry_bootstrap(h, _op):
         h.bootstrap(SPECS["bootstrap"]["src"], mode="METADATA_ONLY")
 
 
+def _seed_admin_plan(spark, t, key):
+    """MOR deltas + a scheduled compaction plan + a fake crashed
+    execution's partial output under data/<instant>/ (the thing the
+    admin ops must clear without ever orphaning it)."""
+    t.bulk_insert(_df(spark, SEED))
+    t.upsert(_df(spark, UPD))
+    inst = t.schedule_compaction()
+    assert inst is not None
+    SPECS[key]["inst"] = inst
+    partial = t.instant_data_path(inst)
+    t.fs.mkdirs(partial + "/_pp=p0/_fg=dead")
+    t.fs.write_text(partial + "/_pp=p0/_fg=dead/part-0.parquet", "torn")
+
+
+def _retry_unschedule(h, _op):
+    h.rollback_pending_writes()
+    inst = SPECS["unschedule_compaction"]["inst"]
+    if any(
+        i.timestamp == inst and i.action == "compaction"
+        for i in h.timeline.pending()
+    ):
+        assert h.unschedule_compaction(inst) is True
+    # deletion-order invariant (code-review r7): NO crash point may
+    # leave the data dir without its plan — orphaned storage forever
+    assert not (
+        h.fs.exists(h.instant_data_path(inst))
+        and not any(
+            i.timestamp == inst and i.action == "compaction"
+            for i in h.timeline.pending()
+        )
+    ), "unschedule crash orphaned data/<instant>/ without a plan"
+    assert not h.fs.exists(h.instant_data_path(inst))
+
+
+def _retry_repair(h, _op):
+    h.rollback_pending_writes()
+    inst = SPECS["repair_compaction"]["inst"]
+    res = h.repair_compaction(inst)
+    assert res["validation"] and all(r["valid"] for r in res["validation"])
+    assert not h.fs.exists(h.instant_data_path(inst))
+    # the plan survives repair and still executes
+    assert h.compact(inst) == inst
+
+
 SPECS = {
     "cow_upsert": dict(
         cfg={}, seed=_seed_basic,
@@ -354,6 +398,22 @@ SPECS = {
             SPECS["bootstrap"]["src"], mode="METADATA_ONLY"
         ),
         retry=_retry_bootstrap,
+    ),
+    "unschedule_compaction": dict(
+        cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
+        seed=lambda s, t: _seed_admin_plan(s, t, "unschedule_compaction"),
+        op=lambda s, t: t.unschedule_compaction(
+            SPECS["unschedule_compaction"]["inst"]
+        ),
+        retry=_retry_unschedule,
+    ),
+    "repair_compaction": dict(
+        cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
+        seed=lambda s, t: _seed_admin_plan(s, t, "repair_compaction"),
+        op=lambda s, t: t.repair_compaction(
+            SPECS["repair_compaction"]["inst"]
+        ),
+        retry=_retry_repair,
     ),
     "rollback": dict(
         cfg={}, seed=_seed_rollback_target,
