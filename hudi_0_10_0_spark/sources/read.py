@@ -67,14 +67,12 @@ def _read_paths(table, paths: list[str]) -> DataFrame:
 
 def _decoded_input_file():
     """``input_file_name()`` as a join-ready plain path: projected into
-    a column (the function is non-deterministic), percent-decoded
-    (space → %20 in the URI) with literal ``+`` shielded (url_decode
-    would turn it into a space). Shared by the bootstrap raw reader and
-    the virtual-key reader — the shielding subtlety must not fork."""
-    return F.expr(
-        "coalesce(try_url_decode(regexp_replace(input_file_name(), '\\\\+', '%2B')),"
-        " input_file_name())"
-    )
+    a column (the function is non-deterministic), with ONE percent-
+    decode layer peeled (the URI encoding; space → %20). Built on
+    :func:`_url_decode_once` so the literal-``+`` shielding subtlety
+    lives in exactly one place (the virtual-key reader decodes path
+    SEGMENTS with the same helper)."""
+    return _url_decode_once(F.input_file_name())
 
 
 def _synth_seqno(instant_col):
@@ -133,8 +131,19 @@ def _derive_virtual_meta(table, df: DataFrame, paths: list[str]) -> DataFrame:
     """
     from ..config import EMPTY_PARTITION_DIR
     from ..keygen import _record_key_expr
+    from ..operators.write import _parse_layout_path
 
     cfg = table.cfg
+    # fail fast on a path outside the data/<instant>/_pp=/_fg= layout
+    # (externally-located file, upstream layout bug): the expression
+    # derivation would otherwise stamp garbage identity silently —
+    # preserve the guard the broadcast-join implementation had
+    # (code-review r7)
+    for p in paths:
+        if _parse_layout_path(table.base_path, table.abs_path(p)) is None:
+            raise ValueError(
+                f"virtual-key read: cannot derive file identity from {p!r}"
+            )
     # input_file_name() is non-deterministic — project it into a column
     # once; all derivations read the projected value
     df = df.withColumn("__vm_file", F.input_file_name())

@@ -244,3 +244,44 @@ def test_partition_values_with_hostile_encodings(spark, tmp_table_path):
     t.upsert(spark.createDataFrame([(2, "p%20q", 99.0)], "id long, p string, v double"))
     assert t.snapshot().count() == len(vals)
     assert t.snapshot().filter("id=2").first()["v"] == 99.0
+
+
+def test_url_encoded_hive_style_twin_equivalence(spark, tmp_table_path):
+    """url_encode_partitioning + hive_style adds an encoding layer UNDER
+    the layout escaping: the derived _hoodie_partition_path must equal
+    byte-for-byte what an identical meta-full table stores (pinning the
+    exact decode-layer count — one too many or too few corrupts it)."""
+    vals = ["a b", "x/y", "p%q", "a+b", "k=v"]
+    rows = [(i, v, float(i)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, p string, v double")
+    tables = {}
+    for tag, populate in (("meta", True), ("virt", False)):
+        t = HudiTable.create(
+            spark,
+            f"{tmp_table_path}/{tag}",
+            WriteConfig(
+                record_key_field="id",
+                partition_field="p",
+                precombine_field="v",
+                hive_style_partitioning=True,
+                url_encode_partitioning=True,
+                populate_meta_fields=populate,
+            ),
+        )
+        t.bulk_insert(df)
+        tables[tag] = t
+    a = {
+        (r["id"], r["p"], r["_hoodie_partition_path"])
+        for r in tables["meta"].snapshot().collect()
+    }
+    b = {
+        (r["id"], r["p"], r["_hoodie_partition_path"])
+        for r in tables["virt"].snapshot().collect()
+    }
+    assert a == b
+    # and upserts through the derived identity land on the same groups
+    tables["virt"].upsert(
+        spark.createDataFrame([(1, "x/y", 50.0)], "id long, p string, v double")
+    )
+    assert tables["virt"].snapshot().count() == len(vals)
+    assert tables["virt"].snapshot().filter("id=1").first()["v"] == 50.0
