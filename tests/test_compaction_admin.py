@@ -182,3 +182,32 @@ def test_single_writer_inflight_refusal(mor):
         mor.repair_compaction(inst)
     # the documented remedy converges
     assert mor.compact(inst) == inst
+
+
+def test_occ_live_heartbeat_refuses_admin(spark, tmp_table_path, orders):
+    """Under OCC a pending plan guarded by a LIVE executor heartbeat
+    must refuse unschedule/repair — deleting a mid-execution rival's
+    output is the exact race the execution claim exists to prevent."""
+    from hudi_0_10_0_spark.concurrency import Heartbeat
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/occ",
+        _cfg(concurrency_mode="OPTIMISTIC_CONCURRENCY_CONTROL",
+             lock_wait_seconds=30.0),
+    )
+    t.bulk_insert(orders.limit(80))
+    t.upsert(orders.limit(10).withColumn("o_comment", F.lit("d")))
+    inst = t.schedule_compaction()
+    hb = Heartbeat(t, inst).start()  # a live rival mid-execution
+    try:
+        with pytest.raises(ValueError, match="heartbeat"):
+            t.unschedule_compaction(inst)
+        with pytest.raises(ValueError, match="heartbeat"):
+            t.repair_compaction(inst)
+    finally:
+        hb.stop()
+    # heartbeat gone (aged out) → the plan is admin-able again
+    hb_path = f"{t.meta_path}/heartbeat/{inst}"
+    t.fs.delete(hb_path)
+    assert t.unschedule_compaction(inst) is True
