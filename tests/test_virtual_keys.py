@@ -285,3 +285,28 @@ def test_url_encoded_hive_style_twin_equivalence(spark, tmp_table_path):
     )
     assert tables["virt"].snapshot().count() == len(vals)
     assert tables["virt"].snapshot().filter("id=1").first()["v"] == 50.0
+
+
+def test_virtual_keys_through_sql_front_door(spark, tmp_table_path):
+    """hoodie.populate.meta.fields flows through CREATE TABLE
+    TBLPROPERTIES; INSERT/UPDATE on the virtual table work and files
+    stay meta-free."""
+    from hudi_0_10_0_spark.sql.parser import HudiSqlSession
+
+    s = HudiSqlSession(spark)
+    s.sql(
+        f"""CREATE TABLE vkt_sql (id bigint, part string, v double) USING hudi
+        PARTITIONED BY (part)
+        TBLPROPERTIES (primaryKey='id', preCombineField='v',
+                       'hoodie.populate.meta.fields'='false')
+        LOCATION '{tmp_table_path}/vkt'"""
+    )
+    s.sql("INSERT INTO vkt_sql VALUES (1,'p0',1.0),(2,'p0',2.0),(3,'p1',3.0)")
+    s.sql("UPDATE vkt_sql SET v = 20.0 WHERE id = 2")
+    rows = [(r[0], r[1]) for r in s.sql(
+        "SELECT id, v FROM vkt_sql ORDER BY id").collect()]
+    assert rows == [(1, 1.0), (2, 20.0), (3, 3.0)]
+    t = HudiTable.load(spark, f"{tmp_table_path}/vkt")
+    assert t.cfg.populate_meta_fields is False
+    assert not (_physical_columns(t) & META5)
+    s.sql("DROP TABLE vkt_sql")
