@@ -142,6 +142,31 @@ def _b_sweep_then_upsert(spark, h):
     h.upsert(_df(spark, B_UPD))
 
 
+def _b_unschedule_then_upsert(spark, h):
+    """B attempts to unschedule every pending compaction A left behind.
+    With A's heartbeat still FRESH the admin guard must REFUSE (a live
+    compactor's output must never be deleted from under it); a plan
+    with no heartbeat yet (crash before the claim) may legitimately be
+    unscheduled — A's retry then schedules fresh. Either way B's write
+    proceeds."""
+    from hudi_0_10_0_spark.concurrency import heartbeat_live
+
+    for inst in h.timeline.pending():
+        if inst.action != "compaction":
+            continue
+        live = heartbeat_live(h, inst.timestamp)
+        try:
+            h.unschedule_compaction(inst.timestamp)
+            unscheduled = True
+        except ValueError:
+            unscheduled = False
+        assert not (live and unscheduled), (
+            f"unschedule removed plan {inst.timestamp} despite a LIVE "
+            "rival heartbeat"
+        )
+    h.upsert(_df(spark, B_UPD))
+
+
 def _b_cluster(spark, h):
     h.cluster(sort_cols=["id"])
 
@@ -245,6 +270,20 @@ PAIRINGS = {
         a_op=lambda s, t: t.cluster(sort_cols=["id"]),
         b_op=_b_sweep_then_upsert,
         retry=_retry_cluster,
+        base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, FIRST),
+        a_rows=[],
+        b_rows=B_UPD,
+    ),
+    # A's compaction crashes at every point; B tries to UNSCHEDULE the
+    # pending plan — refused while A's heartbeat reads live, allowed on
+    # heartbeat-less debris — then writes; A's retry re-compacts either
+    # way (fresh schedule when the plan was legitimately unscheduled)
+    "compaction_x_unschedule": dict(
+        cfg={"table_type": TableType.MERGE_ON_READ, "inline_compact": False},
+        seed=_seed_mor,
+        a_op=lambda s, t: t.compact(),
+        b_op=_b_unschedule_then_upsert,
+        retry=_retry_compact,
         base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, FIRST),
         a_rows=[],
         b_rows=B_UPD,
