@@ -25,7 +25,7 @@ Public API::
 
 from .config import TableType, WriteConfig, WriteOperation
 from .table import HudiTable
-from .utilities import snapshot_export
+from .utilities import import_parquet, run_table_service, snapshot_export
 from . import datasource
 
 __all__ = [
@@ -34,6 +34,8 @@ __all__ = [
     "TableType",
     "WriteOperation",
     "datasource",
+    "import_parquet",
+    "run_table_service",
     "snapshot_export",
 ]
 __version__ = "0.1.0"

@@ -232,6 +232,75 @@ def _pa_copy_pair(pair: tuple[str, str]) -> None:
             w.write(chunk)
 
 
+def import_parquet(
+    spark,
+    src_path: str,
+    target_path: str,
+    cfg,
+    command: str = "insert",
+    source_format: str = "parquet",
+) -> str:
+    """``util/HDFSParquetImporter.java:109-230``: rewrite an existing
+    dataset INTO a table (vs bootstrap, which adopts files in place).
+    ``command`` ∈ insert (default) / upsert / bulkinsert, the
+    importer's ``--command`` values; an existing target gets the new
+    batch applied with that operation, a fresh target is created.
+    Returns the commit instant."""
+    from .table import HudiTable
+
+    cmd = command.lower().replace("_", "")
+    ops = {"insert": "insert", "upsert": "upsert", "bulkinsert": "bulk_insert"}
+    if cmd not in ops:
+        raise ValueError(
+            f"command must be one of {sorted(ops)} "
+            "(HDFSParquetImporter --command), got " + repr(command)
+        )
+    df = spark.read.format(source_format).load(src_path)
+    if HudiTable.exists(spark, target_path):
+        table = HudiTable.load(spark, target_path)
+    else:
+        table = HudiTable.create(spark, target_path, cfg)
+    return getattr(table, ops[cmd])(df)
+
+
+def run_table_service(
+    spark, base_path: str, service: str, mode: str = "scheduleandexecute", **kw
+) -> str | int | None:
+    """Stand-alone service runner — the ``HoodieCleaner`` /
+    ``HoodieCompactor`` / ``HoodieClusteringJob`` utilities as one
+    entry point. ``service`` ∈ clean / archive / compact / cluster;
+    compact and cluster honor the clustering job's ``--mode`` values
+    (``schedule`` — plan only, ``execute`` — run the earliest pending
+    plan (or ``kw['instant']``), ``scheduleandexecute`` — default)."""
+    from .table import HudiTable
+
+    t = HudiTable.load(spark, base_path)
+    s, m = service.lower(), mode.lower()
+    if s == "clean":
+        return t.clean()
+    if s == "archive":
+        return t.archive()
+    if s not in ("compact", "cluster"):
+        raise ValueError(f"unknown service {service!r}")
+    if m == "schedule":
+        return t.schedule_compaction(**kw) if s == "compact" else t.schedule_cluster(**kw)
+    if m == "execute":
+        instant = kw.pop("instant", None)
+        if s == "compact":
+            if instant is None:
+                pend = [
+                    i for i in t.timeline.pending() if i.action == "compaction"
+                ]
+                if not pend:
+                    return None
+                instant = pend[0].timestamp
+            return t.compact(instant)
+        return t.run_cluster(instant)
+    if m == "scheduleandexecute":
+        return t.compact(**kw) if s == "compact" else t.cluster(**kw)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def _copy_tree(fs, tfs, src: str, dst: str) -> None:
     if not fs.is_dir(src):
         fs.copy_file(src, dst)
