@@ -58,6 +58,26 @@ while len([n for n in os.listdir(barrier) if n.startswith("ready-")]) < int(n_wr
     time.sleep(0.05)
 
 
+def _transient_read_race(e: BaseException) -> bool:
+    """A rival's inline clean can physically delete files between a
+    read's plan and its execution (3 writers × clean-on-every-commit ×
+    cleaner_commits_retained=4 — the soak's deliberately aggressive
+    shape). The reference behaves identically (FileNotFoundException
+    from the executor scan); the remedy there and here is a retry from
+    a FRESH view. Only the vanished-file signatures qualify — anything
+    else (wrong results, corrupt data) must still fail the audit."""
+    s = str(e)
+    return any(
+        m in s
+        for m in (
+            "FileNotFoundException",
+            "does not exist",
+            "ChecksumFileSystem",
+            "ChecksumFSInputChecker",
+        )
+    )
+
+
 def _retry(fn, what):
     # OCC conflicts are EXPECTED under shared-file-group contention: the
     # loser re-plans against the fresh view and tries again. Every
@@ -69,6 +89,10 @@ def _retry(fn, what):
         try:
             return fn()
         except (ConcurrentWriteConflictError, LockTimeoutError):
+            time.sleep(0.05 + 0.07 * (wid + 1) * min(attempt, 4))
+        except Exception as e:  # noqa: BLE001 - filtered just below
+            if not _transient_read_race(e):
+                raise
             time.sleep(0.05 + 0.07 * (wid + 1) * min(attempt, 4))
     raise RuntimeError(f"{what}: still conflicting after 60 retries")
 
@@ -100,9 +124,14 @@ for it in range(1, iters + 1):
     if wid == 0 and it == iters - 1:
         _retry(lambda: t.compact(), f"w{wid} compact it{it}")
 
-# self-audit: read back own keys
-snap = t.snapshot().filter(f"id >= {base} AND id < {base + n_keys}")
-got = {r.id: r.v for r in snap.select("id", "v").collect()}
+# self-audit: read back own keys (retried like every other read — a
+# rival's clean may still be racing this writer's final snapshot)
+def _read_own():
+    snap = t.snapshot().filter(f"id >= {base} AND id < {base + n_keys}")
+    return {r.id: r.v for r in snap.select("id", "v").collect()}
+
+
+got = _retry(_read_own, f"w{wid} final audit read")
 errs = []
 for k, v in alive.items():
     if got.get(k) != v:
