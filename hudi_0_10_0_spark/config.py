@@ -189,7 +189,12 @@ class WriteConfig:
     # HoodiePreCommitValidatorConfig.java:39-75): comma list of
     # {equality, inequality, single_value}; queries are ';'-separated
     # with <TABLE_NAME> substituted by the staged before/after views —
-    # see precommit.py
+    # see precommit.py. Reserved characters: ';' separates queries and
+    # '#' (single_value only) separates query from expected value —
+    # the LAST '#' wins, so '#' inside the SQL body is tolerated but
+    # ';' or '#' inside the expected value / string literals is not
+    # (same limitation as the reference's comma-split query lists,
+    # HoodiePreCommitValidatorConfig.java:39-75)
     precommit_validators: str = ""
     precommit_equality_sql: str | None = None
     precommit_inequality_sql: str | None = None

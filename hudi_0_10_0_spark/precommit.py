@@ -104,14 +104,17 @@ def run_precommit_validators(table, instant: str, action: str, metadata: dict) -
 
 def _run_one(spark, kind: str, query: str, before_view: str, after_view: str):
     if kind == "single_value":
-        # SqlQuerySingleResultPreCommitValidator: "query#expected"
-        parts = query.split("#")
-        if len(parts) != 2:
+        # SqlQuerySingleResultPreCommitValidator: "query#expected".
+        # Split on the LAST '#' so a literal '#' inside the SQL body
+        # (e.g. in a string constant) doesn't break parsing; '#' inside
+        # the EXPECTED value and ';' inside string literals remain
+        # reserved (documented in WriteConfig.precommit_* docstrings).
+        if "#" not in query:
             raise PreCommitValidationError(
                 f"invalid single_value query format (want 'query#expected'): "
                 f"{query!r}"
             )
-        q, expected = parts
+        q, expected = query.rsplit("#", 1)
         rows = spark.sql(q.replace(TABLE_VARIABLE, after_view)).collect()
         if len(rows) != 1 or len(rows[0]) != 1:
             raise PreCommitValidationError(

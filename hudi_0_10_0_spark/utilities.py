@@ -256,10 +256,12 @@ def import_parquet(
             "(HDFSParquetImporter --command), got " + repr(command)
         )
     df = spark.read.format(source_format).load(src_path)
-    if HudiTable.exists(spark, target_path):
-        table = HudiTable.load(spark, target_path)
-    else:
-        table = HudiTable.create(spark, target_path, cfg)
+    # create(exist_ok=True) rather than load() for existing targets so a
+    # caller-supplied cfg that conflicts with the stored table identity
+    # (different key/partition/keygen fields) is REJECTED instead of
+    # silently ignored — the import would otherwise proceed under the
+    # stored config while the caller believes theirs applied (advice r7)
+    table = HudiTable.create(spark, target_path, cfg, exist_ok=True)
     return getattr(table, ops[cmd])(df)
 
 

@@ -65,9 +65,18 @@ def _transient_read_race(e: BaseException) -> bool:
     shape). The reference behaves identically (FileNotFoundException
     from the executor scan); the remedy there and here is a retry from
     a FRESH view. Only the vanished-file signatures qualify — anything
-    else (wrong results, corrupt data) must still fail the audit."""
+    else (wrong results, corrupt data) must still fail the audit.
+
+    Guard against masking real clean bugs (advice r7): the signature
+    alone is NOT enough — a clean that deletes a file the LATEST view
+    still references is a retention violation, not a race, and would
+    otherwise pattern-match here and get silently retried. So extract
+    the vanished path(s) from the message and require that a FRESH
+    view (timeline re-listed, cache invalidated by the rival's commit)
+    no longer references any of them; if the latest view still claims
+    the file, fail hard."""
     s = str(e)
-    return any(
+    if not any(
         m in s
         for m in (
             "FileNotFoundException",
@@ -75,7 +84,28 @@ def _transient_read_race(e: BaseException) -> bool:
             "ChecksumFileSystem",
             "ChecksumFSInputChecker",
         )
-    )
+    ):
+        return False
+    import re
+
+    vanished = re.findall(r"(/[^\s'\"():]+\.(?:parquet|orc))", s)
+    vanished += re.findall(r"(/[^\s'\"():]+\.log\.\d+[^\s'\"():]*)", s)
+    if not vanished:
+        # signature matched but no parsable data-file path (e.g. a
+        # directory listing race) — treat as transient, the audit at
+        # the end still verifies every key's final value
+        return True
+    try:
+        still = t.view().all_referenced_paths()  # RELATIVE to table base
+    except Exception:  # noqa: BLE001 - view rebuild itself racing; retry
+        return True
+    for p in set(vanished):
+        if any(p.endswith("/" + rel) for rel in still):
+            raise AssertionError(
+                f"clean deleted {p} while the LATEST view still "
+                "references it — retention violation, not a read race"
+            ) from e
+    return True
 
 
 def _retry(fn, what):

@@ -152,6 +152,24 @@ def test_replacecommit_validates_after_state(spark, tmp_table_path, orders):
     assert snap.filter("o_orderstatus='F'").count() == 10
 
 
+def test_single_value_tolerates_hash_in_sql_body(
+    spark, tmp_table_path, orders
+):
+    """advice r7: the query#expected split uses the LAST '#', so a
+    literal '#' inside a SQL string constant must not break parsing."""
+    t = HudiTable.create(spark, tmp_table_path + "/t", _cfg())
+    t.cfg.precommit_validators = "single_value"
+    t.cfg.precommit_single_value_sql = (
+        "select count(*) from <TABLE_NAME> where o_orderpriority = '#tag'#0"
+    )
+    t.bulk_insert(orders.limit(5))
+    assert t.snapshot().count() == 5
+    # and a missing '#' separator is still a format error
+    t.cfg.precommit_single_value_sql = "select count(*) from <TABLE_NAME>"
+    with pytest.raises(PreCommitValidationError, match="format"):
+        t.upsert(orders.limit(1))
+
+
 def test_schema_evolving_write_is_visible_to_validators(
     spark, tmp_table_path, orders
 ):

@@ -39,6 +39,25 @@ def test_import_parquet_creates_then_upserts(spark, tmp_table_path, orders):
         import_parquet(spark, src, tmp_table_path + "/x", _cfg(), command="nope")
 
 
+def test_import_parquet_rejects_conflicting_cfg_on_existing_target(
+    spark, tmp_table_path, orders
+):
+    """advice r7: importing into an EXISTING table with a cfg whose
+    identity fields disagree with the stored config must raise (the
+    old load()-based path silently ignored the supplied cfg)."""
+    src = tmp_table_path + "/src"
+    orders.limit(20).write.parquet(src)
+    tgt = tmp_table_path + "/tgt"
+    import_parquet(spark, src, tgt, _cfg(), command="bulkinsert")
+    with pytest.raises(ValueError, match="conflicts with the stored table"):
+        import_parquet(
+            spark, src, tgt, _cfg(record_key_field="o_custkey"), command="upsert"
+        )
+    # matching cfg still proceeds under the stored config
+    import_parquet(spark, src, tgt, _cfg(), command="upsert")
+    assert HudiTable.load(spark, tgt).snapshot().count() == 20
+
+
 def test_run_table_service_compact_modes(spark, tmp_table_path, orders):
     t = HudiTable.create(
         spark,
