@@ -129,6 +129,14 @@ class WriteConfig:
     key_index_bucket_target_bytes: int = 128 << 10
     key_index_max_buckets: int = 65536  # must divide FINE_BUCKETS
     key_index_compact_deltas: int = 8  # compact a bucket's log past this many deltas
+    # compacted-base FILE split target (verdict r7 #2): each bucket is
+    # written as multiple key-sorted files of ~this many bytes with a
+    # per-file (min,max) record-key sidecar, so a trickle tag reads only
+    # the file(s) of a touched bucket whose key range the batch actually
+    # intersects — the same footer-stats range pruning the BLOOM index
+    # applies to data files (HoodieBloomIndex.java:143-155), applied to
+    # the index's own files. 0 disables splitting (one file per bucket).
+    key_index_file_target_bytes: int = 32 << 10
     write_parallelism: int = 0  # 0 = let AQE decide / derive from data size
     # multi-writer — WriteConcurrencyMode.java:30-32; OCC = lock + overlap check
     concurrency_mode: str = "SINGLE_WRITER"  # | OPTIMISTIC_CONCURRENCY_CONTROL

@@ -38,6 +38,8 @@ Consistency:
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,6 +73,17 @@ NBUCKETS_MARKER = "_nbuckets"
 # inheriting such a count would scatter every small delta into tens of
 # thousands of tiny parquet files between compactions
 DELTA_MAX_BUCKETS = 1024
+# Per-file record-key ranges of a compacted base (verdict r7 #2):
+# written at compaction alongside _nbuckets, maps
+# "<bucket_dir>/<file>" -> [min_key, max_key]. Bucket-level pruning
+# bounds a trickle tag to the TOUCHED buckets; this bounds it further
+# to the touched buckets' files whose key range the batch intersects —
+# the compacted base is sorted by record key within each bucket and
+# split into ~key_index_file_target_bytes files, so a single-key touch
+# reads one file instead of the whole bucket. Absent sidecar (delta
+# dirs, legacy bases, crash between parquet job and marker) → the dir
+# is read with bucket-level pruning only, never mis-pruned.
+RANGES_MARKER = "_key_ranges"
 
 
 def enabled(cfg) -> bool:
@@ -121,6 +134,59 @@ def _dir_bucket_count(table, d: str) -> int | None:
         return None
 
 
+def _write_ranges_sidecar(table, path: str) -> None:
+    """Per-file (min,max) record-key ranges of a just-written base dir,
+    computed with ONE distributed pass over the files (exact — no
+    footer parsing, no truncated-statistics caveats) and stored as a
+    small JSON sidecar that travels with the dir through the atomic
+    rename. Cost: one extra scan of the freshly written base per index
+    compaction — O(index), same order as the compaction itself."""
+    rows = (
+        table.spark.read.parquet(path)
+        .select(
+            F.input_file_name().alias("__f"),
+            F.col(RECORD_KEY_COL).alias("__k"),
+        )
+        .groupBy("__f")
+        .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
+        .collect()
+    )
+    ranges = {}
+    for r in rows:
+        parts = r["__f"].rstrip("/").split("/")
+        if len(parts) < 2 or not parts[-2].startswith(f"{BUCKET_COL}="):
+            return  # unexpected layout: no sidecar beats a wrong one
+        ranges[f"{parts[-2]}/{parts[-1]}"] = [r["lo"], r["hi"]]
+    table.fs.write_text_atomic(
+        f"{path}/{RANGES_MARKER}", json.dumps(ranges), overwrite=True
+    )
+
+
+# parsed sidecars cached per (table, dir): base dirs are immutable once
+# renamed in (a new compaction produces a NEW <instant>.base name), so
+# the cache never serves stale ranges; bounded — cleared wholesale past
+# 64 entries rather than LRU bookkeeping for a handful of tables
+_RANGES_CACHE: dict[tuple[str, str], dict | None] = {}
+
+
+def _dir_ranges(table, d: str) -> dict | None:
+    key = (table.base_path, d)
+    if key in _RANGES_CACHE:
+        return _RANGES_CACHE[key]
+    try:
+        val = json.loads(
+            table.fs.read_text(f"{index_root(table)}/{d}/{RANGES_MARKER}")
+        )
+        if not isinstance(val, dict):
+            val = None
+    except Exception:
+        val = None
+    if len(_RANGES_CACHE) > 64:
+        _RANGES_CACHE.clear()
+    _RANGES_CACHE[key] = val
+    return val
+
+
 def current_bucket_count(table, dirs: list[str] | None = None) -> int:
     """Count NEW deltas must use: the latest base's generation if one
     exists (so deltas stay aligned with the compacted index), else the
@@ -135,6 +201,35 @@ def current_bucket_count(table, dirs: list[str] | None = None) -> int:
     return table.cfg.key_index_buckets
 
 
+def _index_bytes(table, dirs: list[str]) -> int:
+    """Total on-disk parquet bytes of the given index dirs — fs
+    metadata only, no Spark job."""
+    root = index_root(table)
+    total = 0
+    for d in dirs:
+        for uri, size in table.fs.list_files_recursive(f"{root}/{d}"):
+            if uri.endswith(".parquet"):
+                total += size
+    return total
+
+
+def _split_max_records(table, total_bytes: int, n_buckets: int) -> int | None:
+    """maxRecordsPerFile for the compacted base so each bucket lands as
+    ~key_index_file_target_bytes key-sorted files (≤16 per bucket).
+    Rows are ESTIMATED from on-disk bytes at ~40 B/entry — only pruning
+    granularity depends on the estimate, never correctness (the
+    _key_ranges sidecar records whatever files actually materialize)."""
+    tgt = int(getattr(table.cfg, "key_index_file_target_bytes", 0) or 0)
+    if tgt <= 0:
+        return None
+    est_rows = max(1, total_bytes // 40)
+    bucket_bytes = max(1, total_bytes // max(1, n_buckets))
+    splits = max(1, min(16, (bucket_bytes + tgt - 1) // tgt))
+    # low floor is safe: the ≤16-splits-per-bucket cap above already
+    # bounds the file count at 16 × n_buckets regardless of estimate
+    return max(64, -(-est_rows // max(1, n_buckets) // splits))
+
+
 def target_bucket_count(table, dirs: list[str]) -> int:
     """Size-derived count for the NEXT compacted base: one bucket per
     ~``key_index_bucket_target_bytes`` of on-disk index, rounded up to a
@@ -143,12 +238,7 @@ def target_bucket_count(table, dirs: list[str]) -> int:
     job. Superseded duplicate entries inflate the estimate by at most
     the delta-log fraction, which only rounds the power of two up one
     step early."""
-    root = index_root(table)
-    total = 0
-    for d in dirs:
-        for uri, size in table.fs.list_files_recursive(f"{root}/{d}"):
-            if uri.endswith(".parquet"):
-                total += size
+    total = _index_bytes(table, dirs)
     cfg = table.cfg
     per = max(1, int(getattr(cfg, "key_index_bucket_target_bytes", 1 << 20)))
     n = _pow2_ceil(max(1, (total + per - 1) // per))
@@ -313,6 +403,49 @@ def build_full(table, view) -> None:
     append_delta(table, comp[-1].timestamp, entries)
 
 
+# sentinel: the ranges sidecar proved NO file of this dir can hold any
+# incoming key — distinct from None (= fall back to the whole-dir read)
+_SKIP_DIR = object()
+
+
+def _read_pruned_files(table, d: str, n: int, bucket_ranges: dict):
+    """Scan of base dir ``d`` restricted to the files whose recorded
+    (min,max) record-key range intersects the incoming batch's per-fine-
+    bucket key ranges. Returns the pruned DataFrame, ``_SKIP_DIR`` when
+    no file can match, or None to fall back to the whole-dir read (no
+    sidecar / unparseable entry). Sound: the sidecar is computed from
+    the files' actual contents; a key absent from every intersecting
+    range cannot exist in any skipped file. Python str comparison is
+    code-point order == UTF-8 byte order == Spark's UTF8String order,
+    so the driver-side interval test agrees with the executors."""
+    ranges = _dir_ranges(table, d)
+    if not ranges:
+        return None
+    per_cb: dict[int, list] = {}
+    for fb, bounds in bucket_ranges.items():
+        per_cb.setdefault(int(fb) % n, []).append(bounds)
+    files = []
+    root = index_root(table)
+    for rel, bounds in ranges.items():
+        try:
+            cb = int(rel.split("=", 1)[1].split("/", 1)[0])
+            fmin, fmax = bounds
+        except (IndexError, ValueError, TypeError):
+            return None  # corrupt sidecar entry: read the dir in full
+        ivs = per_cb.get(cb)
+        if not ivs:
+            continue
+        if fmin is None or fmax is None:
+            files.append(f"{root}/{d}/{rel}")  # unknown range: keep
+        elif any(lo <= fmax and hi >= fmin for lo, hi in ivs):
+            files.append(f"{root}/{d}/{rel}")
+    if not files:
+        return _SKIP_DIR
+    return (
+        table.spark.read.option("basePath", f"{root}/{d}").parquet(*files)
+    )
+
+
 def read_index(
     table,
     buckets: list[int] | None = None,
@@ -324,11 +457,15 @@ def read_index(
     tombstones drop out.
 
     ``buckets`` is the incoming batch's distinct FINE buckets
-    (``pmod(xxhash64(key), FINE_BUCKETS)`` from :func:`tag_buckets_of`);
-    each dir is pruned to the buckets those map onto under ITS OWN
-    recorded bucket count — dirs from different compaction generations
-    prune independently, and a dir with no recorded count is read in
-    full (never mis-pruned).
+    (``pmod(xxhash64(key), FINE_BUCKETS)``) — either a plain list, or
+    the dict :func:`tag_buckets_of` returns mapping each fine bucket to
+    the batch's (min_key, max_key) within it. Each dir is pruned to the
+    buckets those map onto under ITS OWN recorded bucket count — dirs
+    from different compaction generations prune independently, and a
+    dir with no recorded count is read in full (never mis-pruned).
+    With the dict form, a base dir carrying a ``_key_ranges`` sidecar
+    is additionally pruned to the FILES whose key range the batch
+    intersects (verdict r7 #2 — the touched-bucket read itself).
 
     ``dirs`` pins an explicit snapshot of index dirs — the compactor
     passes its own listing so a rival's delta that lands (and possibly
@@ -340,6 +477,7 @@ def read_index(
         return None
     root = index_root(table)
     df = None
+    range_skipped = 0
     for d in dirs:
         # defensive: skip parquet-less dirs (historical empty deltas) —
         # reading one throws and would wedge the whole tag path. A
@@ -352,15 +490,33 @@ def read_index(
             for x in names
         ):
             continue
-        part = table.spark.read.parquet(f"{root}/{d}")
-        if buckets is not None:
-            n = _dir_bucket_count(table, d)
-            if n and FINE_BUCKETS % n == 0:
+        part = None
+        n = _dir_bucket_count(table, d) if buckets is not None else None
+        prunable = bool(n and FINE_BUCKETS % n == 0)
+        if prunable and isinstance(buckets, dict) and d.endswith(".base"):
+            part = _read_pruned_files(table, d, n, buckets)
+            if part is _SKIP_DIR:
+                range_skipped += 1
+                continue
+        if part is None:
+            part = table.spark.read.parquet(f"{root}/{d}")
+            if prunable:
                 allowed = sorted({int(b) % n for b in buckets})
                 if len(allowed) < n:
                     part = part.filter(F.col(BUCKET_COL).isin(allowed))
         df = part if df is None else df.unionByName(part)
     if df is None:
+        if range_skipped:
+            # the index EXISTS but no file can hold any incoming key —
+            # an all-new-keys batch. Returning None here would read as
+            # "no index" and trigger an O(table) build_full; the honest
+            # answer is an EMPTY location mapping (every key tags as an
+            # insert).
+            return table.spark.createDataFrame(
+                [],
+                f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string, "
+                f"{FILE_ID_COL} string",
+            )
         return None
     if keys is not None:
         # tag path (code-review r7): restrict to the incoming batch's
@@ -396,30 +552,40 @@ def read_index(
     )
 
 
-def tag_buckets_of(table, incoming: DataFrame) -> list[int] | None:
-    """Distinct FINE buckets (``pmod(hash, FINE_BUCKETS)``) the incoming
-    batch touches — read_index maps them onto each dir's own bucket
-    count. Worth a small Spark job only when some index generation has
-    enough buckets that pruning saves real index I/O (the 100 TB
-    configuration); with few buckets everywhere the whole index is read
-    and no job is spent. The collect is bounded by FINE_BUCKETS."""
+def tag_buckets_of(table, incoming: DataFrame) -> dict[int, tuple] | None:
+    """The incoming batch's distinct FINE buckets
+    (``pmod(hash, FINE_BUCKETS)``), each mapped to the batch's
+    (min_key, max_key) WITHIN that bucket — read_index maps the buckets
+    onto each dir's own count and tests the per-bucket key intervals
+    against a base's per-file ``_key_ranges``. For a trickle batch the
+    fine buckets are mostly single-key, so the intervals are in effect
+    the keys themselves and the file-range test is near-exact. Worth a
+    small Spark job only when some index generation has enough buckets
+    that pruning saves real index I/O (the 100 TB configuration); with
+    few buckets everywhere the whole index is read and no job is spent.
+    The collect is bounded by FINE_BUCKETS (one row per touched fine
+    bucket — the same bound the old distinct-only form had)."""
     dirs = _index_dirs(table)
     counts = [_dir_bucket_count(table, d) for d in dirs]
-    # spend the distinct+collect job ONLY when read_index can actually
+    # spend the groupBy+collect job ONLY when read_index can actually
     # prune something with the result: at least one dir with a known
     # count > 64 that divides FINE_BUCKETS (code-review r7 — an empty
     # index, or marker-less legacy dirs which are always read in full,
     # would pay the job for zero pruning)
     if not any(n and n > 64 and FINE_BUCKETS % n == 0 for n in counts):
         return None
-    return [
-        r[0]
-        for r in incoming.select(
-            F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(FINE_BUCKETS)).alias("b")
+    rows = (
+        incoming.select(
+            F.pmod(F.xxhash64(F.col(RECORD_KEY_COL)), F.lit(FINE_BUCKETS)).alias(
+                "__b"
+            ),
+            F.col(RECORD_KEY_COL).alias("__k"),
         )
-        .distinct()
+        .groupBy("__b")
+        .agg(F.min("__k").alias("lo"), F.max("__k").alias("hi"))
         .collect()
-    ]
+    )
+    return {int(r["__b"]): (r["lo"], r["hi"]) for r in rows}
 
 
 def compact_if_due(table) -> bool:
@@ -484,18 +650,27 @@ def compact_if_due(table) -> bool:
     # to re-bucket — the same lifecycle point where the reference's
     # metadata table re-sizes its file groups
     n_new = target_bucket_count(table, dirs)
-    (
+    # key-sorted, file-split base (verdict r7 #2): within each bucket
+    # the entries are sorted by record key and sliced into
+    # ~key_index_file_target_bytes files, so the _key_ranges sidecar
+    # gives each file a TIGHT disjoint key range — a trickle tag then
+    # reads only the intersecting file(s) of each touched bucket
+    max_rec = _split_max_records(table, _index_bytes(table, dirs), n_new)
+    writer = (
         live.withColumn(BUCKET_COL, _bucket_expr(n_new))
         .withColumn(INSTANT_COL, F.lit(latest))
         .withColumn(DELETED_COL, F.lit(False))
         .repartition(min(n_new, 32), F.col(BUCKET_COL))
+        .sortWithinPartitions(BUCKET_COL, RECORD_KEY_COL)
         .write.mode("overwrite")
-        .partitionBy(BUCKET_COL)
-        .parquet(tmp)
     )
-    # marker travels with the dir through the atomic rename — a base is
-    # never visible without its bucket count
+    if max_rec:
+        writer = writer.option("maxRecordsPerFile", max_rec)
+    writer.partitionBy(BUCKET_COL).parquet(tmp)
+    # markers travel with the dir through the atomic rename — a base is
+    # never visible without its bucket count / file ranges
     _write_bucket_marker(table, tmp, n_new)
+    _write_ranges_sidecar(table, tmp)
     cfg = table.cfg
     if cfg.concurrency_mode.upper() == "OPTIMISTIC_CONCURRENCY_CONTROL":
         from ..concurrency import LockTimeoutError, get_lock_provider
