@@ -194,12 +194,12 @@ def _after_df(table, instant: str, action: str, metadata: dict):
 
     if table.schema() is None:
         # first commit: no committed slices to compose with — read the
-        # staged files directly (virtual-key files simply surface null
-        # meta columns, which data-quality queries don't touch)
+        # staged files directly
         from pyspark.sql import functions as F
 
         from .config import DELETE_MARKER_COL
         from .sources.read import (
+            _derive_virtual_meta,
             _restore_partition_columns,
             base_format,
         )
@@ -214,6 +214,12 @@ def _after_df(table, instant: str, action: str, metadata: dict):
             .format(base_format(table))
             .load(paths)
         )
+        if not table.cfg.populate_meta_fields:
+            # virtual keys: staged files carry no meta columns — derive
+            # them like every committed read does, so a validator query
+            # over _hoodie_* behaves identically on commit #1
+            # (interaction gap found by test_virtual_keys_services)
+            df = _derive_virtual_meta(table, df, paths)
         if table.cfg.drop_partition_columns and table.cfg.partition_fields():
             # staged files omit the partition columns — rebuild them
             # from _hoodie_partition_path exactly like every later read
