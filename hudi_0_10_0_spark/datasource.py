@@ -152,6 +152,9 @@ def options_to_kwargs(options: dict) -> dict:
     )
     take("hoodie.keep.min.commits", "keep_min_commits", int)
     take("hoodie.keep.max.commits", "keep_max_commits", int)
+    # HoodieCompactionConfig.COMMITS_ARCHIVAL_BATCH_SIZE — ours governs
+    # when trailing archive batch files are consolidated (timeline.py)
+    take("hoodie.commits.archival.batch", "archive_merge_batches", int)
     take("hoodie.bulkinsert.shuffle.parallelism", "write_parallelism", int)
     take(
         "hoodie.write.concurrency.mode",

@@ -76,3 +76,64 @@ INSERT INTO t2_renamed VALUES (9, 9.0, 9000);
 
 -- expect [[9, 9.0]]
 SELECT id, price FROM t2_renamed ORDER BY id;
+
+-- ===== r7 surface (VERDICT r7 #7) =====
+
+-- virtual keys through TBLPROPERTIES: files carry no meta columns,
+-- reads derive them (SELECT on _hoodie_record_key proves the derive)
+CREATE TABLE vk (id bigint, name string, price double, ts bigint) USING hudi
+  PARTITIONED BY (name)
+  TBLPROPERTIES (primaryKey='id', preCombineField='ts', type='${TYPE}',
+                 'hoodie.populate.meta.fields'='false')
+  LOCATION '${DIR}/vk';
+
+INSERT INTO vk VALUES (1, 'v1', 10.0, 1000), (2, 'v2', 20.0, 1000);
+
+UPDATE vk SET price = price + 5 WHERE id = 2;
+
+-- expect [["1", 10.0], ["2", 25.0]]
+SELECT _hoodie_record_key, price FROM vk ORDER BY id;
+
+MERGE INTO vk USING (SELECT 3 AS id, 'v3' AS name, 30.0 AS price, 2000 AS ts) s
+ON vk.id = s.id
+WHEN NOT MATCHED THEN INSERT *;
+
+-- expect rows=3
+SELECT id FROM vk;
+
+-- compaction admin via SQL: schedule, run the pending plan, and a
+-- second RUN with nothing scheduled (fresh schedule-and-execute on
+-- mor, clean no-op on cow); data unchanged throughout
+SCHEDULE COMPACTION ON vk;
+
+RUN COMPACTION ON vk;
+
+-- expect rows=0
+SHOW COMPACTION ON vk;
+
+RUN COMPACTION ON vk;
+
+-- expect [[1, 10.0], [2, 25.0], [3, 30.0]]
+SELECT id, price FROM vk ORDER BY id;
+
+-- archived instants stay SHOW-able after tiered consolidation:
+-- keep 2-3 commits, consolidate past 2 archive batches
+CREATE TABLE arc (id bigint, v bigint) USING hudi
+  TBLPROPERTIES (primaryKey='id', preCombineField='v', type='${TYPE}',
+                 'hoodie.keep.min.commits'='2', 'hoodie.keep.max.commits'='3',
+                 'hoodie.commits.archival.batch'='2')
+  LOCATION '${DIR}/arc';
+
+INSERT INTO arc VALUES (1, 1);
+INSERT INTO arc VALUES (2, 1);
+INSERT INTO arc VALUES (3, 1);
+INSERT INTO arc VALUES (4, 1);
+INSERT INTO arc VALUES (5, 1);
+INSERT INTO arc VALUES (6, 1);
+
+-- 6 commits, keep_min 2: four archived (folded through consolidation)
+-- expect rows=4
+SHOW ARCHIVED COMMITS ON arc;
+
+-- expect rows=6
+SELECT id FROM arc;
