@@ -164,8 +164,17 @@ class DeltaStreamer:
                 ),
                 "endingOffsets": "latest",
             }
+            # source_options["connector_format"] swaps the DataSource
+            # short name (default: the real connector's "kafka") — the
+            # contract-level fake registers as a Python DataSource under
+            # its own name because Spark special-cases the literal
+            # "kafka" in lookupDataSource and never consults the Python
+            # registry for it. The option matrix and schema are
+            # IDENTICAL either way (pinned by tests/test_kafka_contract
+            # .py), so a real jar drop-in needs zero code changes.
+            fmt = self.source_options.get("connector_format", "kafka")
             try:
-                df = self.spark.read.format("kafka").options(**opts).load()
+                df = self.spark.read.format(fmt).options(**opts).load()
             except Exception as e:  # connector jar not on classpath
                 raise NotImplementedError(
                     "kafka source needs the spark-sql-kafka connector on the "
