@@ -227,7 +227,7 @@ class WriteConfig:
                 "populate_meta_fields=False requires a deterministic key "
                 "generator: uuid keys cannot be re-derived at read time"
             )
-        if self.index_type.upper() == "RECORD_INDEX":
+        if self.index_type.upper() in RECORD_INDEX_TYPES:
             raise ValueError(
                 "populate_meta_fields=False is not supported with "
                 "RECORD_INDEX: the persisted key index is built from the "
@@ -276,6 +276,13 @@ class WriteConfig:
 # (common/model/HoodieRecord.java:37-53).
 COMMIT_TIME_COL = "_hoodie_commit_time"
 SEQNO_COL = "_hoodie_commit_seqno"
+# every accepted spelling of the persisted record-level index — the
+# SINGLE source of truth shared by key_index.enabled() and the
+# virtual-keys guard (code-review r8: a guard matching only the
+# canonical spelling let 'RECORD'/'GLOBAL_RECORD' + virtual keys
+# through to a late AnalysisException after a full data write)
+RECORD_INDEX_TYPES = ("RECORD_INDEX", "RECORD", "GLOBAL_RECORD")
+
 RECORD_KEY_COL = "_hoodie_record_key"
 PARTITION_PATH_COL = "_hoodie_partition_path"
 FILE_ID_COL = "_hoodie_file_id"  # reference uses _hoodie_file_name; we track group id

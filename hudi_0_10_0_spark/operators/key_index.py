@@ -87,7 +87,9 @@ RANGES_MARKER = "_key_ranges"
 
 
 def enabled(cfg) -> bool:
-    return cfg.index_type.upper() in ("RECORD_INDEX", "RECORD", "GLOBAL_RECORD")
+    from ..config import RECORD_INDEX_TYPES
+
+    return cfg.index_type.upper() in RECORD_INDEX_TYPES
 
 
 def index_root(table) -> str:
@@ -162,21 +164,28 @@ def _write_ranges_sidecar(table, path: str) -> None:
     )
 
 
-# parsed sidecars cached per (table, dir): base dirs are immutable once
-# renamed in (a new compaction produces a NEW <instant>.base name), so
-# the cache never serves stale ranges; bounded — cleared wholesale past
-# 64 entries rather than LRU bookkeeping for a handful of tables
-_RANGES_CACHE: dict[tuple[str, str], dict | None] = {}
+# parsed sidecars cached per (table, dir, sidecar mtime). The mtime is
+# part of the KEY, not an optimization: a base dir name CAN recur with
+# different contents — rollback wipes the index root (drop_instant
+# folded path), build_full refiles under the still-latest instant, and
+# the next compaction rewrites <same-instant>.base — so a name-only
+# cache would serve stale ranges and silently mis-prune live entries
+# (code-review r8). Bounded — cleared wholesale past 64 entries rather
+# than LRU bookkeeping for a handful of tables.
+_RANGES_CACHE: dict[tuple[str, str, float], dict | None] = {}
 
 
 def _dir_ranges(table, d: str) -> dict | None:
-    key = (table.base_path, d)
+    path = f"{index_root(table)}/{d}/{RANGES_MARKER}"
+    try:
+        stamp = table.fs.mtime(path)
+    except Exception:
+        return None  # no sidecar (delta dir / legacy base): no pruning
+    key = (table.base_path, d, stamp)
     if key in _RANGES_CACHE:
         return _RANGES_CACHE[key]
     try:
-        val = json.loads(
-            table.fs.read_text(f"{index_root(table)}/{d}/{RANGES_MARKER}")
-        )
+        val = json.loads(table.fs.read_text(path))
         if not isinstance(val, dict):
             val = None
     except Exception:
@@ -230,7 +239,9 @@ def _split_max_records(table, total_bytes: int, n_buckets: int) -> int | None:
     return max(64, -(-est_rows // max(1, n_buckets) // splits))
 
 
-def target_bucket_count(table, dirs: list[str]) -> int:
+def target_bucket_count(
+    table, dirs: list[str], total_bytes: int | None = None
+) -> int:
     """Size-derived count for the NEXT compacted base: one bucket per
     ~``key_index_bucket_target_bytes`` of on-disk index, rounded up to a
     power of two, floored at the configured default and capped at
@@ -238,7 +249,7 @@ def target_bucket_count(table, dirs: list[str]) -> int:
     job. Superseded duplicate entries inflate the estimate by at most
     the delta-log fraction, which only rounds the power of two up one
     step early."""
-    total = _index_bytes(table, dirs)
+    total = total_bytes if total_bytes is not None else _index_bytes(table, dirs)
     cfg = table.cfg
     per = max(1, int(getattr(cfg, "key_index_bucket_target_bytes", 1 << 20)))
     n = _pow2_ceil(max(1, (total + per - 1) // per))
@@ -649,13 +660,14 @@ def compact_if_due(table) -> bool:
     # compaction rewrites every entry anyway, so this is the free moment
     # to re-bucket — the same lifecycle point where the reference's
     # metadata table re-sizes its file groups
-    n_new = target_bucket_count(table, dirs)
+    total_bytes = _index_bytes(table, dirs)  # ONE recursive listing
+    n_new = target_bucket_count(table, dirs, total_bytes=total_bytes)
     # key-sorted, file-split base (verdict r7 #2): within each bucket
     # the entries are sorted by record key and sliced into
     # ~key_index_file_target_bytes files, so the _key_ranges sidecar
     # gives each file a TIGHT disjoint key range — a trickle tag then
     # reads only the intersecting file(s) of each touched bucket
-    max_rec = _split_max_records(table, _index_bytes(table, dirs), n_new)
+    max_rec = _split_max_records(table, total_bytes, n_new)
     writer = (
         live.withColumn(BUCKET_COL, _bucket_expr(n_new))
         .withColumn(INSTANT_COL, F.lit(latest))

@@ -16,6 +16,7 @@ import json
 import threading
 import time
 from dataclasses import dataclass
+from datetime import datetime, timedelta
 
 from .fs import FS
 
@@ -140,7 +141,23 @@ def new_instant_time() -> str:
             + f"{int(now * 1000) % 1000:03d}"
         )
         if ts <= _last_ts:  # clock tie/skew → bump
-            ts = str(int(_last_ts) + 1).zfill(17)
+            # bump one millisecond in CALENDAR space — integer
+            # arithmetic on the string mints non-calendar instants at
+            # second boundaries (…235959999 + 1 = …235960000, second=60)
+            # that format_query_instant/strptime later reject, making a
+            # committed instant un-time-travelable (code-review r8). The
+            # reference bumps epoch millis before formatting for the
+            # same reason.
+            try:
+                prev = datetime.strptime(_last_ts, "%Y%m%d%H%M%S%f")
+                bumped = prev + timedelta(milliseconds=1)
+                ts = (
+                    bumped.strftime("%Y%m%d%H%M%S")
+                    + f"{bumped.microsecond // 1000:03d}"
+                )
+            except (ValueError, OverflowError):
+                # unparseable prior tick (or datetime.max): legacy bump
+                ts = str(int(_last_ts) + 1).zfill(17)
         _last_ts = ts
         return ts
 

@@ -77,6 +77,16 @@ def _parse_offsets(raw: str, which: str) -> dict | str:
                     f"{which}[{topic!r}] has non-numeric partition/offset "
                     f"({p!r}: {o!r})"
                 )
+            if o < 0:
+                # the real connector's -1/-2 latest/earliest sentinels:
+                # the engine never emits them (it stores concrete
+                # next-offsets), so the fake refuses rather than serve
+                # Python-negative-index rows that LOOK like data
+                # (code-review r8)
+                raise KafkaContractError(
+                    f"{which}[{topic!r}][{p!r}] = {o}: sentinel/negative "
+                    "offsets are not part of the engine's contract"
+                )
     return parsed
 
 
@@ -152,7 +162,18 @@ class FakeKafkaReader(DataSourceReader):
             for p_str, values in sorted(parts.items()):
                 p = int(p_str)
                 if isinstance(self.starting, dict):
-                    begin = int(self.starting.get(topic, {}).get(p_str, 0))
+                    if p_str not in self.starting.get(topic, {}):
+                        # a partition added between rounds: the real
+                        # KafkaOffsetReader throws ("startingOffsets
+                        # must specify all TopicPartitions") — silently
+                        # defaulting to 0 would mask an engine
+                        # offset-translation regression (code-review r8)
+                        raise KafkaContractError(
+                            f"startingOffsets specifies topic {topic!r} "
+                            f"but not its partition {p} — the connector "
+                            "requires every TopicPartition listed"
+                        )
+                    begin = int(self.starting[topic][p_str])
                 else:  # earliest
                     begin = 0
                 out.append(_TopicPartition(topic, p, begin, list(values)))

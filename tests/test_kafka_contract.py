@@ -220,3 +220,25 @@ def test_connector_schema_constant_matches_documented_contract():
         "key binary, value binary, topic string, partition int, offset long, "
         "timestamp timestamp, timestampType int"
     )
+
+
+def test_sentinel_offsets_rejected():
+    with pytest.raises(KafkaContractError, match="sentinel/negative"):
+        FakeKafkaReader(_opts(startingoffsets='{"t1": {"0": -2}, "t2": {"0": 0}}'))
+
+
+def test_partition_added_between_rounds_rejected(kafka, spark, tmp_path):
+    """A partition appearing in the broker log but absent from the
+    offset map must throw like the real KafkaOffsetReader, not default
+    to earliest."""
+    broker = str(tmp_path / "b.json")
+    write_log(broker, {"t": {"0": [_msg(1)], "1": [_msg(2)]}})
+    with pytest.raises(Exception, match="every TopicPartition"):
+        (
+            spark.read.format("kafka_mock")
+            .option("kafka.bootstrap.servers", f"mock://{broker}")
+            .option("subscribe", "t")
+            .option("startingOffsets", json.dumps({"t": {"0": 1}}))
+            .load()
+            .collect()
+        )

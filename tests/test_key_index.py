@@ -667,3 +667,43 @@ def test_all_new_keys_batch_returns_empty_not_none(spark, tmp_table_path, orders
         )
     )
     assert t.snapshot().count() == n0 + 5
+
+
+def test_record_index_aliases_rejected_with_virtual_keys():
+    """code-review r8: every accepted RECORD_INDEX spelling must hit the
+    up-front virtual-keys guard, not a post-write AnalysisException."""
+    from hudi_0_10_0_spark.config import RECORD_INDEX_TYPES
+
+    for alias in RECORD_INDEX_TYPES:
+        assert KI.enabled(WriteConfig(index_type=alias))
+        with pytest.raises(ValueError, match="RECORD_INDEX"):
+            WriteConfig(
+                record_key_field="id",
+                index_type=alias,
+                populate_meta_fields=False,
+            ).validate_virtual_keys()
+
+
+def test_ranges_cache_invalidates_on_sidecar_rewrite(spark, tmp_table_path, orders):
+    """code-review r8: a <instant>.base name CAN recur with different
+    contents (wipe -> rebuild -> recompact under the same latest
+    instant); the sidecar cache must key on the file's mtime, never
+    serve the old generation's ranges."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/rc", _cfg(key_index_compact_deltas=0)
+    )
+    t.bulk_insert(orders.limit(50))
+    KI.compact_if_due(t)
+    bases = [d for d in KI._index_dirs(t) if d.endswith(".base")]
+    assert bases
+    first = KI._dir_ranges(t, bases[-1])
+    assert first is not None
+    # overwrite the sidecar in place (what a same-name recompaction does)
+    import time as _time
+
+    path = f"{KI.index_root(t)}/{bases[-1]}/{KI.RANGES_MARKER}"
+    _time.sleep(0.02)  # ensure a distinct mtime
+    t.fs.write_text_atomic(path, '{"__idx_bucket=0/fake.parquet": ["a", "b"]}',
+                           overwrite=True)
+    second = KI._dir_ranges(t, bases[-1])
+    assert second == {"__idx_bucket=0/fake.parquet": ["a", "b"]}, second

@@ -758,3 +758,30 @@ def test_clustering_crash_retry_succeeds(spark, tmp_table_path):
     snap = t.snapshot().orderBy("id")
     assert snap.count() == 20
     assert [r["id"] for r in snap.collect()] == list(range(20))
+
+
+def test_instant_bump_stays_calendar_valid():
+    """code-review r8: the monotonic-tie bump must do calendar
+    arithmetic — an integer bump of ...235959999 mints second=60, which
+    time travel's strptime rejects."""
+    from hudi_0_10_0_spark import timeline as TL
+
+    with TL._lock:
+        saved = TL._last_ts
+    try:
+        TL._last_ts = "20260816235959999"
+        ts = TL.new_instant_time()
+        # whatever the wall clock says, the result is parseable and
+        # strictly greater than the pinned predecessor
+        import datetime as _dt
+
+        _dt.datetime.strptime(ts, "%Y%m%d%H%M%S%f")
+        assert ts > "20260816235959999"
+        # forced tie at a year-end second boundary rolls over cleanly
+        # (the old integer bump minted ...235960000, second=60)
+        TL._last_ts = "20991231235959999"  # future: any clock ties
+        ts2 = TL.new_instant_time()
+        _dt.datetime.strptime(ts2, "%Y%m%d%H%M%S%f")
+        assert ts2 == "21000101000000000"
+    finally:
+        TL._last_ts = saved
