@@ -77,6 +77,16 @@ def schedule_cluster(
     cfg = table.cfg
     view = table.view()
     slices = view.latest_file_slices(partitions=partitions)
+    # exclude file groups pinned by a PENDING compaction plan — mirror
+    # of schedule_compaction's pending-clustering filter (reference:
+    # SparkClusteringPlanStrategy filters fileIdsInPendingCompaction);
+    # clustering a group mid-compaction would make the compactor's
+    # commit and the replacecommit race on the same slices under OCC
+    from .services import pending_compaction_groups
+
+    pinned = pending_compaction_groups(table)
+    if pinned:
+        slices = [s for s in slices if (s.partition, s.file_id) not in pinned]
     if small_files_only:
         # SparkSizeBasedClusteringPlanStrategy: only groups below the
         # small-file limit participate

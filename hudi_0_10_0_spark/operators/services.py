@@ -98,6 +98,18 @@ def schedule_compaction(
     - UNBOUNDED: all slices (``UnBoundedCompactionStrategy``)."""
     view = table.view()
     slices = [s for s in view.latest_file_slices() if s.logs]
+    # exclude file groups pinned by a PENDING clustering plan — the
+    # reference's plan generator filters fgIdsInPendingClustering the
+    # same way (ScheduleCompactionActionExecutor; the clustering
+    # replacecommit will supersede those slices, so compacting them
+    # wastes the work at best and, under OCC, leaves the replayed
+    # clustering plan conflicting with the compaction commit on the
+    # shared groups — found by the r8 service×service crash matrix)
+    from .clustering import pending_clustering_groups
+
+    pinned = pending_clustering_groups(table)
+    if pinned:
+        slices = [s for s in slices if (s.partition, s.file_id) not in pinned]
     if not slices:
         return None
     strat = strategy.upper()
@@ -354,6 +366,21 @@ def _run_compaction_claimed(table, instant, req, hb):
 # machinery has no analogue — repair reduces to clearing a crashed
 # execution's partial output.
 # --------------------------------------------------------------------------
+
+
+def pending_compaction_groups(table) -> set[tuple[str, str]]:
+    """(partition, file_id) pairs named by any scheduled-but-incomplete
+    compaction plan — the set clustering scheduling must skip
+    (reference: SparkClusteringPlanStrategy filters
+    fileIdsInPendingCompaction the same way)."""
+    out: set[tuple[str, str]] = set()
+    for inst in table.timeline.pending():
+        if inst.action != COMPACTION:
+            continue
+        plan = _pending_compaction_plan(table, inst.timestamp)
+        for d in (plan or {}).get("slices", []):
+            out.add((d["partition"], d["file_id"]))
+    return out
 
 
 def _pending_compaction_plan(table, instant: str) -> dict | None:
