@@ -152,9 +152,13 @@ def options_to_kwargs(options: dict) -> dict:
     )
     take("hoodie.keep.min.commits", "keep_min_commits", int)
     take("hoodie.keep.max.commits", "keep_max_commits", int)
-    # HoodieCompactionConfig.COMMITS_ARCHIVAL_BATCH_SIZE — ours governs
-    # when trailing archive batch files are consolidated (timeline.py)
-    take("hoodie.commits.archival.batch", "archive_merge_batches", int)
+    # hoodie.archive.merge.files.batch.size (HoodieArchivalConfig): how
+    # many small archive files participate in a merge — ours is the
+    # same knob as the trigger count for tiered consolidation
+    # (timeline.consolidate_archive). NOT hoodie.commits.archival.batch,
+    # whose reference semantics (commits written per archive batch)
+    # differ (code-review r8)
+    take("hoodie.archive.merge.files.batch.size", "archive_merge_batches", int)
     take("hoodie.bulkinsert.shuffle.parallelism", "write_parallelism", int)
     take(
         "hoodie.write.concurrency.mode",

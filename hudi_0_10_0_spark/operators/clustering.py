@@ -74,17 +74,34 @@ def schedule_cluster(
     pattern — plan strategies in
     ``spark-client/client/clustering/plan/strategy/``). Returns the
     scheduled instant, or None if nothing qualifies."""
+    # exclusion-read + plan-claim as ONE step under the table lock in
+    # OCC mode (same TOCTOU rationale as schedule_compaction —
+    # code-review r8); metadata-only work, no Spark job under the lock
+    from .services import _admin_lock
+
+    with _admin_lock(table, f"schedule-cluster-{table.new_instant()}"):
+        return _schedule_cluster_locked(
+            table, partitions, sort_cols, layout, curve_method, curve_bits,
+            target_file_size, small_files_only, target_file_groups,
+        )
+
+
+def _schedule_cluster_locked(
+    table, partitions, sort_cols, layout, curve_method, curve_bits,
+    target_file_size, small_files_only, target_file_groups,
+) -> str | None:
     cfg = table.cfg
     view = table.view()
     slices = view.latest_file_slices(partitions=partitions)
-    # exclude file groups pinned by a PENDING compaction plan — mirror
-    # of schedule_compaction's pending-clustering filter (reference:
-    # SparkClusteringPlanStrategy filters fileIdsInPendingCompaction);
-    # clustering a group mid-compaction would make the compactor's
-    # commit and the replacecommit race on the same slices under OCC
+    # exclude file groups pinned by a PENDING compaction plan (or an
+    # earlier pending clustering plan) — mirror of schedule_compaction's
+    # filter (reference: SparkClusteringPlanStrategy filters
+    # fileIdsInPendingCompaction); clustering a group mid-compaction
+    # would make the compactor's commit and the replacecommit race on
+    # the same slices under OCC
     from .services import pending_compaction_groups
 
-    pinned = pending_compaction_groups(table)
+    pinned = pending_compaction_groups(table) | pending_clustering_groups(table)
     if pinned:
         slices = [s for s in slices if (s.partition, s.file_id) not in pinned]
     if small_files_only:

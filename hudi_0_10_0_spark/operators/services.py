@@ -96,18 +96,34 @@ def schedule_compaction(
       by name order (``DayBasedCompactionStrategy`` — partition paths
       are dates, newest first);
     - UNBOUNDED: all slices (``UnBoundedCompactionStrategy``)."""
+    # The exclusion-read + plan-claim run as ONE step under the table
+    # lock in OCC mode (code-review r8: a lock-free filter is TOCTOU —
+    # two schedulers could both list pending() before either plan
+    # landed and pin the same groups). Pure metadata work, no Spark
+    # job, so holding the lock is cheap; the reference takes the same
+    # lock for scheduleTableServiceInternal under multi-writer.
+    with _admin_lock(table, f"schedule-compaction-{table.new_instant()}"):
+        return _schedule_compaction_locked(
+            table, strategy, max_slices, io_budget_bytes, day_partitions
+        )
+
+
+def _schedule_compaction_locked(
+    table, strategy, max_slices, io_budget_bytes, day_partitions
+) -> str | None:
     view = table.view()
     slices = [s for s in view.latest_file_slices() if s.logs]
-    # exclude file groups pinned by a PENDING clustering plan — the
-    # reference's plan generator filters fgIdsInPendingClustering the
-    # same way (ScheduleCompactionActionExecutor; the clustering
-    # replacecommit will supersede those slices, so compacting them
-    # wastes the work at best and, under OCC, leaves the replayed
-    # clustering plan conflicting with the compaction commit on the
-    # shared groups — found by the r8 service×service crash matrix)
+    # exclude file groups pinned by a PENDING clustering plan OR a
+    # pending compaction plan — the reference's plan generator filters
+    # fgIdsInPendingCompactionAndClustering the same way
+    # (ScheduleCompactionActionExecutor; the rival plan will supersede
+    # or rewrite those slices, so compacting them duplicates the work
+    # at best and, under OCC, leaves the replayed plan conflicting with
+    # the rival's commit on the shared groups — found by the r8
+    # service×service crash matrix)
     from .clustering import pending_clustering_groups
 
-    pinned = pending_clustering_groups(table)
+    pinned = pending_clustering_groups(table) | pending_compaction_groups(table)
     if pinned:
         slices = [s for s in slices if (s.partition, s.file_id) not in pinned]
     if not slices:
@@ -377,8 +393,15 @@ def pending_compaction_groups(table) -> set[tuple[str, str]]:
     for inst in table.timeline.pending():
         if inst.action != COMPACTION:
             continue
-        plan = _pending_compaction_plan(table, inst.timestamp)
-        for d in (plan or {}).get("slices", []):
+        # read_requested_metadata, not _pending_compaction_plan: the
+        # pending() listing above already proved the plan file exists
+        # (re-listing instants() per plan is O(N) extra listings —
+        # code-review r8); {} only for the benign completed-since-
+        # listing race, unreadable-but-present raises
+        plan = table.timeline.read_requested_metadata(
+            inst.timestamp, COMPACTION
+        )
+        for d in plan.get("slices", []):
             out.add((d["partition"], d["file_id"]))
     return out
 

@@ -262,10 +262,20 @@ class Timeline:
         marker is empty, like the reference's plan-carrying requested
         instants for compaction/clustering)."""
         inst = Instant(timestamp, action, REQUESTED)
+        path = f"{self.dir}/{inst.filename()}"
         try:
-            return json.loads(self.fs.read_text(f"{self.dir}/{inst.filename()}"))
+            text = self.fs.read_text(path)
         except Exception:
-            return {}
+            if not self.fs.exists(path):
+                # instant completed / was rolled back since the caller's
+                # listing — an empty plan is the honest answer
+                return {}
+            # file EXISTS but cannot be read: swallowing would turn a
+            # transient IO error into "no plan", silently disabling the
+            # pending-plan exclusions and the sweep's plan-kind checks
+            # (code-review r8)
+            raise
+        return json.loads(text)
 
     # -- state transitions -------------------------------------------------
     def create_requested(self, timestamp: str, action: str, metadata: dict | None = None):

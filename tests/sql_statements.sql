@@ -117,11 +117,13 @@ RUN COMPACTION ON vk;
 SELECT id, price FROM vk ORDER BY id;
 
 -- archived instants stay SHOW-able after tiered consolidation:
--- keep 2-3 commits, consolidate past 2 archive batches
+-- keep 2-3 commits; batch size 1 forces a consolidation as soon as a
+-- second archive batch lands (the trigger is STRICTLY-greater-than,
+-- so '2' with only two batches would never consolidate)
 CREATE TABLE arc (id bigint, v bigint) USING hudi
   TBLPROPERTIES (primaryKey='id', preCombineField='v', type='${TYPE}',
                  'hoodie.keep.min.commits'='2', 'hoodie.keep.max.commits'='3',
-                 'hoodie.commits.archival.batch'='2')
+                 'hoodie.archive.merge.files.batch.size'='1')
   LOCATION '${DIR}/arc';
 
 INSERT INTO arc VALUES (1, 1);

@@ -74,7 +74,17 @@ def _cfg(**kw):
 
 
 def _completed(h) -> list[tuple]:
-    return [(i.timestamp, i.action) for i in h.timeline.completed_write_instants()]
+    """Committed write instants on the ACTIVE timeline ∪ the ARCHIVE —
+    archiving RELOCATES completed instants (never loses them), so the
+    no-data-loss invariants must look in both places (code-review r8:
+    an archive-blind check fails spuriously the moment a pairing lets
+    archiving run between the before/after snapshots)."""
+    act = [(i.timestamp, i.action) for i in h.timeline.completed_write_instants()]
+    act.extend(
+        (a.get("timestamp"), a.get("action"))
+        for a in h.timeline.archived_instants()
+    )
+    return act
 
 
 def _retry_upsert(spark, h):

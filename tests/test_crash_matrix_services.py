@@ -52,23 +52,10 @@ from test_crash_matrix_mw import (
     _apply,
     _as_rows,
     _cfg,
+    _completed,  # archive-aware: archiving relocates, never loses
     _retry_cluster,
     _retry_compact,
 )
-
-
-def _completed(h) -> set:
-    """Committed write instants on the ACTIVE timeline ∪ the ARCHIVE —
-    archiving RELOCATES completed instants (by design, never loses
-    them), so the no-data-loss invariant must look in both places."""
-    act = {
-        (i.timestamp, i.action) for i in h.timeline.completed_write_instants()
-    }
-    arch = {
-        (a.get("timestamp"), a.get("action"))
-        for a in h.timeline.archived_instants()
-    }
-    return act | arch
 
 PROVIDERS = ["FILESYSTEM", "FCNTL"]
 
