@@ -785,3 +785,54 @@ def test_instant_bump_stays_calendar_valid():
         assert ts2 == "21000101000000000"
     finally:
         TL._last_ts = saved
+
+
+def test_mutual_pending_plan_scheduling_exclusion(spark, tmp_table_path, orders):
+    """code-review r8 / crash-matrix r8: scheduling skips file groups
+    pinned by a rival PENDING plan, both directions (reference:
+    fgIdsInPendingCompactionAndClustering), and a plan does not pin
+    groups for ITSELF twice either."""
+    from hudi_0_10_0_spark import TableType
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/excl",
+        WriteConfig(
+            record_key_field="o_orderkey",
+            partition_field="o_orderstatus",
+            precombine_field="o_totalprice",
+            table_type=TableType.MERGE_ON_READ,
+            inline_compact=False,
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+    t.bulk_insert(orders)
+    t.upsert(orders.limit(40).withColumn("o_comment", F.lit("d")))
+    # clustering plan over everything -> compaction has nothing to pick
+    c_ts = t.schedule_cluster(sort_cols=["o_orderkey"])
+    assert c_ts is not None
+    assert t.schedule_compaction() is None
+    # run the clustering; compaction of the rewritten groups still has
+    # no logs (the replace merged them) -> still None
+    t.run_cluster(c_ts)
+    assert t.schedule_compaction() is None
+    # fresh deltas -> compaction plan; a second compaction schedule
+    # must not re-pin the same groups (self-exclusion)
+    t.upsert(orders.limit(25).withColumn("o_comment", F.lit("d2")))
+    p1 = t.schedule_compaction()
+    assert p1 is not None
+    assert t.schedule_compaction() is None
+    # and clustering now skips the compaction-pinned groups: with every
+    # delta-bearing group pinned, clustering may only pick log-free ones
+    from hudi_0_10_0_spark.operators.services import pending_compaction_groups
+    from hudi_0_10_0_spark.operators.clustering import pending_clustering_plans
+
+    pinned = pending_compaction_groups(t)
+    assert pinned
+    cl = t.schedule_cluster(sort_cols=["o_orderkey"])
+    if cl is not None:
+        assert not (pending_clustering_plans(t)[cl] & pinned)
+    # drain: compaction still runs its plan to completion
+    assert t.compact(p1) is not None
+    assert t.snapshot().count() == orders.count()
