@@ -193,6 +193,25 @@ def options_to_kwargs(options: dict) -> dict:
         "bulk_insert_sort_mode",
         lambda v: BulkInsertSortMode(str(v).upper()),
     )
+    # RECORD_INDEX sizing — the record-level index grew out of 0.10's
+    # metadata table; these are the public spellings of the later
+    # HoodieMetadataConfig record-index file-group knobs, mapped onto
+    # our bucket equivalents (bucket ≈ file group of the index)
+    take(
+        "hoodie.metadata.record.index.min.filegroup.count",
+        "key_index_buckets",
+        int,
+    )
+    take(
+        "hoodie.metadata.record.index.max.filegroup.count",
+        "key_index_max_buckets",
+        int,
+    )
+    take(
+        "hoodie.metadata.record.index.max.filegroup.size",
+        "key_index_bucket_target_bytes",
+        int,
+    )
     # virtual keys (HoodieTableConfig.POPULATE_META_FIELDS)
     take("hoodie.populate.meta.fields", "populate_meta_fields", _bool)
     # write-commit callbacks (HoodieWriteCommitCallbackConfig)

@@ -361,3 +361,26 @@ def test_r7_option_mappings(spark, tmp_path_factory):
     assert cfg.precommit_validators == "equality"
     assert cfg.precommit_equality_sql.startswith("select 1")
     assert cfg.metrics_on is True and cfg.metrics_reporter_type == "CONSOLE"
+
+
+def test_r8_option_mappings():
+    """r8 spellings: record-index file-group sizing and archive-file
+    merge batch size."""
+    from hudi_0_10_0_spark.datasource import options_to_config
+
+    cfg = options_to_config(
+        {
+            "hoodie.table.name": "x",
+            "hoodie.datasource.write.recordkey.field": "id",
+            "hoodie.index.type": "RECORD_INDEX",
+            "hoodie.metadata.record.index.min.filegroup.count": "64",
+            "hoodie.metadata.record.index.max.filegroup.count": "4096",
+            "hoodie.metadata.record.index.max.filegroup.size": "262144",
+            "hoodie.archive.merge.files.batch.size": "4",
+        }
+    )
+    assert cfg.index_type == "RECORD_INDEX"
+    assert cfg.key_index_buckets == 64
+    assert cfg.key_index_max_buckets == 4096
+    assert cfg.key_index_bucket_target_bytes == 262144
+    assert cfg.archive_merge_batches == 4
