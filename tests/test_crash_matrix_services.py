@@ -74,11 +74,18 @@ def _seed_many_commits(spark, t):
     t.bulk_insert(_df(spark, SEED))
     for k in range(4):
         t.upsert(_df(spark, [(i, f"p{i % 2}", i + 77) for i in range(k, 60, 3)]))
+    # first archive batch lands BEFORE A runs, so A's archive crosses
+    # archive_merge_batches=1 and its crash points cover the tiered
+    # CONSOLIDATION swap (consolidated-write + original-batch deletes),
+    # not just the trim
+    t.archive()
+    for k in range(4, 6):
+        t.upsert(_df(spark, [(i, f"p{i % 2}", i + 77) for i in range(k, 60, 3)]))
 
 
 def _many_commits_state() -> dict:
     s = {(i, f"p{i % 2}"): i for i in range(60)}
-    for k in range(4):
+    for k in range(6):
         s = _apply(s, [(i, f"p{i % 2}", i + 77) for i in range(k, 60, 3)])
     return s
 
@@ -139,13 +146,17 @@ PAIRINGS = {
         retry=_retry_cluster,
         base=lambda: _apply({(i, f"p{i % 2}"): i for i in range(60)}, FIRST),
     ),
-    # A's archive (incl. tiered consolidation) crashes mid-trim; B
-    # cleans. Both walk the timeline; neither may lose a live instant
-    # or leave the archive unreadable for A's replay.
+    # A's archive — INCLUDING tiered consolidation
+    # (archive_merge_batches=1 forces a consolidation as soon as a
+    # second batch file lands, so the crash points cover the
+    # consolidated-write + original-batch-delete swap) — crashes
+    # mid-trim; B cleans. Both walk the timeline; neither may lose a
+    # live instant or leave the archive unreadable for A's replay.
     "archive_x_clean": dict(
         cfg={
             "keep_min_commits": 2,
             "keep_max_commits": 3,
+            "archive_merge_batches": 1,
             "cleaner_policy": "KEEP_LATEST_FILE_VERSIONS",
             "cleaner_file_versions_retained": 1,
         },
