@@ -2086,6 +2086,72 @@ FROM big
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Batch-vs-corpus incremental dedup (functions/dedup.py
+    incremental_dedup): docs with doc_id % 10 == 0 play the NEW ingest
+    batch, the rest the already-ingested corpus; a batch doc survives
+    iff its normalized text is absent from the corpus and it is the
+    min-id holder of that text within the batch. The corpus side is a
+    single broadcast-semi-join scan — never shuffled."""
+    from hudi_0_10_0_spark.functions.dedup import incremental_dedup
+    from hudi_0_10_0_spark.functions.text import normalize_text
+
+    docs = _pq(spark, sf_dir, "documents").withColumn("norm", normalize_text("text"))
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup(batch, corpus, ["norm"], "doc_id").select(
+        "doc_id", "batch_dup_count"
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS nrm
+  FROM documents
+), batch AS (
+  SELECT * FROM norm WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT * FROM norm WHERE doc_id % 10 <> 0
+), within AS (
+  SELECT nrm, MIN(doc_id) AS doc_id, COUNT(*) AS batch_dup_count
+  FROM batch GROUP BY nrm
+)
+SELECT doc_id, batch_dup_count
+FROM within w
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.nrm = w.nrm)
+"""
+
+
+def q_text_chunking(spark, sf_dir):
+    """Token-budget document chunking with overlap (functions/text.py
+    chunk_documents): 32-token chunks, 8-token overlap — the
+    context-window preparation step between cleaning and packing.
+    Pure sequence/slice/posexplode, no shuffle."""
+    from hudi_0_10_0_spark.functions.text import chunk_documents
+
+    docs = _pq(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+_SQL_TEXT_CHUNKING = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), starts AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS s
+  FROM tok
+)
+SELECT doc_id,
+       CAST((s - 1) / 24 AS INT) AS chunk_index,
+       array_to_string(t[s : least(s + 31, len(t))], ' ') AS chunk_text,
+       CAST(greatest(least(s + 31, len(t)) - s + 1, 0) AS INT) AS n_tokens
+FROM starts
+"""
+
+
 def q_fingerprint_groups(spark, sf_dir):
     """Whole-document fingerprint dedup groups: 64-bit fingerprint =
     xxhash64(normalized text) (functions/text.py fingerprint); emit one
@@ -2686,6 +2752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relational demos last — they rotate OUT of the window and are kept
     # honest by tools/check_oracle.py covering ALL entries every round.
     return {
+        # --- r8 additions (new driver evidence first) ---
+        "dedup_incremental": q_dedup_incremental,
+        "text_chunking": q_text_chunking,
         # --- r2-unchecked (past position 50 last round) ---
         "similarity_ann_ivf": q_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
@@ -2741,11 +2810,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "pipeline_training_data": q_pipeline_training_data,
-        "similarity_topk": q_similarity_topk,
-        "similarity_ann_lsh": q_ann_topk,
         # --- swept non-TPC-H (past the 50-entry driver window; covered
         # by tools/check_oracle.py's full sweep + the pytest suite —
-        # each has an in-window sibling of the same operator family) ---
+        # each has an in-window sibling of the same operator family:
+        # similarity_ann_ivf verifies the similarity family in-window,
+        # and probe-all/nprobe=nlist configs share the brute-force
+        # oracle with these two) ---
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_ann_topk,
         "multimodal_features": q_multimodal_features,
         # --- stable twice-green TPC-H relational demos (r7: ALL 22 now
         # rotate past the driver's 50-entry window — the window is
@@ -2853,6 +2925,8 @@ def oracle_sql() -> dict[str, str]:
         "text_contamination": _SQL_CONTAMINATION,
         "text_pii_scrub": _SQL_PII_SCRUB,
         "text_repetition": _SQL_TEXT_REPETITION,
+        "dedup_incremental": _SQL_DEDUP_INCREMENTAL,
+        "text_chunking": _SQL_TEXT_CHUNKING,
         "dedup_components": _SQL_DEDUP_COMPONENTS,
         "dedup_canonical": _SQL_DEDUP_CANONICAL,
         "pipeline_training_data": _SQL_PIPELINE,

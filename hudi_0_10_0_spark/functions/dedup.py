@@ -507,3 +507,35 @@ def dedup_canonical(
         .select(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-ingested corpus —
+    the steady-state shape of a training-data pipeline, where the
+    corpus is 100 TB and the batch is a day's crawl. Returns one row
+    per surviving batch key: (key_cols..., id_col = min id within the
+    batch, batch_dup_count). A batch row is dropped when its key
+    already exists in the corpus OR a smaller-id batch row shares it.
+
+    Scale shape: the corpus is scanned ONCE with a BROADCAST semi-join
+    against the (small) distinct batch key set — the corpus side is
+    never shuffled and never collected; the resulting ``seen`` set is
+    bounded by the batch, so the final anti-join broadcasts too. The
+    within-batch dedup is one hash aggregation over the batch only.
+    Contrast with re-running :func:`exact_dedup` over corpus ∪ batch,
+    which would re-shuffle the full corpus every ingest."""
+    batch_keys = batch.select(*key_cols).distinct()
+    seen = (
+        corpus.join(F.broadcast(batch_keys), on=key_cols, how="left_semi")
+        .select(*key_cols)
+        .distinct()
+    )
+    within = batch.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("batch_dup_count")
+    )
+    return within.join(F.broadcast(seen), on=key_cols, how="left_anti")

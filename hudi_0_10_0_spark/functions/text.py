@@ -297,3 +297,43 @@ def contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the
+    context-window preparation step between cleaning and sequence
+    packing. Returns (id_col, chunk_index, chunk_text, n_tokens):
+    chunk k starts at token 1 + k*stride (stride = chunk_tokens -
+    overlap) and takes up to chunk_tokens tokens; starts run while
+    start <= max(n_tokens - overlap, 1), so every token lands in a
+    chunk, consecutive chunks share ``overlap`` tokens, and no chunk
+    is a strict suffix of its predecessor. A document shorter than one
+    chunk yields exactly one (possibly short) chunk.
+
+    Entirely JVM-side (sequence/slice/posexplode in whole-stage
+    codegen) — at 100 TB this is a row-local scan transformation with
+    NO shuffle; output rows ≈ input tokens / stride."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    upper = F.greatest(F.size(toks) - F.lit(overlap), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(1), upper, F.lit(stride)),
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.size(F.slice(toks, s, chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "__c")
+    )
+    return exploded.select(
+        id_col, "chunk_index", F.col("__c.chunk_text"), F.col("__c.n_tokens")
+    )

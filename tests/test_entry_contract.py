@@ -12,8 +12,11 @@ import __spark_entry__ as entry
 # registry is swept by tools/check_oracle.py (judge-verified per round).
 # The multimodal siblings ALTERNATE per round (advice r7) so each
 # periodically re-enters the externally-checked window:
-# r7 swept frame_sample; r8 sweeps features.
-SWEPT_NON_TPCH = {"multimodal_features"}
+# r7 swept frame_sample; r8 sweeps features. r8's dedup_incremental +
+# text_chunking additions rotate similarity_topk / similarity_ann_lsh
+# out: similarity_ann_ivf verifies the family in-window, and all three
+# share the same brute-force oracle (probe-all / nprobe=nlist configs).
+SWEPT_NON_TPCH = {"multimodal_features", "similarity_topk", "similarity_ann_lsh"}
 
 
 def test_driver_window_holds_all_operator_queries():
@@ -61,13 +64,14 @@ def test_driver_window_covers_every_operator_family():
         "llm_dedup": {
             "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
             "dedup_ngram_jaccard", "dedup_embedding", "dedup_components",
+            "dedup_incremental",
         },
         "llm_similarity": {
             "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
         },
         "llm_text": {
             "text_stats", "text_fingerprint_groups", "text_vocab_topk",
-            "text_contamination",
+            "text_contamination", "text_chunking",
         },
         "llm_pipeline": {
             "sampling_deterministic", "sampling_stratified",

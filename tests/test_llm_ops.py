@@ -675,3 +675,72 @@ def test_dedup_canonical_survivor_selection(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [2, 10, 99]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_incremental_dedup_semantics(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    ).withColumn("norm", X.normalize_text("text"))
+    batch = spark.createDataFrame(
+        [
+            (10, "Alpha, beta!"),   # dup of corpus (normalizes equal) -> dropped
+            (20, "epsilon zeta"),   # new -> survives
+            (30, "epsilon zeta"),   # within-batch dup, larger id -> folded
+            (40, "eta theta"),      # new -> survives
+        ],
+        "doc_id long, text string",
+    ).withColumn("norm", X.normalize_text("text"))
+    out = D.incremental_dedup(batch, corpus, ["norm"], "doc_id")
+    rows = {r["doc_id"]: r["batch_dup_count"] for r in out.collect()}
+    assert rows == {20: 2, 40: 1}
+
+
+def test_incremental_dedup_never_shuffles_corpus(spark, docs):
+    """100 TB posture: the corpus reaches its joins only through
+    broadcast hash joins (semi vs the batch key set) — no Exchange on
+    the corpus branch, no sort-merge join anywhere."""
+    d = docs.withColumn("norm", X.normalize_text("text"))
+    out = D.incremental_dedup(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        ["norm"],
+        "doc_id",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_chunk_documents_reassembles_and_overlaps(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = X.chunk_documents(df, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_index"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    # doc 1: 10 tokens, stride 3, starts while <= 9 -> 1,4,7 (full cover,
+    # 1-token overlap between consecutive chunks)
+    d1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in d1] == [0, 1, 2]
+    assert d1[0][2] == "w0 w1 w2 w3" and d1[0][3] == 4
+    assert d1[1][2] == "w3 w4 w5 w6"
+    assert d1[2][2] == "w6 w7 w8 w9"
+    # overlap: last token of chunk k == first token of chunk k+1
+    for a, b in zip(d1, d1[1:]):
+        assert a[2].split()[-1] == b[2].split()[0]
+    # doc 2: shorter than one chunk -> exactly one short chunk
+    d2 = [r for r in rows if r[0] == 2]
+    assert d2 == [(2, 0, "short doc", 2)]
+    # doc 3: empty text -> one empty chunk (deterministic, not dropped)
+    d3 = [r for r in rows if r[0] == 3]
+    assert d3 == [(3, 0, "", 0)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=4, overlap=4)

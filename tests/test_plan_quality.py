@@ -30,6 +30,7 @@ READ_QUERIES = [
     "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
     "text_pii_scrub", "text_repetition",
     "dedup_components", "dedup_canonical",
+    "dedup_incremental", "text_chunking",
 ]
 
 # table-format fixture queries: each builds a whole Hudi table (minutes
