@@ -158,6 +158,11 @@ def options_to_kwargs(options: dict) -> dict:
     # (timeline.consolidate_archive). NOT hoodie.commits.archival.batch,
     # whose reference semantics (commits written per archive batch)
     # differ (code-review r8)
+    # back-compat: earlier releases of THIS engine spelled the knob
+    # hoodie.commits.archival.batch — keep honoring it (silently
+    # dropping it would revert existing configs to the default trigger
+    # with no warning); the corrected spelling wins when both are given
+    take("hoodie.commits.archival.batch", "archive_merge_batches", int)
     take("hoodie.archive.merge.files.batch.size", "archive_merge_batches", int)
     take("hoodie.bulkinsert.shuffle.parallelism", "write_parallelism", int)
     take(

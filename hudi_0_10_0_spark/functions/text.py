@@ -319,19 +319,31 @@ def chunk_documents(
     Entirely JVM-side (sequence/slice/posexplode in whole-stage
     codegen) — at 100 TB this is a row-local scan transformation with
     NO shuffle; output rows ≈ input tokens / stride."""
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        # a negative overlap would make the stride exceed the chunk size
+        # and silently drop the tokens in between — reject both ends
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(text_col)
-    upper = F.greatest(F.size(toks) - F.lit(overlap), F.lit(1))
+    # materialize the token array once per row (multiple references keep
+    # Catalyst from inlining the regexp into every consumer); n_tokens is
+    # interval arithmetic on the chunk bounds — no second slice
+    with_toks = df.withColumn("__toks", tokens(text_col))
+    n = F.size(F.col("__toks"))
+    upper = F.greatest(n - F.lit(overlap), F.lit(1))
     chunks = F.transform(
         F.sequence(F.lit(1), upper, F.lit(stride)),
         lambda s: F.struct(
-            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
-            F.size(F.slice(toks, s, chunk_tokens)).alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("__toks"), s, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.greatest(
+                F.least(s + F.lit(chunk_tokens - 1), n) - s + F.lit(1), F.lit(0)
+            ).alias("n_tokens"),
         ),
     )
-    exploded = df.select(
+    exploded = with_toks.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_index", "__c")
     )
     return exploded.select(

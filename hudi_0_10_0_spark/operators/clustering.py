@@ -79,7 +79,7 @@ def schedule_cluster(
     # code-review r8); metadata-only work, no Spark job under the lock
     from .services import _admin_lock
 
-    with _admin_lock(table, f"schedule-cluster-{table.new_instant()}"):
+    with _admin_lock(table, f"schedule-cluster-{uuid.uuid4().hex}"):
         return _schedule_cluster_locked(
             table, partitions, sort_cols, layout, curve_method, curve_bits,
             target_file_size, small_files_only, target_file_groups,
@@ -207,7 +207,14 @@ def cluster(
         target_file_groups=target_file_groups,
     )
     if instant is None:
-        return None
+        # Nothing newly schedulable — but a leftover PENDING plan pins
+        # its groups against re-planning (the r8 mutual exclusion), so
+        # inline clustering must drain it or stall on those groups
+        # forever (code-review r8). run_cluster(None) executes the
+        # earliest pending plan and is a no-op when none exists; the
+        # async retry contract (keep plan on failure) applies since the
+        # plan was scheduled separately.
+        return run_cluster(table, None)
     # inline schedule+run: a failure discards the just-created plan,
     # restoring the pre-call state (the async retry contract applies
     # only to plans scheduled separately)

@@ -7,6 +7,8 @@ one DataFrame merge job — no row-level driver work.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 from ..config import DELETE_MARKER_COL, TableType
@@ -29,6 +31,14 @@ from ..timeline import (
 )
 from .merge import mor_merge_window
 from .write import collect_write_stats, write_instant_files
+
+
+class ServiceGuardedError(ValueError):
+    """A pending service plan is mid-execution under a live rival's
+    heartbeat — refusing concurrent execution. Subclasses ValueError so
+    pre-existing callers that caught ValueError keep working; typed so
+    the inline drain path can back off on exactly this condition
+    without masking real execution failures (code-review r8)."""
 
 # --------------------------------------------------------------------------
 # Compaction (client/table/action/compact/HoodieCompactor.java:99-201)
@@ -102,7 +112,7 @@ def schedule_compaction(
     # landed and pin the same groups). Pure metadata work, no Spark
     # job, so holding the lock is cheap; the reference takes the same
     # lock for scheduleTableServiceInternal under multi-writer.
-    with _admin_lock(table, f"schedule-compaction-{table.new_instant()}"):
+    with _admin_lock(table, f"schedule-compaction-{uuid.uuid4().hex}"):
         return _schedule_compaction_locked(
             table, strategy, max_slices, io_budget_bytes, day_partitions
         )
@@ -165,7 +175,23 @@ def run_compaction(table, instant: str | None = None) -> str | None:
     if instant is None:
         instant = schedule_compaction(table)
         if instant is None:
-            return None
+            # Nothing newly schedulable. A leftover PENDING plan (a
+            # crashed run, or SCHEDULE COMPACTION never executed) pins
+            # its file groups against re-planning (the r8 mutual
+            # exclusion), so without draining it here inline compaction
+            # would stall FOREVER on those groups — logs accumulating
+            # unboundedly (code-review r8). Drain the earliest pending
+            # plan instead, like run_cluster(None); a rival
+            # mid-execution (live heartbeat) makes this a no-op.
+            pend = sorted(
+                i.timestamp for i in timeline.pending() if i.action == COMPACTION
+            )
+            if not pend:
+                return None
+            try:
+                return run_compaction(table, pend[0])
+            except ServiceGuardedError:
+                return None
     # Crash recovery (crash-matrix r6): if the compaction's COMMIT
     # already COMPLETED (crash between the commit point and the plan-file
     # cleanup), re-executing would rewrite — and with the leftover-dir
@@ -201,7 +227,7 @@ def run_compaction(table, instant: str | None = None) -> str | None:
         lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
         try:
             if heartbeat_live(table, instant):
-                raise ValueError(
+                raise ServiceGuardedError(
                     f"pending compaction {instant} is guarded by a live "
                     "writer's heartbeat — refusing concurrent execution"
                 )
@@ -1083,7 +1109,7 @@ def rollback_pending_writes(table) -> list[str]:
     if not occ:
         return _sweep()
     lock = get_lock_provider(table)
-    owner = f"failed-write-sweep-{table.new_instant()}"
+    owner = f"failed-write-sweep-{uuid.uuid4().hex}"
     try:
         lock.lock(owner, wait_seconds=table.cfg.lock_wait_seconds)
     except LockTimeoutError:

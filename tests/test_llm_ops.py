@@ -744,3 +744,8 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=4, overlap=4)
+    # negative overlap = stride > chunk size = silent token loss
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=4, overlap=-1)
+    with pytest.raises(ValueError):
+        X.chunk_documents(df, chunk_tokens=0, overlap=0)

@@ -836,3 +836,73 @@ def test_mutual_pending_plan_scheduling_exclusion(spark, tmp_table_path, orders)
     # drain: compaction still runs its plan to completion
     assert t.compact(p1) is not None
     assert t.snapshot().count() == orders.count()
+
+
+def test_inline_compaction_drains_leftover_pending_plan(spark, tmp_table_path, orders):
+    """Code-review r8: the mutual pending-plan scheduling exclusion must
+    not make inline compaction a permanent no-op when a leftover pending
+    plan (crashed run / user SCHEDULE COMPACTION) pins the delta-bearing
+    groups — run_compaction(None) drains the earliest pending plan."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/drain",
+        WriteConfig(
+            record_key_field="o_orderkey",
+            partition_field="o_orderstatus",
+            precombine_field="o_totalprice",
+            table_type=TableType.MERGE_ON_READ,
+            inline_compact=True,
+            compact_max_delta_commits=2,
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+    t.bulk_insert(orders)
+    ten = orders.limit(10)
+    t.upsert(ten.withColumn("o_totalprice", F.lit(1.0)))
+    # leftover pending plan pinning every delta-bearing group
+    leftover = t.schedule_compaction()
+    assert leftover is not None
+    # next upsert crosses the trigger; scheduling returns None (groups
+    # pinned by the leftover plan) — inline compaction must DRAIN the
+    # leftover instead of stalling forever
+    t.upsert(ten.withColumn("o_totalprice", F.lit(2.0)))
+    from hudi_0_10_0_spark.timeline import COMPACTION
+
+    assert not [i for i in t.timeline.pending() if i.action == COMPACTION]
+    # the leftover plan COMPLETED as a commit (logs of the second upsert
+    # post-date the plan instant and correctly survive on the new slice)
+    assert any(
+        i.timestamp == leftover and i.action == "commit" and i.state == "completed"
+        for i in t.timeline.instants()
+    )
+    snap = {r["o_orderkey"]: r["o_totalprice"] for r in t.snapshot().collect()}
+    for r in ten.collect():
+        assert snap[r["o_orderkey"]] == 2.0
+
+
+def test_inline_clustering_drains_leftover_pending_plan(spark, tmp_table_path, orders):
+    """Same stall for inline cluster(): a leftover pending clustering
+    plan pins its groups against re-planning; cluster() must drain it."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/cdrain",
+        WriteConfig(
+            record_key_field="o_orderkey",
+            partition_field="o_orderstatus",
+            precombine_field="o_totalprice",
+            auto_clean=False,
+            auto_archive=False,
+        ),
+    )
+    t.bulk_insert(orders)
+    leftover = t.schedule_cluster(sort_cols=["o_orderkey"])
+    assert leftover is not None
+    # scheduling now returns None (groups pinned) — inline cluster()
+    # must execute the leftover plan rather than returning None
+    done = t.cluster(sort_cols=["o_orderkey"])
+    assert done == leftover
+    from hudi_0_10_0_spark.timeline import REPLACE_COMMIT
+
+    assert not [i for i in t.timeline.pending() if i.action == REPLACE_COMMIT]
+    assert t.snapshot().count() == orders.count()
