@@ -249,10 +249,16 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
         t.upsert(orders.unionByName(bumped))
     elif kind == "bloom":
         # BLOOM index: tag join pre-pruned by per-file key ranges read
-        # from commit stats (operators/write.py _bloom-range filter);
-        # same upsert/delete semantics as SIMPLE — the index only
-        # changes which base files the tag join scans
-        t = HudiTable.create(spark, path, _orders_cfg(index_type="BLOOM"))
+        # from commit stats PLUS real bloom-filter membership tests
+        # against the per-group sidecars (operators/bloom.py, r8 —
+        # min_bytes=0 forces the filter stage at this fixture's size so
+        # the oracle gate covers it); same upsert/delete semantics as
+        # SIMPLE — the index only changes which base files the tag
+        # join scans
+        t = HudiTable.create(
+            spark, path,
+            _orders_cfg(index_type="BLOOM", bloom_prune_min_bytes=0),
+        )
         t.bulk_insert(orders)
         t.upsert(
             orders.filter(F.col("o_orderkey") % 8 == 0).withColumn(
@@ -269,7 +275,11 @@ def _fixture(spark: SparkSession, sf_dir: str, kind: str) -> tuple:
         # tag; keys arriving with a new partition value move
         t = HudiTable.create(
             spark, path,
-            _orders_cfg(index_type="GLOBAL_BLOOM", update_partition_path=True),
+            _orders_cfg(
+                index_type="GLOBAL_BLOOM",
+                update_partition_path=True,
+                bloom_prune_min_bytes=0,  # force the r8 filter stage
+            ),
         )
         t.bulk_insert(orders)
         t.upsert(

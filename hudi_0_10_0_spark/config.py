@@ -159,6 +159,18 @@ class WriteConfig:
     clustering_updates_strategy: str = "REJECT"
     collect_column_stats: bool = True
     stats_columns: list[str] | None = None  # None = all leaf primitive columns
+    # BLOOM / GLOBAL_BLOOM index: key-range pruning
+    # (hoodie.bloom.index.prune.by.ranges, HoodieBloomIndex.java:143-155)
+    # and real per-file-group bloom filters (operators/bloom.py — the
+    # membership half of HoodieBloomIndex: range-pruned candidates are
+    # pair-tested against per-group bloom sidecars before any data scan).
+    # fpp mirrors hoodie.index.bloom.fpp's default.
+    bloom_index_prune_by_ranges: bool = True
+    bloom_index_use_filters: bool = True
+    bloom_index_fpp: float = 0.000000001
+    # below this total candidate-base size the plain scan is cheaper
+    # than the pair-test jobs — skip the bloom step (cost gate, ours)
+    bloom_prune_min_bytes: int = 32 * 1024 * 1024
     # MOR snapshot log-key bypass: broadcast the distinct log keys and
     # let base rows with no log record skip the merge shuffle (reference
     # scanner semantics — only log keys merge). The gate is COST-BASED

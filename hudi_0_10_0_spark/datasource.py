@@ -135,6 +135,13 @@ def options_to_kwargs(options: dict) -> dict:
     take("hoodie.parquet.small.file.limit", "small_file_limit_bytes", int)
     take("hoodie.copyonwrite.record.size.estimate", "record_size_estimate", int)
     take("hoodie.index.type", "index_type", lambda v: str(v).upper())
+    take("hoodie.index.bloom.fpp", "bloom_index_fpp", float)
+    take(
+        "hoodie.bloom.index.prune.by.ranges", "bloom_index_prune_by_ranges", _bool
+    )
+    # ours (the reference always embeds filters in the parquet footer;
+    # our sidecar build is gateable because it costs one extra pass)
+    take("hoodie.bloom.index.use.filters", "bloom_index_use_filters", _bool)
     for k in (
         "hoodie.bloom.index.update.partition.path",
         "hoodie.simple.index.update.partition.path",

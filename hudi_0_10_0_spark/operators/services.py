@@ -763,6 +763,14 @@ def clean(table) -> str | None:
         },
     )
     _finish_clean(table, instant)
+    from .bloom import enabled as _bloom_on, gc_sidecars
+
+    if _bloom_on(cfg):
+        # bloom sidecars of instants whose base files the clean just
+        # removed are dead weight — collect them against a FRESH view
+        # (unbounded growth otherwise; pruning never reads an instant a
+        # live base doesn't reference, so this is pure space GC)
+        gc_sidecars(table, table.view())
     table_metrics(table).update_clean_metrics(_time.time() - _t0, len(physical))
     return instant
 

@@ -249,16 +249,24 @@ def tag_location(
         slices = view.latest_file_slices(partitions=parts)
 
     if cfg.index_type.upper() in ("BLOOM", "GLOBAL_BLOOM") and slices:
-        rng = incoming.agg(
-            F.min(RECORD_KEY_COL).alias("mn"), F.max(RECORD_KEY_COL).alias("mx")
-        ).first()
-        if rng and rng["mn"] is not None:
-            slices = [
-                s
-                for s in slices
-                if s.base.min_key is None
-                or not (s.base.max_key < rng["mn"] or s.base.min_key > rng["mx"])
-            ]
+        if cfg.bloom_index_prune_by_ranges:
+            rng = incoming.agg(
+                F.min(RECORD_KEY_COL).alias("mn"), F.max(RECORD_KEY_COL).alias("mx")
+            ).first()
+            if rng and rng["mn"] is not None:
+                slices = [
+                    s
+                    for s in slices
+                    if s.base.min_key is None
+                    or not (s.base.max_key < rng["mn"] or s.base.min_key > rng["mx"])
+                ]
+        if cfg.bloom_index_use_filters and slices:
+            # membership half of HoodieBloomIndex: pair-test incoming
+            # keys against per-group bloom sidecars; only groups some
+            # key actually hits stay in the index scan (operators/bloom.py)
+            from . import bloom as bloom_index
+
+            slices = bloom_index.prune_slices(table, incoming, slices, global_idx)
 
     if not slices:
         return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
@@ -624,6 +632,14 @@ def collect_write_stats(
     footers are fetched on the driver for small commits and fanned out
     over executors for large ones."""
     cfg = table.cfg
+    from . import bloom as bloom_index
+
+    if bloom_index.enabled(cfg):
+        # every base-file-creating path funnels through here (writes,
+        # compaction, clustering, bootstrap), so this is the one hook
+        # that keeps bloom sidecars complete; cost is one extra pass
+        # over the just-written files' key column (∝ batch size)
+        bloom_index.build_sidecar(table, instant, log_fids)
     inst_dir = table.instant_data_path(instant)
     listed = table.fs.list_files_recursive(inst_dir)
     by_fg_bytes: dict[tuple[str, str], int] = {}
