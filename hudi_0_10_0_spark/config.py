@@ -171,6 +171,14 @@ class WriteConfig:
     # below this total candidate-base size the plain scan is cheaper
     # than the pair-test jobs — skip the bloom step (cost gate, ours)
     bloom_prune_min_bytes: int = 32 * 1024 * 1024
+    # above this many (approx) distinct incoming keys the membership
+    # stage is skipped: a huge batch hits nearly every filter anyway,
+    # and the one-row-per-group hash aggregation would materialize
+    # O(batch) hashes in single rows (upper cost gate, ours — the
+    # reference instead repartitions exploded pairs,
+    # HoodieBloomIndex.java explode/lookup, a shape we avoid entirely
+    # for the trickle batches where filters pay off)
+    bloom_prune_max_keys: int = 2_000_000
     # MOR snapshot log-key bypass: broadcast the distinct log keys and
     # let base rows with no log record skip the merge shuffle (reference
     # scanner semantics — only log keys merge). The gate is COST-BASED

@@ -142,6 +142,8 @@ def options_to_kwargs(options: dict) -> dict:
     # ours (the reference always embeds filters in the parquet footer;
     # our sidecar build is gateable because it costs one extra pass)
     take("hoodie.bloom.index.use.filters", "bloom_index_use_filters", _bool)
+    take("hoodie.bloom.index.prune.min.bytes", "bloom_prune_min_bytes", int)
+    take("hoodie.bloom.index.prune.max.keys", "bloom_prune_max_keys", int)
     for k in (
         "hoodie.bloom.index.update.partition.path",
         "hoodie.simple.index.update.partition.path",

@@ -166,14 +166,33 @@ def build_sidecar(table, instant: str, log_fids: set | None = None) -> None:
     rows = keys.groupBy(PARTITION_PATH_COL, FILE_ID_COL).applyInPandas(
         make, schema=_SIDECAR_SCHEMA
     )
-    rows.coalesce(1).write.mode("overwrite").parquet(sidecar_path(table, instant))
+    # no coalesce(1): a bulk load can build thousands of bitmaps and a
+    # single writer task would serialize them all; AQE coalesces the
+    # trickle case to one file on its own, and the reader lists the
+    # directory either way
+    rows.write.mode("overwrite").parquet(sidecar_path(table, instant))
 
 
-def prune_slices(table, incoming: DataFrame, slices: list, global_idx: bool) -> list:
+def prune_slices(
+    table,
+    incoming: DataFrame,
+    slices: list,
+    global_idx: bool,
+    n_keys: int | None = None,
+) -> list:
     """Drop candidate slices no incoming key can live in, per the bloom
     sidecars. Exact keys are resolved by the tag join afterwards — this
     only bounds WHICH file groups that join has to scan."""
     cfg = table.cfg
+    if n_keys is None:
+        n_keys = (
+            incoming.agg(F.approx_count_distinct(RECORD_KEY_COL)).first()[0] or 0
+        )
+    if n_keys > cfg.bloom_prune_max_keys:
+        # a batch this large hits nearly every filter, and the
+        # one-row-per-group hash aggregation below would materialize
+        # O(batch) hashes per row — range pruning already ran; scan
+        return slices
     covered, kept = [], []
     for s in slices:
         # raw (bootstrap-source) bases and instants with no sidecar file

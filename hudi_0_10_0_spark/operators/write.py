@@ -249,11 +249,15 @@ def tag_location(
         slices = view.latest_file_slices(partitions=parts)
 
     if cfg.index_type.upper() in ("BLOOM", "GLOBAL_BLOOM") and slices:
+        n_keys = None
         if cfg.bloom_index_prune_by_ranges:
             rng = incoming.agg(
-                F.min(RECORD_KEY_COL).alias("mn"), F.max(RECORD_KEY_COL).alias("mx")
+                F.min(RECORD_KEY_COL).alias("mn"),
+                F.max(RECORD_KEY_COL).alias("mx"),
+                F.approx_count_distinct(RECORD_KEY_COL).alias("nk"),
             ).first()
             if rng and rng["mn"] is not None:
+                n_keys = rng["nk"]
                 slices = [
                     s
                     for s in slices
@@ -266,7 +270,9 @@ def tag_location(
             # key actually hits stay in the index scan (operators/bloom.py)
             from . import bloom as bloom_index
 
-            slices = bloom_index.prune_slices(table, incoming, slices, global_idx)
+            slices = bloom_index.prune_slices(
+                table, incoming, slices, global_idx, n_keys=n_keys
+            )
 
     if not slices:
         return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))

@@ -141,6 +141,30 @@ def test_virtual_keys_skip_sidecar_build(spark, tmp_table_path):
     assert got[7] == 7777 and len(got) == len(SEED)
 
 
+def test_max_keys_gate_skips_membership_stage(spark, tmp_table_path):
+    """Above bloom_prune_max_keys the membership stage must be skipped
+    (range-pruned candidates returned unchanged) — the per-group hash
+    rows would otherwise grow O(batch) — and the upsert stays correct."""
+    t = HudiTable.create(
+        spark, tmp_table_path + "/cap", _cfg(bloom_prune_max_keys=10)
+    )
+    t.bulk_insert(_df(spark, SEED))
+    slices = t.view().latest_file_slices()
+    incoming = spark.createDataFrame(
+        [(str(i), f"p{i % 2}") for i in range(40)],
+        f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string",
+    )
+    assert B.prune_slices(t, incoming, slices, global_idx=True) == slices
+    # and below the cap the stage still prunes
+    one = spark.createDataFrame(
+        [("absent-xyz", "p0")], f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string"
+    )
+    assert B.prune_slices(t, one, slices, global_idx=True) == []
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 5000) for i in range(40)]))
+    got = {r["id"]: r["v"] for r in t.snapshot().select("id", "v").collect()}
+    assert got[39] == 5039 and len(got) == len(SEED)
+
+
 def test_clean_gc_drops_unreferenced_sidecars(spark, tmp_table_path):
     t = HudiTable.create(
         spark,
