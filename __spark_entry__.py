@@ -1536,6 +1536,45 @@ def _sql_sample_bucket() -> str:
     return f"({h2} % 10000)"
 
 
+def q_sampling_mixture(spark, sf_dir):
+    """Target-mixture corpus construction (functions/sampling.py
+    mixture_sample): given integer domain weights 5/3/2 over three
+    sources, keep the largest corpus matching that mixture — the
+    binding domain (min rows/weight) survives whole, the rest are
+    hash-downsampled with exact integer thresholds, so the precise row
+    set is engine-reproducible."""
+    from hudi_0_10_0_spark.functions.sampling import mixture_sample
+
+    docs = _pq(spark, sf_dir, "documents")
+    picked = mixture_sample(
+        docs,
+        key_col="doc_id",
+        domain_col="source",
+        weights={"src1": 5, "src6": 3, "src18": 2},
+    )
+    return picked.select("doc_id", "source").orderBy("doc_id")
+
+
+def _sql_sampling_mixture() -> str:
+    b = _sql_sample_bucket()
+    return f"""
+WITH cw AS (
+    SELECT source AS d, COUNT(*) AS n,
+           CASE source WHEN 'src1' THEN 5 WHEN 'src6' THEN 3
+                       WHEN 'src18' THEN 2 END AS w
+    FROM documents WHERE source IN ('src1', 'src6', 'src18')
+    GROUP BY source
+),
+bind AS (SELECT d, n, w FROM cw ORDER BY CAST(n AS DOUBLE) / w, d LIMIT 1),
+t AS (SELECT cw.d, (10000 * cw.w * bind.n) // (bind.w * cw.n) AS thresh
+      FROM cw, bind)
+SELECT doc_id, source
+FROM documents JOIN t ON documents.source = t.d
+WHERE {b} < t.thresh
+ORDER BY doc_id
+"""
+
+
 def _sql_sampling_stratified() -> str:
     b = _sql_sample_bucket()
     return f"""
@@ -2765,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8 additions (new driver evidence first) ---
         "dedup_incremental": q_dedup_incremental,
         "text_chunking": q_text_chunking,
+        "sampling_mixture": q_sampling_mixture,
         # --- r2-unchecked (past position 50 last round) ---
         "similarity_ann_ivf": q_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
@@ -2784,7 +2824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_full_record": q_bootstrap_full_record,
         "incremental_partition_glob": q_incremental_partition_glob,
         "clustering_sort": q_clustering_sort,
-        "sampling_deterministic": q_sampling_deterministic,
         # --- core table-format operators ---
         "cow_snapshot_upsert_delete": q_cow_snapshot,
         "cow_incremental": q_cow_incremental,
@@ -2829,6 +2868,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_ann_topk,
         "multimodal_features": q_multimodal_features,
+        # (rotation r8: sampling_mixture joins the window; the uniform
+        # sampler sweeps — its universal-hash mechanism is verified
+        # in-window by BOTH sampling_stratified and sampling_mixture)
+        "sampling_deterministic": q_sampling_deterministic,
         # --- stable twice-green TPC-H relational demos (r7: ALL 22 now
         # rotate past the driver's 50-entry window — the window is
         # exactly the 50 operator/pipeline queries; the TPC-H block is
@@ -2948,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _SQL_MULTIMODAL,
         "multimodal_frame_sample": _SQL_FRAME_SAMPLE,
         "sampling_stratified": _sql_sampling_stratified(),
+        "sampling_mixture": _sql_sampling_mixture(),
         "pipeline_pack_sequences": _SQL_PACK_SEQUENCES,
         "clustering_zorder": _SQL_CLUSTERING,
         "clustering_hilbert_async": _SQL_CLUSTERING,

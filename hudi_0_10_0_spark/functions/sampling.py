@@ -95,6 +95,66 @@ def stratified_sample(
     return df.filter(sample_bucket(key_col, buckets) < thresh)
 
 
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, int],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Target-mixture downsampling: keep the LARGEST corpus whose domain
+    proportions match integer ``weights`` (e.g. ``{"web": 5, "books": 3,
+    "code": 2}`` → 50/30/20). The binding domain — the one that runs out
+    first at the target mixture, min over n_d/w_d — is kept whole; every
+    other domain is deterministically hash-sampled down to
+    ``w_d * n_binding / w_binding`` rows (in expectation over hash
+    buckets). Domains absent from ``weights`` are dropped.
+
+    All threshold arithmetic is integer (weights are integer parts;
+    thresholds are floor-divided products), so any BIGINT engine
+    reproduces the exact row set — the same portability contract as
+    ``deterministic_sample``. Binding-domain selection cross-multiplies
+    exact fractions, tie-broken by domain name.
+
+    Scale shape: one O(domains) count agg (collect is metadata-sized),
+    then a stateless CASE-threshold filter over the same universal hash
+    — no data shuffle, no per-row Python. This is the mixture-weighting
+    step of corpus construction (fixed-ratio data mixing), run once per
+    corpus version."""
+    from fractions import Fraction
+
+    _require_numeric_key(df, key_col)
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    for d, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(
+                f"weight for {d!r} is {w!r}; weights are positive integer "
+                "parts (use e.g. 5/3/2, not 0.5/0.3/0.2) so thresholds "
+                "stay exact integer arithmetic"
+            )
+    counts = {
+        r[0]: r[1]
+        for r in df.filter(F.col(domain_col).isin(list(weights)))
+        .groupBy(domain_col)
+        .count()
+        .collect()
+    }
+    empty = sorted(d for d in weights if not counts.get(d))
+    if empty:
+        # a zero-row domain forces the whole mixture to zero rows —
+        # loud beats a silently empty corpus
+        raise ValueError(f"mixture domains have no rows: {empty}")
+    b = min(weights, key=lambda d: (Fraction(counts[d], weights[d]), d))
+    thresh = F.lit(-1)
+    for d in sorted(weights):
+        t = (buckets * weights[d] * counts[b]) // (weights[b] * counts[d])
+        thresh = F.when(F.col(domain_col) == F.lit(d), F.lit(t)).otherwise(
+            thresh
+        )
+    return df.filter(sample_bucket(key_col, buckets) < thresh)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

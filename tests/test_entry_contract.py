@@ -16,7 +16,15 @@ import __spark_entry__ as entry
 # text_chunking additions rotate similarity_topk / similarity_ann_lsh
 # out: similarity_ann_ivf verifies the family in-window, and all three
 # share the same brute-force oracle (probe-all / nprobe=nlist configs).
-SWEPT_NON_TPCH = {"multimodal_features", "similarity_topk", "similarity_ann_lsh"}
+# sampling_mixture rotates sampling_deterministic out: the universal
+# hash it relies on is verified in-window by BOTH sampling_stratified
+# and sampling_mixture.
+SWEPT_NON_TPCH = {
+    "multimodal_features",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "sampling_deterministic",
+}
 
 
 def test_driver_window_holds_all_operator_queries():

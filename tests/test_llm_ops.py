@@ -749,3 +749,45 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         X.chunk_documents(df, chunk_tokens=4, overlap=-1)
     with pytest.raises(ValueError):
         X.chunk_documents(df, chunk_tokens=0, overlap=0)
+
+
+def test_mixture_sample_solves_target_mixture(spark):
+    """mixture_sample keeps the binding domain whole and downsamples the
+    rest so realized proportions track the integer weights; thresholds
+    are exact integer arithmetic (engine-portable, oracle-checked by
+    sampling_mixture)."""
+    import pytest
+
+    from hudi_0_10_0_spark.functions.sampling import mixture_sample
+
+    rows = (
+        [(i, "scarce") for i in range(100)]
+        + [(1000 + i, "mid") for i in range(1000)]
+        + [(10000 + i, "plenty") for i in range(5000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # weights 1/1/2 → binding domain is 'scarce' (100/1 < 1000/1, 5000/2)
+    picked = mixture_sample(
+        df, key_col="doc_id", domain_col="source", weights={"scarce": 1, "mid": 1, "plenty": 2}
+    )
+    got = {r["source"]: r["n"] for r in picked.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["scarce"] == 100  # binding domain survives whole
+    # others land near w_d * n_binding / w_binding (hash-bucket variance)
+    assert abs(got["mid"] - 100) <= 25
+    assert abs(got["plenty"] - 200) <= 40
+    # determinism: same inputs → identical row set
+    again = mixture_sample(
+        df, key_col="doc_id", domain_col="source", weights={"scarce": 1, "mid": 1, "plenty": 2}
+    )
+    assert sorted(r["doc_id"] for r in picked.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # unlisted domains are dropped
+    assert "extra" not in got
+    # error paths: float weights, empty weights, zero-row domain
+    with pytest.raises(ValueError, match="integer"):
+        mixture_sample(df, "doc_id", "source", {"mid": 0.5})
+    with pytest.raises(ValueError, match="at least one"):
+        mixture_sample(df, "doc_id", "source", {})
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(df, "doc_id", "source", {"mid": 1, "ghost": 1})
