@@ -11,6 +11,10 @@ Modes:
                 the decisive claim: tag I/O ∝ touched index buckets,
                 so a fixed-size batch costs ~the same against a 10×
                 larger base table
+  bloom         GLOBAL_BLOOM trickle upsert with INTERLEAVED keys at
+                each scale, filters off vs on — range pruning keeps
+                everything, so only the membership filters bound the
+                tag scan
 
 Usage: python tools/scale_curve.py [mode] [sf_dir] [multipliers...]
 Defaults: cow, /root/testdata/sf0.1, multipliers 1 and 10
@@ -216,6 +220,43 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
                 "upsert_s": round(upsert_s, 3),
                 "stages": stages,
             }
+        if mode == "bloom":
+            # r8: the bloom-filter membership stage's decisive case —
+            # INTERLEAVED keys (md5-prefixed), so every file group's
+            # [min,max] straddles the whole key space and range pruning
+            # keeps ~everything; only the per-group filters can bound
+            # the tag scan. Same fixed trickle batch at every mult,
+            # timed with filters ON vs OFF on the same table.
+            df_i = df.withColumn(
+                "uid", F.concat_ws("_", F.md5(F.col("uid")), F.col("uid"))
+            )
+            t = HudiTable.create(
+                spark, f"{tmp}/t",
+                WriteConfig(**{**cfg_kw, "index_type": "GLOBAL_BLOOM"}),
+            )
+            t.bulk_insert(df_i)
+            batch = df_i.filter(
+                (F.col("l_orderkey") % 997 == 0)
+                & (F.col("l_orderkey") < 100_000_000)
+            ).withColumn("l_quantity", F.col("l_quantity") + 1)
+            batch.write.mode("overwrite").parquet(f"{tmp}/batch")
+            batch = spark.read.parquet(f"{tmp}/batch")
+            batch_rows = batch.count()
+            n_groups = len(t.view().latest_file_slices())
+            out = {"mult": mult, "base_rows": base_rows,
+                   "batch_rows": batch_rows, "file_groups": n_groups}
+            # OFF first: JVM warm-up then favors the off case, keeping
+            # the filters-on win conservative
+            for label, flag in (("filters_off", False), ("filters_on", True)):
+                t.cfg.bloom_index_use_filters = flag
+                upsert_s, stages = _timed_upsert(
+                    t, batch.withColumn(
+                        "l_quantity", F.col("l_quantity") + (2 if flag else 1)
+                    )
+                )
+                out[f"upsert_s_{label}"] = round(upsert_s, 3)
+                out[f"stages_{label}"] = stages
+            return out
         if mode == "services":
             # VERDICT r6 #5: clustering (z-order), clean and archive at
             # each scale point — the table-service side of the curve
@@ -263,7 +304,7 @@ def main() -> None:
     args = sys.argv[1:]
     mode = "cow"
     if args and args[0] in (
-        "cow", "mor", "record_index", "record_index_mor", "services"
+        "cow", "mor", "record_index", "record_index_mor", "services", "bloom"
     ):
         mode = args.pop(0)
     sf_dir = args.pop(0) if args and not args[0].isdigit() else "/root/testdata/sf0.1"
