@@ -39,12 +39,15 @@ values per key (identical expressions on build and check) combined as
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..config import FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL
+
+log = logging.getLogger(__name__)
 
 # second-hash salt: any constant distinct from xxhash64's default
 # single-column stream; both sides go through _with_hashes, so build and
@@ -60,6 +63,13 @@ _SIDECAR_SCHEMA = T.StructType(
         T.StructField("k", T.IntegerType()),
         T.StructField("bits", T.BinaryType()),
     ]
+)
+# on-disk schema: build schema + the instant the filter describes, so
+# tag-time reads can match a candidate slice to ITS base's filter (a
+# rewritten group's stale row from an older sidecar must not be tested
+# — it may contain since-deleted keys and would defeat pruning there)
+_READ_SCHEMA = T.StructType(
+    list(_SIDECAR_SCHEMA.fields) + [T.StructField("instant", T.StringType())]
 )
 
 _MAX_M_BITS = 1 << 28  # 32 MiB per group — sizing safety cap
@@ -163,14 +173,21 @@ def build_sidecar(table, instant: str, log_fids: set | None = None) -> None:
             }
         )
 
-    rows = keys.groupBy(PARTITION_PATH_COL, FILE_ID_COL).applyInPandas(
-        make, schema=_SIDECAR_SCHEMA
-    )
-    # no coalesce(1): a bulk load can build thousands of bitmaps and a
-    # single writer task would serialize them all; AQE coalesces the
-    # trickle case to one file on its own, and the reader lists the
-    # directory either way
-    rows.write.mode("overwrite").parquet(sidecar_path(table, instant))
+    try:
+        rows = keys.groupBy(PARTITION_PATH_COL, FILE_ID_COL).applyInPandas(
+            make, schema=_SIDECAR_SCHEMA
+        ).withColumn("instant", F.lit(instant))
+        # no coalesce(1): a bulk load can build thousands of bitmaps and
+        # a single writer task would serialize them all; AQE coalesces
+        # the trickle case to one file on its own, and the reader lists
+        # the directory either way
+        rows.write.mode("overwrite").parquet(sidecar_path(table, instant))
+    except Exception as e:
+        # the filter is a pure optimization structure: a failed build
+        # must never abort the commit whose data files are already
+        # correct — the missing sidecar only disables pruning there
+        log.warning("bloom sidecar build for %s failed (non-fatal, "
+                    "groups stay unprunable): %s", instant, e)
 
 
 def prune_slices(
@@ -194,14 +211,17 @@ def prune_slices(
         # O(batch) hashes per row — range pruning already ran; scan
         return slices
     covered, kept = [], []
+    # memoized per distinct base instant — candidate slices share a
+    # handful of instants, and one exists() per SLICE would be O(groups)
+    # driver metadata round trips on every tag (review r8)
+    has_sidecar: dict[str, bool] = {}
     for s in slices:
         # raw (bootstrap-source) bases and instants with no sidecar file
         # (pre-feature writes, vk history, torn build) are never pruned
-        if (
-            s.base.raw
-            or not s.base.paths
-            or not table.fs.exists(sidecar_path(table, s.base.instant))
-        ):
+        inst = s.base.instant
+        if inst not in has_sidecar:
+            has_sidecar[inst] = table.fs.exists(sidecar_path(table, inst))
+        if s.base.raw or not s.base.paths or not has_sidecar[inst]:
             kept.append(s)
         else:
             covered.append(s)
@@ -209,17 +229,35 @@ def prune_slices(
         return slices
     if sum(s.base.bytes for s in covered) < cfg.bloom_prune_min_bytes:
         return slices  # scanning is cheaper than the pair-test jobs
+    try:
+        return kept + _membership_test(table, incoming, covered, global_idx)
+    except Exception as e:
+        # degrade, never fail: a corrupt/torn sidecar (crash outside the
+        # rename commit, bitrot) surfaces at JOB time, not at the lazy
+        # read — the whole pipeline falls back to the unpruned scan
+        log.warning("bloom membership test failed (non-fatal, falling "
+                    "back to unpruned candidates): %s", e)
+        return slices
+
+
+def _membership_test(table, incoming, covered: list, global_idx: bool) -> list:
+    """The pair-test pipeline: returns the subset of ``covered`` whose
+    filter some incoming key hits. Raises on any failure — the caller
+    degrades to the unpruned candidate list."""
     spark = table.spark
     paths = sorted({sidecar_path(table, s.base.instant) for s in covered})
-    try:
-        blooms = spark.read.schema(_SIDECAR_SCHEMA).parquet(*paths).drop(
-            PARTITION_PATH_COL, "n_keys"
-        )
-    except Exception:
-        return slices  # sidecar unreadable → no pruning
+    blooms = spark.read.schema(_READ_SCHEMA).parquet(*paths).select(
+        F.col(FILE_ID_COL),
+        F.col("instant").alias("__inst"),
+        "m_bits", "k", "bits",
+    )
     cand = spark.createDataFrame(
-        [(s.partition, s.file_id, s.base.min_key, s.base.max_key) for s in covered],
-        f"__cpp string, {FILE_ID_COL} string, __mn string, __mx string",
+        [
+            (s.partition, s.file_id, s.base.instant, s.base.min_key, s.base.max_key)
+            for s in covered
+        ],
+        f"__cpp string, {FILE_ID_COL} string, __inst string, "
+        "__mn string, __mx string",
     )
     keys = _with_hashes(
         incoming.select(RECORD_KEY_COL, PARTITION_PATH_COL).distinct()
@@ -240,12 +278,15 @@ def prune_slices(
     # ONE row of key hashes per file group, so a bitmap is never
     # replicated per key; row size is bounded by the keys whose range
     # matches that group
-    grouped = pairs.groupBy(FILE_ID_COL).agg(
+    grouped = pairs.groupBy(FILE_ID_COL, "__inst").agg(
         F.collect_list("__h1").alias("__h1s"), F.collect_list("__h2").alias("__h2s")
     )
-    # LEFT join: a group whose sidecar row is missing must read as HIT
-    # (unprunable), never as miss
-    tested = grouped.join(blooms, FILE_ID_COL, "left")
+    # LEFT join on (file_id, instant): the filter tested is the one the
+    # candidate's OWN base wrote — a stale row for the same group from
+    # an older sidecar may contain since-deleted keys and must not
+    # resurrect it. No row for the pair → bits null → HIT (unprunable),
+    # never a miss
+    tested = grouped.join(blooms, [FILE_ID_COL, "__inst"], "left")
 
     def test(pdf_iter):
         import numpy as np
@@ -283,8 +324,7 @@ def prune_slices(
             test, schema=f"{FILE_ID_COL} string"
         ).collect()  # metadata-sized: bounded by the candidate list
     }
-    kept.extend(s for s in covered if s.file_id in alive)
-    return kept
+    return [s for s in covered if s.file_id in alive]
 
 
 def gc_sidecars(table, view) -> int:
@@ -295,6 +335,10 @@ def gc_sidecars(table, view) -> int:
     if not names:
         return 0
     referenced = {b.instant for g in view.groups.values() for b in g.bases}
+    # a rival writer/service mid-commit has already built its sidecar
+    # but its bases are not yet in the view — deleting it would leave
+    # the rival's groups permanently unprunable (review r8)
+    referenced |= {i.timestamp for i in table.timeline.pending()}
     n = 0
     for name in names:
         inst = name.split(".parquet")[0]

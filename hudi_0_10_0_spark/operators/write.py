@@ -640,12 +640,6 @@ def collect_write_stats(
     cfg = table.cfg
     from . import bloom as bloom_index
 
-    if bloom_index.enabled(cfg):
-        # every base-file-creating path funnels through here (writes,
-        # compaction, clustering, bootstrap), so this is the one hook
-        # that keeps bloom sidecars complete; cost is one extra pass
-        # over the just-written files' key column (∝ batch size)
-        bloom_index.build_sidecar(table, instant, log_fids)
     inst_dir = table.instant_data_path(instant)
     listed = table.fs.list_files_recursive(inst_dir)
     by_fg_bytes: dict[tuple[str, str], int] = {}
@@ -661,6 +655,17 @@ def collect_write_stats(
         uris[uri] = (pp, fid)
     if not by_fg_paths:
         return []
+    if bloom_index.enabled(cfg) and any(
+        fg not in (log_fids or set()) for fg in by_fg_paths
+    ):
+        # every base-file-creating path funnels through here (writes,
+        # compaction, clustering, bootstrap), so this is the one hook
+        # that keeps bloom sidecars complete; cost is one extra pass
+        # over the just-written files' key column (∝ batch size).
+        # Skipped when EVERY written group is a log group (update-only
+        # MOR deltacommit): log keys are already in their base's filter,
+        # so the build would write an empty sidecar per commit
+        bloom_index.build_sidecar(table, instant, log_fids)
 
     stat_cols: list[str] = []
     if cfg.collect_column_stats:
@@ -1073,13 +1078,20 @@ def run_batch_write(
             # `tagged` cache materialize the pipeline, once. Tables with
             # many partitions (the 100 TB shape) keep the pruning join.
             few_parts = len(view.partitions()) <= 64
-            if not few_parts or key_index.enabled(cfg):
+            from .bloom import enabled as _bloom_filters_on
+
+            if (
+                not few_parts
+                or key_index.enabled(cfg)
+                or _bloom_filters_on(cfg)
+            ):
                 # the incoming pipeline (keygen + align + preCombine
                 # window) is evaluated more than once downstream: by the
-                # affected-partitions collect (many-partition tables) or
+                # affected-partitions collect (many-partition tables),
                 # by the RECORD_INDEX tag's key semi-join + tag join
-                # (code-review r7) — cache it so that evaluation isn't
-                # repeated
+                # (code-review r7), or by the bloom membership stage's
+                # range agg + distinct-keys pair job (review r8) — cache
+                # it so that evaluation isn't repeated
                 incoming = incoming.persist(StorageLevel.MEMORY_AND_DISK)
             tagged = tag_location(table, view, incoming, all_partitions=few_parts)
             if operation == WriteOperation.INSERT and cfg.insert_drop_dups:

@@ -213,3 +213,93 @@ def test_fp_rate_bounded(spark, tmp_table_path):
     )
     assert one == []
     assert len(pruned) <= len(slices)
+
+
+def test_stale_sidecar_row_does_not_resurrect_rewritten_group(spark, tmp_table_path):
+    """Review r8: a rewritten group must be tested against the filter
+    its CURRENT base wrote, not a stale row for the same file_id from an
+    older sidecar (which may contain since-deleted keys)."""
+    t = HudiTable.create(spark, tmp_table_path + "/stale", _cfg())
+    t.bulk_insert(_df(spark, SEED))  # sidecar I0 covers both groups
+    # delete key 51 → COW rewrites p1's group at I1 (its filter drops 51);
+    # p0's group still references I0, so BOTH sidecars stay loaded
+    t.delete(_df(spark, [(51, "p1", 0)]).select("id"))
+    slices = t.view().latest_file_slices()
+    insts = {s.base.instant for s in slices}
+    assert len(insts) == 2, insts  # mixed-instant candidate set
+    incoming = spark.createDataFrame(
+        [("51", "p1")], f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string"
+    )
+    pruned = B.prune_slices(t, incoming, slices, global_idx=True)
+    # 51 was deleted: no current filter contains it → nothing to scan
+    # (with the stale I0 row matched by file_id alone, p1's group would
+    # wrongly survive here)
+    assert pruned == []
+    # correctness: re-inserting the key lands as a fresh insert
+    t.upsert(_df(spark, [(51, "p1", 4242)]))
+    got = {r["id"]: r["v"] for r in t.snapshot().select("id", "v").collect()}
+    assert got[51] == 4242 and len(got) == len(SEED)
+
+
+def test_corrupt_sidecar_degrades_to_unpruned(spark, tmp_table_path):
+    """Review r8: a corrupt sidecar parquet must disable pruning (the
+    schema'd read is lazy, so the error surfaces at job time), never
+    fail the write path."""
+    t = HudiTable.create(spark, tmp_table_path + "/corrupt", _cfg())
+    t.bulk_insert(_df(spark, SEED))
+    inst = t.timeline.completed_write_instants()[-1].timestamp
+    side = B.sidecar_path(t, inst)
+    names = [n for n in t.fs.list_names(side) if n.endswith(".parquet")]
+    assert names
+    t.fs.write_text(f"{side}/{names[0]}", "NOT A PARQUET FILE")
+    slices = t.view().latest_file_slices()
+    incoming = spark.createDataFrame(
+        [("zzz-not-there", "p0")],
+        f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string",
+    )
+    # absent key would normally prune everything; corruption → keep all
+    assert B.prune_slices(t, incoming, slices, global_idx=True) == slices
+    # and the write path end-to-end still works
+    t.upsert(_df(spark, [(51, "p1", 1234)]))
+    assert {r["id"]: r["v"] for r in t.snapshot().select("id", "v").collect()}[51] == 1234
+
+
+def test_mor_update_only_deltacommit_skips_sidecar(spark, tmp_table_path):
+    """Review r8: an update-only MOR deltacommit writes only log rows
+    whose keys are already in their base's filter — no empty per-commit
+    sidecar debris."""
+    t = HudiTable.create(
+        spark,
+        tmp_table_path + "/morskip",
+        _cfg(table_type=TableType.MERGE_ON_READ, inline_compact=False),
+    )
+    t.bulk_insert(_df(spark, SEED))
+    before = set(t.fs.list_names(B.blooms_dir(t)) or [])
+    t.upsert(_df(spark, [(i, f"p{i % 2}", i + 1000) for i in range(0, 200, 5)]))
+    after = set(t.fs.list_names(B.blooms_dir(t)) or [])
+    assert after == before, "update-only deltacommit must not write a sidecar"
+    # a deltacommit WITH inserts does build one (new base groups)
+    t.upsert(_df(spark, [(9_000 + i, f"p{i % 2}", i) for i in range(5)]))
+    assert len(set(t.fs.list_names(B.blooms_dir(t)))) == len(before) + 1
+
+
+def test_gc_keeps_pending_instants_sidecar(spark, tmp_table_path):
+    """Review r8: clean's sidecar GC must treat PENDING instants as
+    referenced — a rival writer mid-commit has built its sidecar before
+    its bases appear in the view."""
+    t = HudiTable.create(spark, tmp_table_path + "/gcp", _cfg())
+    t.bulk_insert(_df(spark, SEED))
+    # simulate a rival mid-commit: requested instant + built sidecar
+    rival = "99990101000000000"
+    t.timeline.create_requested(rival, "commit")
+    t.fs.mkdirs(B.sidecar_path(t, rival))
+    t.fs.write_text(f"{B.sidecar_path(t, rival)}/part-0.parquet", "x")
+    deleted = B.gc_sidecars(t, t.view())
+    assert t.fs.exists(B.sidecar_path(t, rival)), "pending sidecar GC'd"
+    # and a genuinely orphaned sidecar IS collected
+    t.fs.mkdirs(B.sidecar_path(t, "11110101000000000"))
+    t.fs.write_text(
+        f"{B.sidecar_path(t, '11110101000000000')}/part-0.parquet", "x"
+    )
+    assert B.gc_sidecars(t, t.view()) >= 1
+    assert not t.fs.exists(B.sidecar_path(t, "11110101000000000"))

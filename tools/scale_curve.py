@@ -230,9 +230,13 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
             df_i = df.withColumn(
                 "uid", F.concat_ws("_", F.md5(F.col("uid")), F.col("uid"))
             )
+            # min_bytes=0: the point is to measure the membership stage
+            # itself — at small multipliers the 32MB default cost gate
+            # would silently skip it and time the identical path twice
             t = HudiTable.create(
                 spark, f"{tmp}/t",
-                WriteConfig(**{**cfg_kw, "index_type": "GLOBAL_BLOOM"}),
+                WriteConfig(**{**cfg_kw, "index_type": "GLOBAL_BLOOM",
+                               "bloom_prune_min_bytes": 0}),
             )
             t.bulk_insert(df_i)
             batch = df_i.filter(
