@@ -1575,6 +1575,36 @@ ORDER BY doc_id
 """
 
 
+def q_sampling_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + shard assignment
+    (functions/sampling.py epoch_shuffle): every doc gets (shard, ord)
+    as a pure function of (doc_id, epoch) — training runs re-shuffle
+    between epochs with zero materialized randomness, and any engine
+    re-derives the exact order."""
+    from hudi_0_10_0_spark.functions.sampling import epoch_shuffle
+
+    docs = _pq(spark, sf_dir, "documents")
+    out = epoch_shuffle(docs, key_col="doc_id", epoch=3, n_shards=8)
+    return out.select("doc_id", "shard", "ord").orderBy("shard", "ord", "doc_id")
+
+
+def _sql_sampling_epoch_shuffle() -> str:
+    from hudi_0_10_0_spark.functions.sampling import _A1, _A2, _B1, _B2, _P
+
+    salt = (3 * _B2) % _P
+    h0 = f"(((doc_id % {_P}) + {salt}) % {_P})"
+    h1 = f"(({h0} * {_A1} + {_B1}) % {_P})"
+    h2 = f"(({h1} * {_A2} + {_B2}) % {_P})"
+    b = f"({h2} % {1 << 30})"
+    return f"""
+SELECT doc_id,
+       CAST({b} % 8 AS INTEGER) AS shard,
+       {b} // 8 AS ord
+FROM documents
+ORDER BY shard, ord, doc_id
+"""
+
+
 def _sql_sampling_stratified() -> str:
     b = _sql_sample_bucket()
     return f"""
@@ -2805,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "text_chunking": q_text_chunking,
         "sampling_mixture": q_sampling_mixture,
+        "sampling_epoch_shuffle": q_sampling_epoch_shuffle,
         # --- r2-unchecked (past position 50 last round) ---
         "similarity_ann_ivf": q_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
@@ -2845,7 +2876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_per_user": q_events_latest_per_user,
         "events_hourly_agg": q_events_hourly_agg,
         "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_simhash_dedup,
@@ -2872,6 +2902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampler sweeps — its universal-hash mechanism is verified
         # in-window by BOTH sampling_stratified and sampling_mixture)
         "sampling_deterministic": q_sampling_deterministic,
+        # (rotation r8: sampling_epoch_shuffle joins the window; funnel
+        # sweeps — the events window/sessionize family keeps three
+        # in-window siblings: latest_per_user, hourly_agg, sessionize)
+        "events_funnel": q_events_funnel,
         # --- stable twice-green TPC-H relational demos (r7: ALL 22 now
         # rotate past the driver's 50-entry window — the window is
         # exactly the 50 operator/pipeline queries; the TPC-H block is
@@ -2992,6 +3026,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": _SQL_FRAME_SAMPLE,
         "sampling_stratified": _sql_sampling_stratified(),
         "sampling_mixture": _sql_sampling_mixture(),
+        "sampling_epoch_shuffle": _sql_sampling_epoch_shuffle(),
         "pipeline_pack_sequences": _SQL_PACK_SEQUENCES,
         "clustering_zorder": _SQL_CLUSTERING,
         "clustering_hilbert_async": _SQL_CLUSTERING,

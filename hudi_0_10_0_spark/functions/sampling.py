@@ -155,6 +155,53 @@ def mixture_sample(
     return df.filter(sample_bucket(key_col, buckets) < thresh)
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_shards: int,
+    buckets: int = 1 << 30,
+) -> DataFrame:
+    """Deterministic per-epoch shuffle + shard assignment: every row
+    gets a ``shard`` in [0, n_shards) and an ``ord`` that orders rows
+    WITHIN its shard, both pure functions of (key, epoch). Training
+    runs re-shuffle between epochs without materializing randomness —
+    epoch 0 and epoch 1 produce decorrelated permutations, and any
+    engine (or a resumed job) re-derives the exact same order.
+
+    The epoch enters as a salt on the key before the two-round
+    universal hash (same engine-portable arithmetic as
+    ``deterministic_sample``); shard and order split the hash as
+    quotient/remainder over a wide bucket space so ord collisions are
+    ~1/(buckets/n_shards) per shard pair.
+
+    Scale shape: stateless per-row projection — the caller writes
+    ``.repartition(n_shards, "shard").sortWithinPartitions("ord")``,
+    one shuffle whose reducer count IS the shard count; no global
+    sort, no driver state. Collisions in ``ord`` are broken by the
+    key itself to keep the total order deterministic."""
+    _require_numeric_key(df, key_col)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if epoch < 0:
+        raise ValueError("epoch must be >= 0")
+    c = F.col(key_col)
+    # salt the key with the epoch INSIDE the modular space (the salt is
+    # folded mod P in exact Python int arithmetic), then the same two
+    # hash rounds as sample_bucket — all intermediates < 2^62
+    salt = (epoch * _B2) % _P
+    h = F.pmod(F.pmod(c.cast("long"), F.lit(_P)) + F.lit(salt), F.lit(_P))
+    h = F.pmod(h * F.lit(_A1) + F.lit(_B1), F.lit(_P))
+    h = F.pmod(h * F.lit(_A2) + F.lit(_B2), F.lit(_P))
+    b = F.pmod(h, F.lit(buckets))
+    return df.withColumns(
+        {
+            "shard": F.pmod(b, F.lit(n_shards)).cast("int"),
+            "ord": (b / F.lit(n_shards)).cast("long"),
+        }
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

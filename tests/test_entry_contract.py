@@ -24,6 +24,9 @@ SWEPT_NON_TPCH = {
     "similarity_topk",
     "similarity_ann_lsh",
     "sampling_deterministic",
+    # epoch_shuffle rotates funnel out; the events family keeps three
+    # in-window siblings (latest_per_user, hourly_agg, sessionize)
+    "events_funnel",
 }
 
 

@@ -791,3 +791,29 @@ def test_mixture_sample_solves_target_mixture(spark):
         mixture_sample(df, "doc_id", "source", {})
     with pytest.raises(ValueError, match="no rows"):
         mixture_sample(df, "doc_id", "source", {"mid": 1, "ghost": 1})
+
+
+def test_epoch_shuffle_deterministic_and_decorrelated(spark):
+    """epoch_shuffle: (shard, ord) is a pure function of (key, epoch);
+    different epochs give different permutations; shards stay balanced."""
+    import pytest
+
+    from hudi_0_10_0_spark.functions.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = epoch_shuffle(df, "doc_id", epoch=0, n_shards=8)
+    b = epoch_shuffle(df, "doc_id", epoch=0, n_shards=8)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))  # deterministic
+    c = epoch_shuffle(df, "doc_id", epoch=1, n_shards=8)
+    order_a = [r["doc_id"] for r in a.orderBy("shard", "ord", "doc_id").collect()]
+    order_c = [r["doc_id"] for r in c.orderBy("shard", "ord", "doc_id").collect()]
+    assert order_a != order_c  # epochs decorrelate
+    # shard balance: 2000 keys over 8 shards, each within ±40% of 250
+    sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(sizes) == set(range(8))
+    assert all(150 <= n <= 350 for n in sizes.values()), sizes
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", epoch=-1, n_shards=8)
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, "doc_id", epoch=0, n_shards=0)

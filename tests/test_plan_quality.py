@@ -26,6 +26,7 @@ READ_QUERIES = [
     "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
     "text_stats", "multimodal_features", "multimodal_frame_sample",
     "sampling_stratified", "sampling_deterministic", "sampling_mixture",
+    "sampling_epoch_shuffle",
     "pipeline_pack_sequences", "pipeline_training_data",
     "text_vocab_topk", "text_contamination", "text_fingerprint_groups",
     "text_pii_scrub", "text_repetition",
