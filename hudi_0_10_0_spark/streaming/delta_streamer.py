@@ -249,6 +249,44 @@ class DeltaStreamer:
         df = reader.format(fmt).load(f"{self.source}/{nxt}")
         return df, nxt
 
+    def _pull_s3_events(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """S3-events meta source (``utilities/sources/S3EventsSource.java``):
+        poll the SQS seam, land the filtered ObjectCreated events as JSON
+        rows, and remember the receipt handles — they are deleted from
+        the queue only AFTER the commit (``onCommit`` parity), so a crash
+        in between redelivers rather than loses. The payload is
+        control-plane sized (≤ max-per-batch × 10 messages), so the
+        driver-side JSON materialization is bounded."""
+        from . import s3_events as S3
+
+        client = self.source_options.get("sqs_client")
+        if client is None:
+            client = S3.Boto3Sqs(
+                str(self.source_options.get(S3.OPT_QUEUE_REGION, "us-east-1"))
+            )
+        opts = dict(self.source_options)
+        if self.source and S3.OPT_QUEUE_URL not in opts:
+            opts[S3.OPT_QUEUE_URL] = self.source  # source arg = queue url
+        rows, new_ckpt, handles = S3.poll_events(client, opts, ckpt)
+        if not rows:
+            return None, new_ckpt
+        df = self.spark.read.json(self.spark.sparkContext.parallelize(rows))
+        self._post_commit = lambda: client.delete(
+            opts.get(S3.OPT_QUEUE_URL, ""), handles
+        )
+        return df, new_ckpt
+
+    def _pull_s3_events_incr(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
+        """S3-events incremental consumer
+        (``utilities/sources/S3EventsHoodieIncrSource.java:79-148``):
+        the source path names the EVENTS table; each round pulls it
+        incrementally and loads the actual new files it describes."""
+        from . import s3_events as S3
+        from ..table import HudiTable
+
+        events = HudiTable.load(self.spark, self.source)
+        return S3.incr_file_batch(self.spark, events, self.source_options, ckpt)
+
     def _pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         if callable(self.source):
             return self.source(self.spark, ckpt)
@@ -256,6 +294,10 @@ class DeltaStreamer:
             return self._pull_hudi_incr(ckpt)
         if self.source_format in ("incr_pull", "hive_incr_pull"):
             return self._pull_incr_pull(ckpt)
+        if self.source_format == "s3_events":
+            return self._pull_s3_events(ckpt)
+        if self.source_format == "s3_events_incr":
+            return self._pull_s3_events_incr(ckpt)
         if self.source_format == "kafka":
             return self._pull_kafka(ckpt)
         if self.source_format == "jdbc":
@@ -268,6 +310,7 @@ class DeltaStreamer:
     def sync_once(self) -> str | None:
         """One pull→transform→write cycle; returns the commit instant or
         None when the source had nothing new."""
+        self._post_commit = None  # a failed prior round must not leak
         ckpt = self.last_checkpoint()
         df, new_ckpt = self._pull(ckpt)
         if df is None:
@@ -286,7 +329,24 @@ class DeltaStreamer:
             for fn in chain:
                 df = fn(df)
         op = getattr(self.target, self.operation)
-        return op(df, extra={CHECKPOINT_KEY: new_ckpt or ""})
+        instant = op(df, extra={CHECKPOINT_KEY: new_ckpt or ""})
+        post = getattr(self, "_post_commit", None)
+        if post is not None:
+            # source-side onCommit (S3EventsSource.onCommit parity):
+            # runs only after the commit durably exists, so a crash
+            # before this point redelivers the batch instead of losing
+            # it; failures here are non-fatal (redelivery is dedup'd by
+            # the upsert key)
+            self._post_commit = None
+            try:
+                post()
+            except Exception as e:  # pragma: no cover - defensive
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "post-commit source cleanup failed (will redeliver): %s", e
+                )
+        return instant
 
     def run_continuous(
         self, max_rounds: int = 10, poll_seconds: float = 0.2
