@@ -26,6 +26,7 @@ Public API::
 from .config import TableType, WriteConfig, WriteOperation
 from .table import HudiTable
 from .utilities import import_parquet, run_table_service, snapshot_export
+from .catalog_sync import CatalogSyncTool
 from . import datasource
 
 __all__ = [
@@ -37,5 +38,6 @@ __all__ = [
     "import_parquet",
     "run_table_service",
     "snapshot_export",
+    "CatalogSyncTool",
 ]
 __version__ = "0.1.0"

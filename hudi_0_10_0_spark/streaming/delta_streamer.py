@@ -40,6 +40,7 @@ class DeltaStreamer:
         operation: str = "upsert",
         source_options: dict | None = None,
         incremental_column: str | None = None,
+        meta_sync=None,
     ):
         self.spark = spark
         self.target = target
@@ -51,6 +52,9 @@ class DeltaStreamer:
         self.operation = operation
         self.source_options = dict(source_options or {})
         self.incremental_column = incremental_column
+        # DeltaSync.syncMeta parity: a CatalogSyncTool (or anything with
+        # .sync()) run after every successful commit (--enable-hive-sync)
+        self.meta_sync = meta_sync
 
     # -- checkpoint --------------------------------------------------------
     def last_checkpoint(self) -> str | None:
@@ -346,6 +350,8 @@ class DeltaStreamer:
                 logging.getLogger(__name__).warning(
                     "post-commit source cleanup failed (will redeliver): %s", e
                 )
+        if self.meta_sync is not None:
+            self.meta_sync.sync()
         return instant
 
     def run_continuous(
