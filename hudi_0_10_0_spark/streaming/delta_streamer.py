@@ -66,6 +66,14 @@ class DeltaStreamer:
                 return ckpt
         return None
 
+    def _schema(self):
+        """source_schema may be a StructType/DDL string or a PROVIDER
+        callable (streaming/schema_providers.py — the SchemaProvider
+        plugin seam); callables re-resolve on every round so a schema
+        evolved in the file/registry is picked up without a restart."""
+        s = self.source_schema
+        return s() if callable(s) else s
+
     # -- source pulls ------------------------------------------------------
     def _pull_dfs(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         """New files in the source dir with mtime > checkpoint
@@ -81,7 +89,7 @@ class DeltaStreamer:
             return None, ckpt
         reader = self.spark.read
         if self.source_schema is not None:
-            reader = reader.schema(self.source_schema)
+            reader = reader.schema(self._schema())
         df = reader.format(self.source_format).load([p for p, _ in files])
         return df, str(max(m for _, m in files))
 
@@ -248,7 +256,7 @@ class DeltaStreamer:
             return None, ckpt
         reader = self.spark.read
         if self.source_schema is not None:
-            reader = reader.schema(self.source_schema)
+            reader = reader.schema(self._schema())
         fmt = self.source_options.get("format", "parquet")
         df = reader.format(fmt).load(f"{self.source}/{nxt}")
         return df, nxt
