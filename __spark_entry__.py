@@ -1589,13 +1589,14 @@ def q_sampling_epoch_shuffle(spark, sf_dir):
 
 
 def _sql_sampling_epoch_shuffle() -> str:
-    from hudi_0_10_0_spark.functions.sampling import _A1, _A2, _B1, _B2, _P
+    from hudi_0_10_0_spark.functions.sampling import _P, epoch_constants
 
-    salt = (3 * _B2) % _P
-    h0 = f"(((doc_id % {_P}) + {salt}) % {_P})"
-    h1 = f"(({h0} * {_A1} + {_B1}) % {_P})"
-    h2 = f"(({h1} * {_A2} + {_B2}) % {_P})"
-    b = f"({h2} % {1 << 30})"
+    a1, b1, a2, b2 = epoch_constants(3)
+    m = 1 << 30
+    h1 = f"(((doc_id % {_P}) * {a1} + {b1}) % {_P})"
+    mid = f"({h1} % {m})"  # the non-affine cut between the rounds
+    h2 = f"(({mid} * {a2} + {b2}) % {_P})"
+    b = f"({h2} % {m})"
     return f"""
 SELECT doc_id,
        CAST({b} % 8 AS INTEGER) AS shard,

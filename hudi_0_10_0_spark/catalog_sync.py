@@ -97,6 +97,13 @@ class CatalogSyncTool:
         latest_ts = latest.timestamp if latest else None
         state = self._load_state()
         names = self.registered_names()
+        if latest_ts is None:
+            # a freshly created table has no commits and therefore no
+            # read plan to register — report cleanly instead of letting
+            # snapshot() raise from deep inside the read path
+            # (code-review r8)
+            return {"synced": False, "last_commit_time_sync": None,
+                    "tables": names, "partitions_added": []}
         existing = {
             v.name for v in self.spark.catalog.listTables("global_temp")
         }

@@ -169,11 +169,14 @@ def epoch_shuffle(
     epoch 0 and epoch 1 produce decorrelated permutations, and any
     engine (or a resumed job) re-derives the exact same order.
 
-    The epoch enters as a salt on the key before the two-round
-    universal hash (same engine-portable arithmetic as
-    ``deterministic_sample``); shard and order split the hash as
-    quotient/remainder over a wide bucket space so ord collisions are
-    ~1/(buckets/n_shards) per shard pair.
+    The epoch derives BOTH rounds' multipliers (exact Python int
+    arithmetic, embedded as literals), and a mod-2^30 truncation sits
+    BETWEEN the rounds: a composition of mod-P affine maps is itself
+    affine — with an additive-only salt the epochs would differ by a
+    per-key CONSTANT, i.e. the "new" epoch order would be the old one
+    rotated (code-review r8, verified numerically) — but the
+    truncation is non-affine over mod-P arithmetic, so per-epoch
+    multipliers + the cut genuinely scramble adjacency between epochs.
 
     Scale shape: stateless per-row projection — the caller writes
     ``.repartition(n_shards, "shard").sortWithinPartitions("ord")``,
@@ -185,14 +188,11 @@ def epoch_shuffle(
         raise ValueError("n_shards must be >= 1")
     if epoch < 0:
         raise ValueError("epoch must be >= 0")
+    a1, b1, a2, b2 = epoch_constants(epoch)
     c = F.col(key_col)
-    # salt the key with the epoch INSIDE the modular space (the salt is
-    # folded mod P in exact Python int arithmetic), then the same two
-    # hash rounds as sample_bucket — all intermediates < 2^62
-    salt = (epoch * _B2) % _P
-    h = F.pmod(F.pmod(c.cast("long"), F.lit(_P)) + F.lit(salt), F.lit(_P))
-    h = F.pmod(h * F.lit(_A1) + F.lit(_B1), F.lit(_P))
-    h = F.pmod(h * F.lit(_A2) + F.lit(_B2), F.lit(_P))
+    h = F.pmod(F.pmod(c.cast("long"), F.lit(_P)) * F.lit(a1) + F.lit(b1), F.lit(_P))
+    m = F.pmod(h, F.lit(buckets))  # non-affine cut between the rounds
+    h = F.pmod(m * F.lit(a2) + F.lit(b2), F.lit(_P))
     b = F.pmod(h, F.lit(buckets))
     return df.withColumns(
         {
@@ -200,6 +200,17 @@ def epoch_shuffle(
             "ord": (b / F.lit(n_shards)).cast("long"),
         }
     )
+
+
+def epoch_constants(epoch: int) -> tuple[int, int, int, int]:
+    """Per-epoch affine constants for :func:`epoch_shuffle` — derived
+    in exact Python int arithmetic so an oracle can embed the same
+    literals. Multipliers are nonzero mod P by construction."""
+    a1 = (_A1 + epoch * _A2) % (_P - 1) + 1
+    b1 = (_B1 + epoch * _B2) % _P
+    a2 = (_A2 + epoch * _B1) % (_P - 1) + 1
+    b2 = (_B2 + epoch * _A1) % _P
+    return a1, b1, a2, b2
 
 
 def pack_sequences(

@@ -281,6 +281,14 @@ class DeltaStreamer:
             opts[S3.OPT_QUEUE_URL] = self.source  # source arg = queue url
         rows, new_ckpt, handles = S3.poll_events(client, opts, ckpt)
         if not rows:
+            if handles:
+                # an all-invalid round (s3:TestEvent, ObjectRemoved,
+                # malformed) produces no commit, so the post-commit
+                # delete never fires — delete the poison messages NOW
+                # (processAndDeleteInvalidMessages parity) or they
+                # redeliver forever and starve the receive slots
+                # (code-review r8)
+                client.delete(opts.get(S3.OPT_QUEUE_URL, ""), handles)
             return None, new_ckpt
         df = self.spark.read.json(self.spark.sparkContext.parallelize(rows))
         self._post_commit = lambda: client.delete(
@@ -297,7 +305,23 @@ class DeltaStreamer:
         from ..table import HudiTable
 
         events = HudiTable.load(self.spark, self.source)
-        return S3.incr_file_batch(self.spark, events, self.source_options, ckpt)
+        df, new_ckpt = S3.incr_file_batch(
+            self.spark, events, self.source_options, ckpt
+        )
+        if df is None and new_ckpt != ckpt and self.target.schema() is not None:
+            # the incremental range was CONSUMED but every event was
+            # filtered out (size 0, prefix mismatch, vanished files):
+            # commit an empty batch so the checkpoint advances —
+            # otherwise every round re-pulls and re-collects an
+            # ever-growing range (code-review r8)
+            data_cols = [
+                f for f in self.target.schema().fields
+                if not f.name.startswith("_hoodie")
+            ]
+            from pyspark.sql import types as T
+
+            df = self.spark.createDataFrame([], T.StructType(data_cols))
+        return df, new_ckpt
 
     def _pull(self, ckpt: str | None) -> tuple[DataFrame | None, str | None]:
         if callable(self.source):

@@ -188,15 +188,20 @@ class Boto3Sqs:
 
 
 def _event_time_millis(event: dict) -> int:
+    """Epoch millis of the event's ISO-8601 eventTime; 0 for a missing
+    or unparseable value (a valid ObjectCreated event with a mangled
+    timestamp must still ingest, not crash every redelivery —
+    code-review r8)."""
     ts = event.get("eventTime")
-    if not ts:
+    try:
+        return int(
+            datetime.fromisoformat(str(ts).replace("Z", "+00:00"))
+            .astimezone(timezone.utc)
+            .timestamp()
+            * 1000
+        )
+    except (ValueError, TypeError, AttributeError):
         return 0
-    return int(
-        datetime.fromisoformat(ts.replace("Z", "+00:00"))
-        .astimezone(timezone.utc)
-        .timestamp()
-        * 1000
-    )
 
 
 def extract_valid_events(bodies: list[str]) -> list[dict]:
@@ -239,19 +244,25 @@ def poll_events(
     visibility = int(options.get(OPT_VISIBILITY, 30))
     handles: list[str] = []
     bodies: list[str] = []
-    for _ in range(max_batch):
+    # the option bounds TOTAL messages this round (the reference loops
+    # while result.size() < maxMessagesEachBatch), in receive chunks of
+    # ≤10 — not 10 × max_batch (code-review r8)
+    while len(bodies) < max_batch:
         got = client.receive(
-            queue_url, _MAX_MESSAGES_PER_REQUEST, long_poll, visibility
+            queue_url,
+            min(_MAX_MESSAGES_PER_REQUEST, max_batch - len(bodies)),
+            long_poll,
+            visibility,
         )
         if not got:
             break
         handles.extend(h for h, _ in got)
         bodies.extend(b for _, b in got)
     events = extract_valid_events(bodies)
-    new_ckpt = max(
-        (_event_time_millis(e) for e in events),
-        default=int(last_ckpt) if last_ckpt else 0,
-    )
+    # monotonic: a late-delivered older event must not move the
+    # checkpoint backwards (code-review r8)
+    prior = int(last_ckpt) if last_ckpt else 0
+    new_ckpt = max([prior] + [_event_time_millis(e) for e in events])
     rows = [json.dumps(e).replace("%3D", "=") for e in events]
     return rows, str(new_ckpt), handles
 
@@ -284,10 +295,14 @@ def incr_file_batch(spark, events_table, options: dict, ckpt: str | None):
         .collect()
     )
     fs_prefix = str(options.get(OPT_INCR_FS_PREFIX, "s3")).lower()
+    # unquote_plus: S3 notifications form-url-encode keys, so a space
+    # arrives as '+' — plain unquote would build a wrong path and (with
+    # the exists check on) silently drop the file (code-review r8;
+    # the reference's URLDecoder.decode has +-as-space semantics)
     paths = [
-        f"{fs_prefix}://{r['b']}/{urllib.parse.unquote(r['k'])}"
+        f"{fs_prefix}://{r['b']}/{urllib.parse.unquote_plus(r['k'])}"
         if fs_prefix != "file"
-        else f"/{r['b']}/{urllib.parse.unquote(r['k'])}"
+        else f"/{r['b']}/{urllib.parse.unquote_plus(r['k'])}"
         for r in pairs
     ]
     if _bool(options.get(OPT_INCR_EXISTS_CHECK, False)):

@@ -68,7 +68,11 @@ def _avro_type(s):
             return T.TimestampType()
         if logical == "decimal":
             return T.DecimalType(int(s.get("precision", 10)), int(s.get("scale", 0)))
-        raise ValueError(f"unsupported avro logicalType: {logical!r}")
+        # avro spec: an unknown/unsupported logicalType falls back to
+        # the underlying type (uuid → string, time-millis → int, …) —
+        # raising here would wedge pipelines on perfectly-valid
+        # registry schemas (code-review r8)
+        return _avro_type(t)
     if t == "record":
         return T.StructType(
             [

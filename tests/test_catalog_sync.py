@@ -104,3 +104,12 @@ def test_delta_streamer_meta_sync_hook(spark, tmp_table_path, tmp_path):
     assert state["last_commit_time_sync"] == t.timeline.latest_completed().timestamp
     assert ds.sync_once() is None  # empty round: no commit, no resync churn
     tool.unsync()
+
+
+def test_sync_on_empty_table_reports_cleanly(spark, tmp_table_path):
+    """Code-review r8: sync before the first commit must report
+    {'synced': False}, not raise from deep inside the read path."""
+    t = HudiTable.create(spark, tmp_table_path + "/e", _cfg(table_name="empty"))
+    r = CatalogSyncTool(spark, t, database="lake").sync()
+    assert r == {"synced": False, "last_commit_time_sync": None,
+                 "tables": ["lake_empty"], "partitions_added": []}

@@ -808,7 +808,24 @@ def test_epoch_shuffle_deterministic_and_decorrelated(spark):
     c = epoch_shuffle(df, "doc_id", epoch=1, n_shards=8)
     order_a = [r["doc_id"] for r in a.orderBy("shard", "ord", "doc_id").collect()]
     order_c = [r["doc_id"] for r in c.orderBy("shard", "ord", "doc_id").collect()]
-    assert order_a != order_c  # epochs decorrelate
+    assert order_a != order_c  # epochs decorrelate...
+    # ...and GENUINELY so (code-review r8: an additive salt only
+    # rotated the order): almost no epoch-0-adjacent pair stays
+    # adjacent in epoch 1, and every epoch-0 shard spreads across
+    # many epoch-1 shards
+    pos_c = {k: i for i, k in enumerate(order_c)}
+    kept_adjacent = sum(
+        1
+        for x, y in zip(order_a, order_a[1:])
+        if abs(pos_c[x] - pos_c[y]) == 1
+    )
+    assert kept_adjacent < len(order_a) * 0.02, kept_adjacent
+    sh_a = {r["doc_id"]: r["shard"] for r in a.collect()}
+    sh_c = {r["doc_id"]: r["shard"] for r in c.collect()}
+    spread = {}
+    for k, s in sh_a.items():
+        spread.setdefault(s, set()).add(sh_c[k])
+    assert min(len(v) for v in spread.values()) >= 6, spread
     # shard balance: 2000 keys over 8 shards, each within ±40% of 250
     sizes = {r["shard"]: r["n"] for r in a.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(sizes) == set(range(8))

@@ -225,3 +225,113 @@ def test_incr_key_prefix_and_size_filters(spark, tmp_table_path, tmp_path):
         None,
     )
     assert df is None and ck == events_t.timeline.latest_completed().timestamp
+
+
+def test_poison_messages_deleted_without_commit(spark, tmp_table_path, tmp_path):
+    """Code-review r8: an all-invalid round (s3:TestEvent, malformed)
+    produces no commit, so the messages must be deleted IMMEDIATELY or
+    they redeliver forever and starve the receive slots."""
+    q = _queue(tmp_path)
+    q.send({"Service": "Amazon S3", "Event": "s3:TestEvent"})  # no Records
+    q.send("{not json")
+    q.send(_event("b", "k", 1, "2026-08-16T01:00:00.000Z",
+                  name="ObjectRemoved:Delete"))
+    t = HudiTable.create(spark, tmp_table_path + "/p", _events_cfg())
+    ds = DeltaStreamer(
+        spark, t, "mock://q", source_format="s3_events",
+        source_options={"sqs_client": q, S3.OPT_VISIBILITY: 0},
+    )
+    assert ds.sync_once() is None  # nothing valid → no commit
+    assert q.approx_messages("q") == 0  # ...but the poison is GONE
+
+
+def test_checkpoint_monotonic_and_bad_event_time(spark, tmp_table_path, tmp_path):
+    """Code-review r8: a late-delivered older event must not move the
+    checkpoint backwards, and an unparseable eventTime must not crash."""
+    from datetime import datetime, timezone
+
+    q = _queue(tmp_path)
+    q.send(_event("b", "k1", 10, "2026-08-16T02:00:00.000Z"))
+    t = HudiTable.create(spark, tmp_table_path + "/m", _events_cfg())
+    ds = DeltaStreamer(
+        spark, t, "mock://q", source_format="s3_events",
+        source_options={"sqs_client": q, S3.OPT_VISIBILITY: 0},
+    )
+    ds.sync_once()
+    ck1 = int(ds.last_checkpoint())
+    assert ck1 == int(datetime(2026, 8, 16, 2, tzinfo=timezone.utc).timestamp() * 1000)
+    # older + garbage eventTime arrive late
+    q.send(_event("b", "k2", 10, "2026-08-16T01:00:00.000Z"))
+    q.send(_event("b", "k3", 10, "2026/08/16 01:00"))  # unparseable
+    ds.sync_once()
+    assert int(ds.last_checkpoint()) == ck1  # monotonic, no regression
+    assert t.snapshot().count() == 3  # all three ingested
+
+
+def test_max_messages_per_batch_bounds_totals(tmp_path):
+    """Code-review r8: the option bounds TOTAL messages per round (the
+    reference loops while size < max), not the number of 10-message
+    receive rounds."""
+    q = _queue(tmp_path)
+    for i in range(30):
+        q.send(_event("b", f"k{i}", 1, "2026-08-16T01:00:00.000Z"))
+    rows, _, handles = S3.poll_events(
+        q, {S3.OPT_MAX_PER_BATCH: 7, S3.OPT_LONG_POLL: 0, S3.OPT_VISIBILITY: 60},
+        None,
+    )
+    assert len(handles) == 7 and len(rows) == 7
+
+
+def test_space_in_key_unquote_plus(spark, tmp_table_path, tmp_path):
+    """Code-review r8: S3 form-url-encodes keys ('+' = space); plain
+    unquote built a wrong path and the exists check silently dropped
+    the file."""
+    data_root = str(tmp_path / "data")
+    bucket = f"{data_root}/bkt".lstrip("/")
+    os.makedirs(f"/{bucket}", exist_ok=True)
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"/{bucket}/my file.parquet"
+    )
+    q = _queue(tmp_path)
+    q.send(_event(bucket, "my+file.parquet", 10, "2026-08-16T01:00:00.000Z"))
+    events_t = HudiTable.create(spark, tmp_table_path + "/ev", _events_cfg())
+    DeltaStreamer(spark, events_t, "mock://q", source_format="s3_events",
+                  source_options={"sqs_client": q}).sync_once()
+    target = HudiTable.create(
+        spark, tmp_table_path + "/t",
+        WriteConfig(record_key_field="id", partition_field=None,
+                    precombine_field="id", auto_clean=False, auto_archive=False),
+    )
+    ds = DeltaStreamer(
+        spark, target, events_t.base_path, source_format="s3_events_incr",
+        source_options={S3.OPT_INCR_FS_PREFIX: "file",
+                        S3.OPT_INCR_EXISTS_CHECK: "true"},
+    )
+    assert ds.sync_once() is not None
+    assert target.snapshot().count() == 1
+
+
+def test_all_filtered_range_advances_checkpoint(spark, tmp_table_path, tmp_path):
+    """Code-review r8: when every event in the incremental range is
+    filtered out, an empty commit still advances the checkpoint so the
+    range is not re-collected forever."""
+    q = _queue(tmp_path)
+    q.send(_event("b", "logs/x.parquet", 0, "2026-08-16T01:00:00.000Z"))  # size 0
+    events_t = HudiTable.create(spark, tmp_table_path + "/ev", _events_cfg())
+    DeltaStreamer(spark, events_t, "mock://q", source_format="s3_events",
+                  source_options={"sqs_client": q}).sync_once()
+    target = HudiTable.create(
+        spark, tmp_table_path + "/t",
+        WriteConfig(record_key_field="id", partition_field=None,
+                    precombine_field="id", auto_clean=False, auto_archive=False),
+    )
+    # target needs a schema for the empty-commit path: seed one row
+    target.bulk_insert(spark.createDataFrame([(0,)], "id long"))
+    ds = DeltaStreamer(
+        spark, target, events_t.base_path, source_format="s3_events_incr",
+        source_options={S3.OPT_INCR_FS_PREFIX: "file"},
+    )
+    assert ds.sync_once() is not None  # empty commit carries the ckpt
+    assert ds.last_checkpoint() == events_t.timeline.latest_completed().timestamp
+    assert target.snapshot().count() == 1  # nothing ingested
+    assert ds.sync_once() is None  # and the range is NOT re-pulled

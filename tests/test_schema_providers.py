@@ -58,9 +58,18 @@ def test_avro_to_spark_rejects_unsupported():
                        "fields": [{"name": "u", "type": ["int", "string"]}]})
     with pytest.raises(ValueError, match="record"):
         avro_to_spark({"type": "array", "items": "int"})
-    with pytest.raises(ValueError, match="logicalType"):
-        avro_to_spark({"type": "record", "name": "r", "fields": [
-            {"name": "x", "type": {"type": "long", "logicalType": "time-micros"}}]})
+
+
+def test_avro_unknown_logical_type_falls_back_to_base():
+    """Avro spec (code-review r8): an unknown logicalType reads as its
+    underlying type — uuid strings and time-millis ints are common in
+    registry schemas and must not wedge the pipeline."""
+    st = avro_to_spark({"type": "record", "name": "r", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "t", "type": {"type": "long", "logicalType": "time-micros"}},
+    ]})
+    assert st["u"].dataType == T.StringType()
+    assert st["t"].dataType == T.LongType()
 
 
 def test_file_provider_three_formats(spark, tmp_path):
