@@ -232,34 +232,75 @@ def run_point(spark, sf_dir: str, mode: str, mult: int) -> dict:
             )
             # min_bytes=0: the point is to measure the membership stage
             # itself — at small multipliers the 32MB default cost gate
-            # would silently skip it and time the identical path twice
+            # would silently skip it and time the identical path twice.
+            # 4MB max file size: the 100 TB shape is HUNDREDS of file
+            # groups per partition (the default 120MB packs this whole
+            # sf into ~34 groups and any 468-key batch touches all of
+            # them — nothing is prunable by ANY index)
+            # write_parallelism forces the 100 TB file-group SHAPE
+            # (hundreds of groups; the sandbox's union-derived input
+            # defeats the size estimator): the decisive bloom metric is
+            # groups/bytes KEPT for a fixed batch as groups grow
             t = HudiTable.create(
                 spark, f"{tmp}/t",
                 WriteConfig(**{**cfg_kw, "index_type": "GLOBAL_BLOOM",
-                               "bloom_prune_min_bytes": 0}),
+                               "bloom_prune_min_bytes": 0,
+                               "write_parallelism": 64 * mult}),
             )
             t.bulk_insert(df_i)
-            batch = df_i.filter(
+            # HALF existing keys (updates), HALF absent (pure inserts) —
+            # steady-state trickle: bloom prunes the groups no key hits
+            # and the absent half's non-hits
+            upd = df_i.filter(
                 (F.col("l_orderkey") % 997 == 0)
                 & (F.col("l_orderkey") < 100_000_000)
             ).withColumn("l_quantity", F.col("l_quantity") + 1)
+            new = upd.withColumn(
+                "uid", F.concat(F.lit("new-"), F.col("uid"))
+            ).limit(234)
+            batch = upd.limit(234).unionByName(new)
             batch.write.mode("overwrite").parquet(f"{tmp}/batch")
             batch = spark.read.parquet(f"{tmp}/batch")
             batch_rows = batch.count()
-            n_groups = len(t.view().latest_file_slices())
+            view = t.view()
+            n_groups = len(view.latest_file_slices())
             out = {"mult": mult, "base_rows": base_rows,
                    "batch_rows": batch_rows, "file_groups": n_groups}
-            # OFF first: JVM warm-up then favors the off case, keeping
-            # the filters-on win conservative
+            # bloom only affects the TAG stage; time tag_location twice
+            # on the IDENTICAL table state (an upsert per config would
+            # mutate the table between runs and confound the write
+            # stage). OFF first: JVM warm-up favors the off case,
+            # keeping the filters-on win conservative.
+            from hudi_0_10_0_spark.keygen import stamp_keys
+            from hudi_0_10_0_spark.operators import bloom as B
+            from hudi_0_10_0_spark.operators.write import tag_location
+
+            stamped = stamp_keys(batch, t.cfg)
+            # the decisive 100 TB metric: index-scan bytes after the
+            # membership prune vs the full (range-unprunable) candidate
+            # set — a fixed trickle batch must keep ≤ batch-size groups
+            # no matter how many groups the table has
+            slices = view.latest_file_slices()
+            t0 = time.perf_counter()
+            kept = B.prune_slices(t, stamped, slices, global_idx=True)
+            out["prune_s"] = round(time.perf_counter() - t0, 3)
+            out["groups_kept"] = len(kept)
+            out["bytes_total_mb"] = sum(s.base.bytes for s in slices) >> 20
+            out["bytes_kept_mb"] = sum(s.base.bytes for s in kept) >> 20
             for label, flag in (("filters_off", False), ("filters_on", True)):
                 t.cfg.bloom_index_use_filters = flag
-                upsert_s, stages = _timed_upsert(
-                    t, batch.withColumn(
-                        "l_quantity", F.col("l_quantity") + (2 if flag else 1)
-                    )
-                )
-                out[f"upsert_s_{label}"] = round(upsert_s, 3)
-                out[f"stages_{label}"] = stages
+                t0 = time.perf_counter()
+                tagged_n = tag_location(t, view, stamped).where(
+                    F.col("_hoodie_file_id").isNotNull()
+                ).count()
+                out[f"tag_s_{label}"] = round(time.perf_counter() - t0, 3)
+                out[f"tagged_{label}"] = tagged_n
+            assert out["tagged_filters_on"] == out["tagged_filters_off"]
+            # end-to-end sanity: one real upsert with filters on
+            t.cfg.bloom_index_use_filters = True
+            upsert_s, stages = _timed_upsert(t, batch)
+            out["upsert_s"] = round(upsert_s, 3)
+            out["stages"] = stages
             return out
         if mode == "services":
             # VERDICT r6 #5: clustering (z-order), clean and archive at
