@@ -251,7 +251,10 @@ def _membership_test(table, incoming, covered: list, global_idx: bool) -> list:
         F.col("instant").alias("__inst"),
         "m_bits", "k", "bits",
     )
-    cand = spark.createDataFrame(
+    from ..local_rel import local_df
+
+    cand = local_df(
+        spark,
         [
             (s.partition, s.file_id, s.base.instant, s.base.min_key, s.base.max_key)
             for s in covered

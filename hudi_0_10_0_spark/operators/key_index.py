@@ -523,7 +523,10 @@ def read_index(
             # "no index" and trigger an O(table) build_full; the honest
             # answer is an EMPTY location mapping (every key tags as an
             # insert).
-            return table.spark.createDataFrame(
+            from ..local_rel import local_df
+
+            return local_df(
+                table.spark,
                 [],
                 f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string, "
                 f"{FILE_ID_COL} string",

@@ -45,6 +45,7 @@ from ..metrics import table_metrics, validate_metrics_config
 from ..precommit import run_precommit_validators, validate_precommit_config
 from ..concurrency import guarded_commit, start_heartbeat, txn_start_marker
 from ..keygen import stamp_keys
+from ..local_rel import local_df
 from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
 from .merge import (
@@ -210,8 +211,8 @@ def tag_location(
             live = sorted(
                 {(s.partition, s.file_id) for s in view.latest_file_slices()}
             )
-            live_df = spark.createDataFrame(
-                live, f"{PARTITION_PATH_COL} string, {FILE_ID_COL} string"
+            live_df = local_df(
+                spark, live, f"{PARTITION_PATH_COL} string, {FILE_ID_COL} string"
             )
             idx = idx.join(
                 F.broadcast(live_df),
@@ -232,8 +233,9 @@ def tag_location(
         entries = _inmemory_index_entries(table, view)
         if not entries:
             return incoming.withColumn(FILE_ID_COL, F.lit(None).cast("string"))
-        index = spark.createDataFrame(
-            entries, f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string, __idx_fid string"
+        index = local_df(
+            spark, entries,
+            f"{RECORD_KEY_COL} string, {PARTITION_PATH_COL} string, __idx_fid string",
         )
         tagged = incoming.join(
             F.broadcast(index), [RECORD_KEY_COL, PARTITION_PATH_COL], "left"
@@ -420,7 +422,7 @@ def assign_inserts(
     existing_fids = {(b[0], b[3]) for b in buckets if b[4]}
     totals = {pp: n for pp, n in counts}
     bucket_rows = [(b[0], b[1], b[2], b[3], b[4], totals[b[0]]) for b in buckets]
-    bucket_df = table.spark.createDataFrame(bucket_rows, _BUCKET_SCHEMA)
+    bucket_df = local_df(table.spark, bucket_rows, _BUCKET_SCHEMA)
     # hash-mod the key into [0, partition_total); bucket ranges partition
     # that interval proportionally to their planned capacity, so fills
     # track the plan within hash noise (exactly the reference's behavior)

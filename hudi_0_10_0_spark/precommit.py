@@ -87,7 +87,9 @@ def run_precommit_validators(table, instant: str, action: str, metadata: dict) -
         # first commit: the before state is an empty table of the
         # after shape (the reference's first write validates against an
         # empty snapshot the same way)
-        before = spark.createDataFrame([], after.schema)
+        from .local_rel import local_df
+
+        before = local_df(spark, [], after.schema)
     else:
         before = _before_df(table)
     before.createOrReplaceTempView(before_view)

@@ -34,7 +34,9 @@ QUERY_INCREMENTAL = "incremental"
 
 
 def _empty(table) -> DataFrame:
-    return table.spark.createDataFrame([], table.read_schema())
+    from ..local_rel import local_df
+
+    return local_df(table.spark, [], table.read_schema())
 
 
 def base_format(table) -> str:
@@ -278,7 +280,9 @@ def _read_raw_slices(table, slices: list[FileSlice]) -> DataFrame:
     map_schema = "__raw_path string, __raw_fid string, __raw_instant string, __raw_pp string" + "".join(
         f", __raw_pv{i} string" for i in range(len(pfields))
     )
-    map_df = table.spark.createDataFrame(mapping, map_schema).withColumn(
+    from ..local_rel import local_df
+
+    map_df = local_df(table.spark, mapping, map_schema).withColumn(
         "__raw_path", _strip_file_scheme(F.col("__raw_path"))
     )
     df = table.spark.read.schema(T.StructType(data_fields)).parquet(
