@@ -227,39 +227,69 @@ class FileSystemLockProvider(LockProvider):
         # Lock file exists: fresh → busy; expired → single-winner recovery.
         if self._path_is_fresh():
             return False
-        tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
-        try:
-            if not self.fs.rename(self.path, tomb):
-                return False  # another recoverer moved it first
-        except Exception:
+        # Single-recoverer claim BEFORE the move-aside: without it, a
+        # taker acting on a stale "expired" read can rename away the
+        # FRESH lock a rival recovery just installed, and a third taker
+        # grabs the momentarily-vacant path while the first restores —
+        # two takers then both believe they hold the lock (dual hold
+        # caught by test_expired_lock_takeover_single_winner under full-
+        # suite load, r8). The claim serializes recoverers so the
+        # freshness re-read below cannot go stale against another
+        # recovery; plain CAS acquirers are unaffected.
+        claim = f"{self.path}.recovery"
+        if not self.fs.create_exclusive(
+            claim, json.dumps({"by": owner, "at": time.time()})
+        ):
+            # busy claim: a live recovery is in flight — or a crashed
+            # recoverer's leftover, which would block recovery forever;
+            # age-gate on mtime and clear, the next poll retries
+            try:
+                if time.time() - self.fs.mtime(claim) > min(self.ttl, 30.0):
+                    self.fs.delete(claim)
+            except Exception:
+                pass
             return False
-        # Verify the moved file is the expired lock we read, not a FRESH
-        # lock a rival recovery re-created inside our read→rename gap; if
-        # fresh, put it back through the CAS (if a third writer acquired
-        # the vacant path meanwhile, the restore fails and the rightful
-        # state is whatever that CAS winner wrote — the displaced owner's
-        # validate() catches the displacement at its commit point).
         try:
-            moved = json.loads(self.fs.read_text(tomb))
-        except Exception:
-            moved = None
-        if self._fresh(moved):
-            # restore, then delete the tomb on BOTH branches
-            # (code-review r7): when a third writer won the vacant path
-            # the restore fails, but the tomb's content serves no
-            # further purpose — the displaced rival's validate() aborts
-            # it at its commit point, and leaking one tomb per contended
-            # recovery grows the locks dir without bound
-            self.fs.create_exclusive(self.path, json.dumps(moved))
+            if self._path_is_fresh():
+                # re-read under the claim: a rival recovery completed
+                # between our first read and the claim — its lock is live
+                return False
+            tomb = f"{self.path}.expired.{uuid.uuid4().hex}"
+            try:
+                if not self.fs.rename(self.path, tomb):
+                    return False  # released/vanished since the re-read
+            except Exception:
+                return False
+            # Belt-and-braces: verify the moved file is the expired lock
+            # we re-read — the only way it can be fresh now is a zombie
+            # unlock (an expired holder releasing) racing a new CAS
+            # acquisition inside the claim window; if fresh, put it back
+            # through the CAS (if a third writer acquired the vacant
+            # path meanwhile, the rightful state is whatever that CAS
+            # winner wrote — the displaced owner's validate() catches
+            # the displacement at its commit point).
+            try:
+                moved = json.loads(self.fs.read_text(tomb))
+            except Exception:
+                moved = None
+            if self._fresh(moved):
+                # restore, then delete the tomb on BOTH branches
+                # (code-review r7): when a third writer won the vacant
+                # path the restore fails, but the tomb's content serves
+                # no further purpose, and leaking one tomb per contended
+                # recovery grows the locks dir without bound
+                self.fs.create_exclusive(self.path, json.dumps(moved))
+                self.fs.delete(tomb)
+                return False
             self.fs.delete(tomb)
+            # Recovery cleared the path; acquisition is still the same
+            # CAS — rival acquirers can beat us to it, never join us.
+            if self.fs.create_exclusive(self.path, payload):
+                self._token = token
+                return True
             return False
-        self.fs.delete(tomb)
-        # Recovery cleared the path; acquisition is still the same CAS —
-        # rival recoverers/acquirers can beat us to it, never join us.
-        if self.fs.create_exclusive(self.path, payload):
-            self._token = token
-            return True
-        return False
+        finally:
+            self.fs.delete(claim)
 
     def validate(self, owner: str) -> bool:
         """True iff the on-disk lock is still THIS provider's acquisition
