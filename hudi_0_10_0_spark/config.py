@@ -198,6 +198,12 @@ class WriteConfig:
     # scale curve — see SCALE.md)
     mor_bypass_broadcast_budget_bytes: int = 64 << 20
     mor_bypass_fixed_overhead_bytes: int = 64 << 20
+    # COW pure-delete fast path (optimization r8): tombstone keys small
+    # enough to broadcast (~120 B/key framed) rewrite the touched groups
+    # via a broadcast LEFT ANTI join — the stored side streams from the
+    # scan without shuffling. Larger delete batches keep the one-shuffle
+    # merge kernel. 0 disables the fast path.
+    delete_antijoin_broadcast_budget_bytes: int = 64 << 20
     # Virtual keys (hoodie.populate.meta.fields,
     # HoodieTableConfig.java:159-163): when False, data files carry NO
     # meta columns — the record key is re-derived from the key-generator

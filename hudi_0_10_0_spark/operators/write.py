@@ -1242,6 +1242,32 @@ def run_batch_write(
                             ),
                         ).otherwise(F.col(RECORD_KEY_COL)),
                     )
+                elif (
+                    is_delete
+                    and payload.name == "empty"
+                    and sum(r[2] for r in profile if r[1] is not None) * 120
+                    <= int(getattr(cfg, "delete_antijoin_broadcast_budget_bytes", 64 << 20))
+                ):
+                    # Pure COW delete (EmptyPayload: every incoming row a
+                    # tombstone, kernel output = stored rows with no
+                    # incoming match): say that directly as a broadcast
+                    # LEFT ANTI join instead of routing (old ∪ keys)
+                    # through the kernel's union + repartition + sort-
+                    # aggregate. Survivors stream straight from the base-
+                    # file scan, byte-identical (original commit time /
+                    # seqno — the kernel's take_new=false path), and the
+                    # stored side never shuffles at all (guide §3.1).
+                    # Gated on the delete-key count from the profile we
+                    # already hold (~120 B/key framed) so a huge delete
+                    # batch keeps the shuffle kernel rather than building
+                    # an oversized broadcast; at 100 TB the delete batch
+                    # is the small side by construction. Scan tasks are
+                    # file-aligned, so the output stays grouped by file
+                    # group for the pre-partitioned writer.
+                    jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+                    merged = old.join(
+                        F.broadcast(updates.select(*jk)), jk, "left_anti"
+                    )
                 else:
                     if not needs_combine:
                         # the reference's HoodieMergeHandle collapses
