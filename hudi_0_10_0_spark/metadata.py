@@ -47,9 +47,14 @@ class WriteStat:
     # (reference: BootstrapMode.METADATA_ONLY keeps a pointer to the
     # original file, client/client/bootstrap/BootstrapMode.java:29-34)
     raw: bool = False
+    # log stats only (optimization r8): does this delta file contain any
+    # delete-marker-true row?  False lets the MOR merge skip the whole
+    # delete-block window pass (one sort+window over every row of the
+    # log-bearing groups); None (legacy commits) keeps it conservatively.
+    tombstones: bool | None = None
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "partition": self.partition,
             "file_id": self.file_id,
             "paths": self.paths,
@@ -61,6 +66,9 @@ class WriteStat:
             "col_stats": self.col_stats,
             "raw": self.raw,
         }
+        if self.tombstones is not None:
+            d["tombstones"] = self.tombstones
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "WriteStat":
@@ -163,6 +171,9 @@ class LogFileVersion:
     paths: list[str]
     rows: int
     bytes: int
+    # delete-marker presence recorded by the writer's profile (r8);
+    # None = unknown (legacy commit) → merge keeps the delete-block pass
+    tombstones: bool | None = None
 
 
 @dataclass
@@ -276,7 +287,11 @@ class FileSystemView:
                 if cleaned and st.paths and all(p in cleaned for p in st.paths):
                     continue
                 if st.log:
-                    fg.logs.append(LogFileVersion(ts, st.paths, st.rows, st.bytes))
+                    fg.logs.append(
+                        LogFileVersion(
+                            ts, st.paths, st.rows, st.bytes, st.tombstones
+                        )
+                    )
                 else:
                     fg.bases.append(
                         BaseFileVersion(

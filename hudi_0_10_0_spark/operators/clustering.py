@@ -249,7 +249,12 @@ def _execute_cluster(
                 _read_paths(table, log_paths).withColumn("__log", F.lit(1))
             )
             df = mor_merge_window(
-                df, get_payload(cfg.payload, cfg.precombine_field)
+                df, get_payload(cfg.payload, cfg.precombine_field),
+                # manifest-proved tombstone absence skips the
+                # delete-block pass, as in read.py/services.py (r8)
+                hard_tombstones_possible=any(
+                    l.tombstones is not False for s in slices for l in s.logs
+                ),
             )
 
         sort_key = None

@@ -188,7 +188,8 @@ def merge_stored_and_incoming(
 
 
 def mor_merge_window(
-    union_df: DataFrame, payload: Payload, drop_tombstones: bool = True
+    union_df: DataFrame, payload: Payload, drop_tombstones: bool = True,
+    hard_tombstones_possible: bool = True,
 ) -> DataFrame:
     """MOR snapshot merge: latest-version-per-key over base ∪ delta rows.
 
@@ -214,10 +215,16 @@ def mor_merge_window(
     keys = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
     pc = payload.precombine
     if (
-        getattr(payload, "mor_delete_block_filter", False)
+        hard_tombstones_possible
+        and getattr(payload, "mor_delete_block_filter", False)
         and pc
         and pc in union_df.columns
     ):
+        # ``hard_tombstones_possible=False``: the caller proved from the
+        # manifests (per-log tombstone stats, optimization r8) that no
+        # merged log file carries a delete-marker row — the filter below
+        # would pass every row, so the whole extra sort+window pass over
+        # the log-bearing groups is skipped outright.
         # DELETE-BLOCK semantics (HoodieMergedLogRecordScanner.
         # processQueuedBlocksAndLogs: a delete block removes the key
         # POSITIONALLY — unconditionally for everything logged before

@@ -1120,10 +1120,26 @@ def run_batch_write(
         # table) is ~tens of MB; batches are normally far narrower, and
         # a full-table rewrite belongs to bulk_insert/insert_overwrite
         # which skip tagging entirely.
-        profile = tagged.groupBy(PARTITION_PATH_COL, FILE_ID_COL).count().collect()
+        marker = (
+            F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+            if DELETE_MARKER_COL in tagged.columns
+            else F.lit(False)
+        )
+        profile = (
+            tagged.groupBy(PARTITION_PATH_COL, FILE_ID_COL)
+            # max(marker) rides the same shuffle for free: per-group
+            # tombstone presence, recorded on MOR log stats below so
+            # readers can skip the delete-block merge pass when no log
+            # of a slice carries a delete (optimization r8)
+            .agg(F.count(F.lit(1)).alias("count"), F.max(marker).alias("__tomb"))
+            .collect()
+        )
         timer.mark("profile")
         insert_counts = [(r[0], r[2]) for r in profile if r[1] is None]
         update_groups = {(r[0], r[1]) for r in profile if r[1] is not None}
+        group_tombstones = {
+            (r[0], r[1]): bool(r[3]) for r in profile if r[1] is not None
+        }
 
         # Updates aimed at file groups frozen in a pending clustering
         # plan (``BaseSparkCommitActionExecutor.clusteringHandleUpdate``,
@@ -1351,6 +1367,16 @@ def run_batch_write(
 
         timer.mark("write")
         stats = collect_write_stats(table, instant, log_fids)
+        if mor_delta:
+            # stamp tombstone presence on the log stats from the profile
+            # aggregation (same frame the log rows were written from) —
+            # the MOR merge's delete-block pass is skipped when every
+            # log of a slice records False
+            for st in stats:
+                if st.log:
+                    st.tombstones = group_tombstones.get(
+                        (st.partition, st.file_id)
+                    )
         timer.mark("stats")
         if key_index.enabled(cfg):
             # COW rewrites OMIT deleted rows, so the written files carry

@@ -472,7 +472,14 @@ def _merge_slices(
         logs.withColumn("__log", F.lit(1))
     )
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-    merged = mor_merge_window(both, payload)
+    # base files never store delete-marker rows (every write path filters
+    # them), so the logs are the only tombstone source: when every merged
+    # log's stats say tombstones=False the delete-block window pass is
+    # provably a no-op and is skipped (None = legacy commit → keep it)
+    hard_tombs = any(
+        l.tombstones is not False for s in with_logs for l in s.logs
+    )
+    merged = mor_merge_window(both, payload, hard_tombstones_possible=hard_tombs)
     if untouched is not None:
         merged = merged.unionByName(untouched)
     return merged.unionByName(plain) if plain is not None else merged
