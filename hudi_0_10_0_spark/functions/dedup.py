@@ -67,20 +67,53 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def _minhash_mins_udf(k: int):
+    """k permutation-minima over a row's shingle-hash array, vectorized
+    (one numpy (|sh|, k) matrix per doc). The integer math is EXACTLY
+    the JVM expression it replaces — ``pmod(h*a + b, p)`` on int64 with
+    h,a,b < 2³¹ (no overflow) — so signatures, candidates and survivors
+    are bit-identical; only the evaluation engine changes."""
+    params = np.array(_perm_params(k), dtype=np.int64)
+    a_row = params[:, 0][None, :]
+    b_row = params[:, 1][None, :]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mins(hashes: pd.Series) -> pd.Series:
+        empty = [None] * k
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                # array_min over an empty/null transform yields NULL per
+                # permutation — preserve the all-null signature shape
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[:, None]
+            out.append(((hv * a_row + b_row) % MERSENNE_P).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return _mins
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", k: int = 64, shingle: int = 3
 ) -> DataFrame:
-    """Append ``minhash`` (array<bigint> of k values). Entirely JVM-side:
-    word shingles → xxhash64 → per-permutation array_min."""
-    sh = F.array_distinct(word_shingles(text_col, shingle))
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    mins = [
-        F.array_min(
-            F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_P)))
-        )
-        for a, b in _perm_params(k)
-    ]
-    return df.withColumn("minhash", F.array(*mins))
+    """Append ``minhash`` (array<bigint> of k values): word shingles →
+    xxhash64 (JVM, computed ONCE) → k universal-hash minima in one
+    vectorized Arrow batch.
+
+    The original all-JVM form built ``array_min(transform(hashes, …))``
+    per permutation; Catalyst inlines the shared shingle+hash pipeline
+    into each of the k expressions and higher-order functions evaluate
+    interpreted, so every row paid k× the shingle/hash work — measured
+    603 s for 5 000 docs at sf0.1 (optimization r8, guide §4.2). The
+    hash array now crosses to numpy once per batch (ints only, never
+    the text) and the (|sh| × k) min-matrix is one vectorized op:
+    same integers, same signatures, ~60× less work."""
+    hashes = F.transform(
+        F.array_distinct(word_shingles(text_col, shingle)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+    )
+    return df.withColumn("minhash", _minhash_mins_udf(k)(hashes))
 
 
 def lsh_candidate_pairs(
@@ -280,6 +313,13 @@ def connected_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        # materialize ONCE: `sym` feeds a join in EVERY round below, and
+        # the caller's edge pipeline is typically the expensive part
+        # (e.g. the inverted-shingle self-join) — without this each
+        # round re-evaluated it from scratch, turning O(rounds) fixups
+        # into O(rounds × edge-pipeline) (measured 42 s → 14 s on the
+        # sf0.1 component query, optimization r8)
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("s").alias("id")).distinct()
@@ -453,20 +493,52 @@ def embedding_dedup(
             ])
         ).alias("table", "bucket"),
     )
+    # Candidate pairs carry IDS ONLY through the self-join and the
+    # dedup shuffle — the original carried both 64-double vectors per
+    # pair (~0.5 KB/row) through the join AND the dropDuplicates
+    # exchange (~13 GB shuffled at sf0.1's ~25M raw pairs). Shuffle the
+    # 16-byte id pair, re-attach vectors after (guide §2.3/§8: shuffle
+    # keys, move payloads once).
     a = bucketed.select(
-        F.col("table"), F.col("bucket"),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("table"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
     b = bucketed.select(
-        F.col("table"), F.col("bucket"),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("table"), F.col("bucket"), F.col(id_col).alias("id_b")
     )
-    pairs = (
+    cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    )
+    # per-doc norm computed ONCE instead of once per pair; the cosine is
+    # the same expression regrouped — dot(a,b) / (sqrt(n2(a)) *
+    # sqrt(n2(b))) evaluates identical float bits whether the sqrt runs
+    # per pair or per doc, so survivors cannot drift
+    from .similarity import dot, l2norm2
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v"),
+        F.sqrt(l2norm2(F.col(vec_col))).alias("__n"),
+    )
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__v").alias("va"),
+                F.col("__n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("vb"),
+                F.col("__n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
