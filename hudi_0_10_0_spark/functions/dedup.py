@@ -479,7 +479,7 @@ def embedding_dedup(
     driver query uses n_planes=4, n_tables=32, empirically recall-1 on
     that data — verified against brute force in tests/test_llm_ops.py).
     """
-    from .similarity import _check_dim, _hyperplanes, _rhp_bucket, cosine
+    from .similarity import _check_dim, _hyperplanes, _rhp_bucket
 
     _check_dim(df, vec_col, dim, "embedding_dedup")
     all_planes = _hyperplanes(n_tables * n_planes, dim)

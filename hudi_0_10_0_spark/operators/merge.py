@@ -190,6 +190,7 @@ def merge_stored_and_incoming(
 def mor_merge_window(
     union_df: DataFrame, payload: Payload, drop_tombstones: bool = True,
     hard_tombstones_possible: bool = True,
+    all_keys_logged: bool = False,
 ) -> DataFrame:
     """MOR snapshot merge: latest-version-per-key over base ∪ delta rows.
 
@@ -251,7 +252,7 @@ def mor_merge_window(
         ).drop("__htct")
     w = Window.partitionBy(*keys).orderBy(*order)
     out = union_df.withColumn("__rn", F.row_number().over(w))
-    if "__log" in union_df.columns:
+    if "__log" in union_df.columns and not all_keys_logged:
         # Duplicate-key BASE rows with no log record stream through
         # unmerged, exactly like the reference scanner (it only merges
         # keys present in the log-record map; duplicates written by the
@@ -260,6 +261,11 @@ def mor_merge_window(
         # window would disagree on such groups, making the snapshot
         # depend on the bypass thresholds (diff-review r6). Same window
         # frame as __rn — no extra shuffle.
+        # ``all_keys_logged=True`` (the bypass path, optimization r8):
+        # the caller semi-joined base rows on the log keys, so EVERY
+        # key here has a log row — max(__log) per key is provably 1 and
+        # the `__hl == 0` disjunct can never fire; skip the extra
+        # window pass outright.
         out = out.withColumn(
             "__hl", F.max("__log").over(Window.partitionBy(*keys))
         )

@@ -479,7 +479,13 @@ def _merge_slices(
     hard_tombs = any(
         l.tombstones is not False for s in with_logs for l in s.logs
     )
-    merged = mor_merge_window(both, payload, hard_tombstones_possible=hard_tombs)
+    merged = mor_merge_window(
+        both, payload, hard_tombstones_possible=hard_tombs,
+        # bypass path: base was semi-joined on the log keys, so every
+        # key entering the window has a log row — the base-passthrough
+        # window pass is provably constant and skipped (r8)
+        all_keys_logged=untouched is not None,
+    )
     if untouched is not None:
         merged = merged.unionByName(untouched)
     return merged.unionByName(plain) if plain is not None else merged

@@ -80,3 +80,27 @@ def test_delete_deltacommit_keeps_the_window_and_deletes(spark, orders, tmp_tabl
     ro = t.read_optimized()
     assert ro.filter(F.col("o_orderkey") % 5 == 0).count() == 0
     assert ro.count() == orders.filter(F.col("o_orderkey") % 5 != 0).count()
+
+
+def test_bypass_plus_no_tombstones_runs_a_single_window(spark, orders, tmp_table_path):
+    """With the log-key bypass forced AND update-only logs, both extra
+    window passes are gated out (r8): only the row_number latest-wins
+    window remains in the merge plan."""
+    t = _mor(spark, tmp_table_path)
+    t.bulk_insert(orders)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_orderstatus", F.lit("A")
+        )
+    )
+    t.cfg.mor_log_key_bypass_min_base_rows = 0  # force the bypass
+    snap = t.snapshot()
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the bypass actually fired
+    assert _n_windows(snap) == 1
+    n = snap.count()
+    assert n == orders.count()
+    assert (
+        snap.filter(F.col("o_orderstatus") == "A").count()
+        == orders.filter(F.col("o_orderkey") % 10 == 0).count()
+    )
