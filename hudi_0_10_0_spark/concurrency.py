@@ -237,17 +237,20 @@ class FileSystemLockProvider(LockProvider):
         # freshness re-read below cannot go stale against another
         # recovery; plain CAS acquirers are unaffected.
         claim = f"{self.path}.recovery"
+        claim_token = uuid.uuid4().hex
         if not self.fs.create_exclusive(
-            claim, json.dumps({"by": owner, "at": time.time()})
+            claim, json.dumps({"by": owner, "token": claim_token, "at": time.time()})
         ):
             # busy claim: a live recovery is in flight — or a crashed
-            # recoverer's leftover, which would block recovery forever;
-            # age-gate on mtime and clear, the next poll retries
-            try:
-                if time.time() - self.fs.mtime(claim) > min(self.ttl, 30.0):
-                    self.fs.delete(claim)
-            except Exception:
-                pass
+            # recoverer's leftover, which would block recovery forever.
+            # Clear stale claims via the SAME move-aside-and-verify
+            # protocol as the lock itself — a blind age-gated delete let
+            # a taker that stalled after reading an old mtime remove a
+            # RIVAL's fresh claim later, re-admitting concurrent
+            # recoveries (code-review r8): rename is single-winner, and
+            # a moved-but-actually-fresh claim is restored through the
+            # CAS instead of being lost.
+            self._clear_stale_claim(claim)
             return False
         try:
             if self._path_is_fresh():
@@ -289,7 +292,61 @@ class FileSystemLockProvider(LockProvider):
                 return True
             return False
         finally:
-            self.fs.delete(claim)
+            # release OUR claim only: if this recovery stalled past the
+            # stale gate, a rival may have cleared it and re-claimed —
+            # a blind delete here would kill the rival's live claim
+            # (code-review r8). Move-aside + token check + restore-on-
+            # mismatch, same as the lock protocol.
+            self._release_claim(claim, claim_token)
+
+    def _clear_stale_claim(self, claim: str) -> None:
+        """Single-winner removal of a crashed recoverer's leftover claim:
+        rename aside, verify the moved content really is stale, restore
+        through the CAS when it turns out fresh."""
+        import uuid as _uuid
+
+        try:
+            if time.time() - self.fs.mtime(claim) <= min(self.ttl, 30.0):
+                return
+        except Exception:
+            return
+        tomb = f"{claim}.stale.{_uuid.uuid4().hex}"
+        try:
+            if not self.fs.rename(claim, tomb):
+                return
+        except Exception:
+            return
+        try:
+            moved = json.loads(self.fs.read_text(tomb))
+        except Exception:
+            moved = None
+        if moved is not None and (
+            time.time() - moved.get("at", 0) <= min(self.ttl, 30.0)
+        ):
+            # we moved a FRESH claim (rival re-claimed inside our
+            # read→rename gap) — put it back; if the rival already
+            # finished and a third claim exists, the CAS keeps theirs
+            self.fs.create_exclusive(claim, json.dumps(moved))
+        self.fs.delete(tomb)
+
+    def _release_claim(self, claim: str, claim_token: str) -> None:
+        import uuid as _uuid
+
+        tomb = f"{claim}.release.{_uuid.uuid4().hex}"
+        try:
+            if not self.fs.rename(claim, tomb):
+                return  # already cleared by a stale-gate rival
+        except Exception:
+            return
+        try:
+            moved = json.loads(self.fs.read_text(tomb))
+        except Exception:
+            moved = None
+        if moved is not None and moved.get("token") != claim_token:
+            # not ours — a rival cleared our stale claim and re-claimed;
+            # restore theirs through the CAS
+            self.fs.create_exclusive(claim, json.dumps(moved))
+        self.fs.delete(tomb)
 
     def validate(self, owner: str) -> bool:
         """True iff the on-disk lock is still THIS provider's acquisition

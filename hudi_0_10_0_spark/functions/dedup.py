@@ -515,11 +515,11 @@ def embedding_dedup(
     # the same expression regrouped — dot(a,b) / (sqrt(n2(a)) *
     # sqrt(n2(b))) evaluates identical float bits whether the sqrt runs
     # per pair or per doc, so survivors cannot drift
-    from .similarity import dot, l2norm2
+    from .similarity import cosine_from_norms, norm_col
 
     vecs = df.select(
         F.col(id_col), F.col(vec_col).alias("__v"),
-        F.sqrt(l2norm2(F.col(vec_col))).alias("__n"),
+        norm_col(F.col(vec_col)).alias("__n"),
     )
     pairs = (
         cand.join(
@@ -538,7 +538,10 @@ def embedding_dedup(
             ),
             "id_b",
         )
-        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn(
+            "cos",
+            cosine_from_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("cos") >= threshold)
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()

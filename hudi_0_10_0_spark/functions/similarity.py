@@ -43,6 +43,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(l2norm2(a)) * F.sqrt(l2norm2(b)))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the per-side norms precomputed as columns —
+    the SAME expression regrouped (na/nb must be ``sqrt(l2norm2(side))``
+    projected per row), so the double bits are identical while each
+    norm is evaluated once per row instead of once per pair
+    (optimization r8). Every ranking/verify site MUST use this helper,
+    never a hand-written dot/(na*nb): a later "fix" to e.g.
+    sqrt(n2a*n2b) at one site would silently diverge floor(cos*1e6)
+    ties from the oracle."""
+    return dot(a, b) / (na * nb)
+
+
+def norm_col(vec: Column) -> Column:
+    """The per-row norm ``cosine_from_norms`` expects."""
+    return F.sqrt(l2norm2(vec))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,11 +78,11 @@ def brute_force_topk(
     # identical double bits, ~3x less interpreted per-pair work (r8)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-        F.sqrt(l2norm2(F.col(vec_col))).alias("__qn"),
+        norm_col(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"),
-        F.sqrt(l2norm2(F.col(vec_col))).alias("__cn"),
+        norm_col(F.col(vec_col)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -73,8 +90,9 @@ def brute_force_topk(
         .withColumn(
             "cos_sim_u6",
             F.floor(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qn") * F.col("__cn")) * F.lit(1e6)
+                cosine_from_norms(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ) * F.lit(1e6)
             ).cast("long"),
         )
     )
@@ -178,7 +196,7 @@ def ann_topk(
     c_buckets = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        F.sqrt(l2norm2(F.col(vec_col))).alias("__cn"),
+        norm_col(F.col(vec_col)).alias("__cn"),
         F.posexplode(
             F.array(*[
                 _rhp_bucket(vec_col, all_planes[t * n_planes : (t + 1) * n_planes])
@@ -212,7 +230,7 @@ def ann_topk(
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.sqrt(l2norm2(F.col(vec_col))).alias("__qn"),
+        norm_col(F.col(vec_col)).alias("__qn"),
         F.explode(F.array(*probe_structs)).alias("probe"),
     ).select(
         query_id_col, "__qvec", "__qn",
@@ -224,10 +242,10 @@ def ann_topk(
         .dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn(
             "cos_sim_u6",
-            # cosine() regrouped over per-side norms — same bits (r8)
             F.floor(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qn") * F.col("__cn")) * F.lit(1e6)
+                cosine_from_norms(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ) * F.lit(1e6)
             ).cast("long"),
         )
         .drop("__qvec", "__cvec", "__qn", "__cn", "bucket", "table")
@@ -349,20 +367,20 @@ def ivf_topk(
     qb = (
         queries.select(
             F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-            F.sqrt(l2norm2(F.col(vec_col))).alias("__qn"),
+            norm_col(F.col(vec_col)).alias("__qn"),
         )
         .withColumn("cell", F.explode(_probes(F.col("__qvec"))))
     )
     scored = (
-        c_cells.withColumn("__cn", F.sqrt(l2norm2(F.col("__cvec"))))
+        c_cells.withColumn("__cn", norm_col(F.col("__cvec")))
         .join(qb, ["cell"])
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .withColumn(
             "cos_sim_u6",
-            # cosine() regrouped over per-side norms — same bits (r8)
             F.floor(
-                dot(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qn") * F.col("__cn")) * F.lit(1e6)
+                cosine_from_norms(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ) * F.lit(1e6)
             ).cast("long"),
         )
         .drop("__qvec", "__cvec", "__qn", "__cn", "cell")

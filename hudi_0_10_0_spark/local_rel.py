@@ -23,12 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# types whose Python→Arrow and Python→pickled-row conversions agree
+# value-for-value. Deliberately EXCLUDES timestamps: pa.array treats a
+# naive datetime as UTC while the plain path treats it as session-local
+# — same schema, silently shifted instants (code-review r8). Anything
+# outside the list takes the plain path.
+_SAFE_TYPES = (
+    T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+    T.BooleanType, T.DoubleType, T.FloatType, T.BinaryType, T.DateType,
+)
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` for small driver-side
     metadata row lists, materialized as a JVM ``LocalTableScan`` (one
     Arrow batch) instead of a parallelized PythonRDD.  ``schema`` is a
     DDL string or StructType; ``rows`` a list of tuples."""
     st = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
+    # empty row lists carry no values to mis-convert — any schema may
+    # take the fast path (the empty-table reader passes full table
+    # schemas with timestamp columns)
+    if rows and not all(isinstance(f.dataType, _SAFE_TYPES) for f in st.fields):
+        return spark.createDataFrame(rows, st)
     try:
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema

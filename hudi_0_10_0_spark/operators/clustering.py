@@ -248,13 +248,13 @@ def _execute_cluster(
             df = df.withColumn("__log", F.lit(0)).unionByName(
                 _read_paths(table, log_paths).withColumn("__log", F.lit(1))
             )
+            from .merge import logs_may_have_tombstones
+
             df = mor_merge_window(
                 df, get_payload(cfg.payload, cfg.precombine_field),
                 # manifest-proved tombstone absence skips the
                 # delete-block pass, as in read.py/services.py (r8)
-                hard_tombstones_possible=any(
-                    l.tombstones is not False for s in slices for l in s.logs
-                ),
+                hard_tombstones_possible=logs_may_have_tombstones(slices),
             )
 
         sort_key = None

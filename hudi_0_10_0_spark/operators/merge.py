@@ -187,6 +187,17 @@ def merge_stored_and_incoming(
     return j.filter(~is_delete & (F.col(HAS_OLD) | take_new)).select(*out_cols)
 
 
+def logs_may_have_tombstones(slices) -> bool:
+    """The manifest proof consumed by ``mor_merge_window``'s
+    ``hard_tombstones_possible`` gate, in ONE place for every caller
+    (snapshot/incremental reads, compaction, clustering): base files
+    never store delete-marker rows (all write paths filter them), so
+    the merged logs are the only tombstone source — False only when
+    EVERY log's writer-recorded stat says tombstones=False (None =
+    legacy commit = conservatively possible)."""
+    return any(l.tombstones is not False for s in slices for l in s.logs)
+
+
 def mor_merge_window(
     union_df: DataFrame, payload: Payload, drop_tombstones: bool = True,
     hard_tombstones_possible: bool = True,

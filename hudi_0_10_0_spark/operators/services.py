@@ -321,14 +321,14 @@ def _run_compaction_claimed(table, instant, req, hb):
         union = union.repartition(
             max(1, len(slices)), F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL)
         )
-        # same manifest proof as the snapshot read (read.py): when no
-        # merged log records a tombstone, the delete-block window pass
-        # is a no-op — skip it (optimization r8)
-        hard_tombs = any(
-            l.tombstones is not False for s in slices for l in s.logs
-        )
+        # same manifest proof as the snapshot read: when no merged log
+        # records a tombstone, the delete-block window pass is a no-op —
+        # skip it (optimization r8)
+        from .merge import logs_may_have_tombstones
+
         merged = mor_merge_window(
-            union, payload, hard_tombstones_possible=hard_tombs
+            union, payload,
+            hard_tombstones_possible=logs_may_have_tombstones(slices),
         )
         # crash recovery: a process killed mid-save leaves a partial
         # data/<instant>/ dir (the failed-write sweep skips pending

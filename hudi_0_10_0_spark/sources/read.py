@@ -472,13 +472,11 @@ def _merge_slices(
         logs.withColumn("__log", F.lit(1))
     )
     payload = get_payload(table.cfg.payload, table.cfg.precombine_field)
-    # base files never store delete-marker rows (every write path filters
-    # them), so the logs are the only tombstone source: when every merged
-    # log's stats say tombstones=False the delete-block window pass is
-    # provably a no-op and is skipped (None = legacy commit → keep it)
-    hard_tombs = any(
-        l.tombstones is not False for s in with_logs for l in s.logs
-    )
+    # when every merged log's stats say tombstones=False the delete-block
+    # window pass is provably a no-op and is skipped (r8)
+    from ..operators.merge import logs_may_have_tombstones
+
+    hard_tombs = logs_may_have_tombstones(with_logs)
     merged = mor_merge_window(
         both, payload, hard_tombstones_possible=hard_tombs,
         # bypass path: base was semi-joined on the log keys, so every
