@@ -90,3 +90,31 @@ def test_antijoin_delete_empties_a_whole_partition(spark, orders, tmp_table_path
         snap.count()
         == orders.count() - orders.filter(F.col("o_orderpriority") == part).count()
     )
+
+
+def test_antijoin_preserves_untouched_duplicate_stored_keys(spark, tmp_table_path):
+    """Deliberate divergence from the merge-kernel path, pinned (r8):
+    the kernel's group-by collapse drops duplicate STORED keys of a
+    rewritten group even when the delete never names them; the
+    anti-join streams them through untouched — the reference's
+    merge-handle also writes each stored duplicate independently.
+    Deleting key 2 must not silently dedup key 1's duplicates."""
+    from hudi_0_10_0_spark import HudiTable, WriteConfig
+
+    t = HudiTable.create(
+        spark,
+        tmp_table_path,
+        WriteConfig(
+            record_key_field="id", partition_field="part",
+            precombine_field="v", inline_compact=False,
+        ),
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, "p0", 10), (1, "p0", 20), (2, "p0", 5)],
+            "id long, part string, v long",
+        )
+    )
+    t.delete(spark.createDataFrame([(2, "p0")], "id long, part string"))
+    got = sorted(tuple(r) for r in t.snapshot().select("id", "v").collect())
+    assert got == [(1, 10), (1, 20)]
