@@ -124,11 +124,44 @@ def main() -> None:
         ).first()
         return n
 
+    def _cpu_ticks():
+        # aggregate jiffies from /proc/stat line 1: user nice system idle
+        # iowait irq softirq steal guest guest_nice — used by the steal
+        # sentinel below (r8 judge: the 32-core bench was confounded by
+        # co-tenant CPU steal with nothing in the harness flagging it)
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            v = [int(x) for x in parts]
+            return sum(v), (v[7] if len(v) > 7 else 0)
+        except Exception:
+            return None, None
+
+    def _steal_line(label, t_before, t_after):
+        tot0, st0 = t_before
+        tot1, st1 = t_after
+        if tot0 is None or tot1 is None or tot1 <= tot0:
+            return
+        dt_tot = tot1 - tot0
+        dt_steal = (st1 or 0) - (st0 or 0)
+        try:
+            load1 = open("/proc/loadavg").read().split()[0]
+        except Exception:
+            load1 = "?"
+        # stderr only — the stdout contract stays the single JSON line
+        print(
+            f"## sentinel[{label}] steal={dt_steal}/{dt_tot} ticks "
+            f"({100.0 * dt_steal / dt_tot:.2f}%) load1={load1}",
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     total = 0.0
+    run_ticks0 = _cpu_ticks()
     for name in BENCH_QUERIES:
         fn = qs[name]
+        q_ticks0 = _cpu_ticks()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = run_query(df)
@@ -150,6 +183,8 @@ def main() -> None:
             f"fixture {max(0.0, dt - q_s):.3f}s)",
             file=sys.stderr,
         )
+        _steal_line(name, q_ticks0, _cpu_ticks())
+    _steal_line("WHOLE_BENCH", run_ticks0, _cpu_ticks())
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
