@@ -131,40 +131,72 @@ def merge_stored_and_incoming(
     u = o.unionByName(n)
     if num_partitions:
         u = u.repartition(num_partitions, F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL))
-    # each group holds ≤1 stored row (keys are unique within a file
-    # group); the STORED side therefore uses any_value(ignoreNulls),
-    # which also tolerates map-typed columns that struct comparison
-    # cannot order. The INCOMING side may hold >1 row per key when
-    # preCombine is disabled: pick ONE WHOLE row via max_by on arrival
-    # order — the reference merge-handle's keyToNewRecords map-put-last
-    # semantics — never per-column any_value, which could fabricate a
-    # row mixing columns of two duplicates (diff-review r5). Duplicates
-    # headed to brand-new file groups collapse the same way when the
-    # batch also touches existing groups (documented divergence: the
-    # reference's create handle writes every duplicate).
-    def _side(c: str):
-        return F.any_value(F.col(c), True).alias(c)
-
+    # Reference per-row stored semantics (HoodieMergeHandle.write,
+    # client/io/HoodieMergeHandle.java:315-360): EVERY stored row probes
+    # the incoming map independently — duplicate STORED keys each merge
+    # with the incoming winner and each emit (the r8 delete anti-join
+    # matched this; since r9 the kernel does too, so fast path and
+    # kernel agree on every shape regardless of broadcast budgets).
+    # Expressed as ONE window over the same single exchange the old
+    # groupBy formulation used (HashPartitioning on (fid, partition)
+    # satisfies the window's ClusteredDistribution on (fid, partition,
+    # key) — no second shuffle):
+    #   - the INCOMING side may hold >1 row per key when preCombine is
+    #     disabled: the winner is ONE WHOLE row via max_by on arrival
+    #     order — the reference merge-handle's keyToNewRecords
+    #     map-put-last semantics — never per-column any_value, which
+    #     could fabricate a row mixing columns of two duplicates
+    #     (diff-review r5). Duplicates headed to brand-new file groups
+    #     collapse the same way when the batch also touches existing
+    #     groups (documented divergence: the reference's create handle
+    #     writes every duplicate).
+    #   - stored rows stream through per-row with their own old__ values
+    #     (no more any_value collapse of the stored side);
+    #   - unmatched incoming keys flush exactly once: the winner row
+    #     emits when the group has no stored row (writtenRecordKeys
+    #     guard, HoodieMergeHandle.writeIncomingRecords).
     new_side = [NEW + DELETE_MARKER_COL] + [NEW + c for c in data_cols]
-    j = u.groupBy(*jk).agg(
-        F.max("__om").alias(HAS_OLD),
-        F.max("__nm").alias(HAS_NEW),
-        _side(OLD + COMMIT_TIME_COL),
-        _side(OLD + SEQNO_COL),
-        *[_side(OLD + c) for c in data_cols],
+    w = Window.partitionBy(*jk)
+    nm = F.col("__nm")
+    j = u.select(
+        *jk,
+        "__om",
+        "__nm",
+        "__ord",
+        OLD + COMMIT_TIME_COL,
+        OLD + SEQNO_COL,
+        *[OLD + c for c in data_cols],
         F.max_by(
-            F.struct(*[F.col(c) for c in new_side]), F.col("__ord")
-        ).alias("__new"),
+            F.when(nm, F.struct(*[F.col(c) for c in new_side])),
+            F.when(nm, F.col("__ord")),
+        ).over(w).alias("__new"),
+        F.max("__om").over(w).alias("__go"),
+        F.max(F.when(nm, F.col("__ord"))).over(w).alias("__mo"),
+    )
+    j = j.filter(
+        F.col("__om")
+        | (~F.col("__go") & nm & (F.col("__ord") == F.col("__mo")))
     )
     j = j.select(
         *jk,
-        HAS_OLD,
-        HAS_NEW,
+        F.col("__om").alias(HAS_OLD),
+        F.col("__mo").isNotNull().alias(HAS_NEW),
         OLD + COMMIT_TIME_COL,
         OLD + SEQNO_COL,
         *[OLD + c for c in data_cols],
         *[F.col(f"__new.`{c}`").alias(c) for c in new_side],
     )
+    return finish_merge_frame(j, data_cols, payload, instant)
+
+
+def finish_merge_frame(
+    j: DataFrame, data_cols: list[str], payload: Payload, instant: str
+) -> DataFrame:
+    """Shared tail of every COW merge formulation (kernel and broadcast
+    fast path): evaluate the payload's take_new/is_delete/value
+    expressions over the merge-frame columns and project the final
+    written shape. Keeping this in ONE place is the equivalence
+    contract between the kernel and the broadcast trickle path."""
     take_new = payload.take_new()
     is_delete = payload.is_delete()
     out_cols = [
@@ -185,6 +217,74 @@ def merge_stored_and_incoming(
     # drop deletes; drop new-only rows the payload rejected (no stored row
     # to fall back to, e.g. delete-key for an absent record)
     return j.filter(~is_delete & (F.col(HAS_OLD) | take_new)).select(*out_cols)
+
+
+def broadcast_merge_stored(
+    old: DataFrame,
+    new: DataFrame,
+    data_cols: list[str],
+    col_types: dict[str, str],
+    payload: Payload,
+    instant: str,
+) -> DataFrame:
+    """Trickle-upsert fast path (optimization r9, guide §3.1): the
+    reference merge-handle's actual algorithm — stream the stored base
+    rows, probe a hash map of the incoming batch
+    (``HoodieMergeHandle.write``: keyToNewRecords probe per old record)
+    — said directly as ``stored LEFT OUTER JOIN broadcast(incoming)``.
+    The stored side never shuffles; the union+window kernel remains the
+    sort-merge analogue for batches past the broadcast budget.
+
+    Equivalence contract with ``merge_stored_and_incoming`` (same
+    ``finish_merge_frame`` tail, pinned by tests):
+
+    - caller guarantees every incoming key EXISTS in ``old`` (exact
+      index tagging against the same base files; the caller gates this
+      path off for log-bearing slices where tombstones could remove a
+      tagged key from the stored view) — so the kernel's new-only
+      take_new outputs cannot arise here and LEFT OUTER is exhaustive;
+    - ``new`` must already be collapsed to ONE row per (fid, partition,
+      key) — same precombine/arrival-order winner the kernel's window
+      picks;
+    - duplicate STORED keys each probe the map independently (reference
+      per-row semantics — identical to the r9 kernel window).
+    """
+    jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+    old_cols = set(old.columns)
+    o = old.select(
+        *jk,
+        F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
+        F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
+        *[
+            (F.col(c) if c in old_cols else F.lit(None).cast(col_types[c])).alias(OLD + c)
+            for c in data_cols
+        ],
+    )
+    new_cols = set(new.columns)
+    n = new.select(
+        *jk,
+        F.lit(True).alias("__nm"),
+        (
+            F.col(DELETE_MARKER_COL) if DELETE_MARKER_COL in new_cols else F.lit(False)
+        ).cast("boolean").alias(NEW + DELETE_MARKER_COL),
+        *[
+            (
+                F.col(c) if c in new_cols else F.lit(None).cast(col_types[c])
+            ).alias(NEW + c)
+            for c in data_cols
+        ],
+    )
+    j = o.join(F.broadcast(n), jk, "left").select(
+        *jk,
+        F.lit(True).alias(HAS_OLD),
+        F.coalesce(F.col("__nm"), F.lit(False)).alias(HAS_NEW),
+        OLD + COMMIT_TIME_COL,
+        OLD + SEQNO_COL,
+        *[OLD + c for c in data_cols],
+        NEW + DELETE_MARKER_COL,
+        *[NEW + c for c in data_cols],
+    )
+    return finish_merge_frame(j, data_cols, payload, instant)
 
 
 def logs_may_have_tombstones(slices) -> bool:

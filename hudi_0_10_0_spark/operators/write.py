@@ -50,6 +50,7 @@ from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
 from .merge import (
     ARRIVAL_ORDER_COL,
+    broadcast_merge_stored,
     merge_stored_and_incoming,
     mor_merge_window,
     precombine_dedup,
@@ -843,6 +844,81 @@ def _bulk_insert_df(
 # --------------------------------------------------------------------------
 
 
+def _pure_insert_frame(
+    live: DataFrame, payload, data_cols: list[str], col_types: dict[str, str]
+) -> DataFrame:
+    """Incoming rows written WITHOUT passing through a stored-side merge
+    (no stored row can match them): apply the payload's pure-insert gate
+    over the full merge-frame column shape (typed-null old__<c> side
+    included) so conditions referencing the target alias — 'WHEN NOT
+    MATCHED AND t.v IS NULL' — resolve exactly like in the kernel, then
+    drop delete-marked rows. Shared by the no-touched-groups bypass and
+    the r9 trickle fast path's insert part."""
+    gate = payload.pure_insert_gate()
+    if gate is not None:
+        from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD
+
+        live_cols = set(live.columns)
+        helper = (
+            [HAS_OLD, HAS_NEW,
+             OLD + COMMIT_TIME_COL, OLD + SEQNO_COL,
+             NEW + DELETE_MARKER_COL]
+            + [NEW + c for c in data_cols if c in live_cols]
+            + [OLD + c for c in data_cols]
+        )
+        live = (
+            live.withColumn(HAS_OLD, F.lit(False))
+            .withColumn(HAS_NEW, F.lit(True))
+            .withColumn(
+                OLD + COMMIT_TIME_COL, F.lit(None).cast("string")
+            )
+            .withColumn(OLD + SEQNO_COL, F.lit(None).cast("string"))
+            .withColumn(
+                NEW + DELETE_MARKER_COL,
+                (
+                    F.col(DELETE_MARKER_COL)
+                    if DELETE_MARKER_COL in live_cols
+                    else F.lit(False)
+                ).cast("boolean"),
+            )
+            .select(
+                "*",
+                *[
+                    F.col(c).alias(NEW + c)
+                    for c in data_cols
+                    if c in live_cols
+                ],
+                *[
+                    F.lit(None)
+                    .cast(col_types.get(c, "string"))
+                    .alias(OLD + c)
+                    for c in data_cols
+                ],
+            )
+            .filter(gate)
+            .drop(*helper)
+        )
+    if DELETE_MARKER_COL in live.columns:
+        live = live.filter(
+            ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
+        )
+    return live
+
+
+def _est_merge_row_bytes(data_cols: list[str], col_types: dict[str, str]) -> int:
+    """Framed-row estimate for the trickle-upsert broadcast gate: fixed
+    UnsafeRow/key overhead + a per-column width guess (variable-width
+    types at 32 B, fixed-width at 8 B). Deliberately rough — the budget
+    only has to keep the broadcast orders of magnitude under executor
+    memory, exactly like the delete path's flat 120 B/key."""
+    var_width = ("string", "binary", "array", "map", "struct", "decimal")
+    est = 48
+    for c in data_cols:
+        t = col_types.get(c, "string")
+        est += 32 if any(v in t for v in var_width) else 8
+    return est
+
+
 def _stamp_meta(df: DataFrame, instant: str) -> DataFrame:
     # one withColumns call: every DataFrame transform re-analyzes the
     # whole plan tree on the JVM, so chained withColumn is pure driver
@@ -1232,32 +1308,52 @@ def run_batch_write(
                 else:
                     old = slices_to_df(table, old_slices)
                 if operation in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
-                    # insert never consults the index: duplicates of existing
-                    # keys are appended, not merged. Salt incoming merge keys
-                    # so the group-by reconcile cannot match, then restore.
-                    # fixed-length suffix (1 separator + 36-char uuid) so
-                    # the restore strips exactly 37 chars — content-safe
-                    # even for keys that contain the separator byte
-                    uniq = F.concat(
-                        F.col(RECORD_KEY_COL), F.lit("\x1f"), F.expr("uuid()")
+                    # insert never consults the index: duplicates of
+                    # existing keys are APPENDED, not merged — i.e. the
+                    # rewrite needs NO reconciliation at all (reference
+                    # create-handle writes every row; stored rows are
+                    # copied over unchanged). Say that directly
+                    # (optimization r9): stored rows of the touched
+                    # groups stream through from the scan byte-identical
+                    # (original commit time / seqno) and incoming rows
+                    # are stamped and appended. Replaces the r8 shape
+                    # that salted keys through the merge kernel purely
+                    # to defeat its per-key reconcile — the union +
+                    # repartition + per-key window over every stored row
+                    # of the touched groups, plus the uuid salt/strip,
+                    # all disappear (guide §2.4: remove shuffles
+                    # outright).
+                    old_cols = set(old.columns)
+                    passthrough = old.select(
+                        COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
+                        PARTITION_PATH_COL, FILE_ID_COL,
+                        *[
+                            (
+                                F.col(c) if c in old_cols
+                                else F.lit(None).cast(col_types[c])
+                            ).alias(c)
+                            for c in data_cols
+                        ],
                     )
-                    mnew = all_new.withColumn(RECORD_KEY_COL, uniq)
-                    merged = merge_stored_and_incoming(
-                        old, mnew, data_cols, col_types, payload, instant,
-                        num_partitions=n_parts,
-                    ).withColumn(
-                        RECORD_KEY_COL,
-                        # only THIS instant's rows are salted — stored
-                        # rows flow through the merge with their original
-                        # keys and commit times and must not be stripped
-                        F.when(
-                            F.col(COMMIT_TIME_COL) == F.lit(instant),
-                            F.expr(
-                                f"substring({RECORD_KEY_COL}, 1, "
-                                f"length({RECORD_KEY_COL}) - 37)"
-                            ),
-                        ).otherwise(F.col(RECORD_KEY_COL)),
+                    live = _pure_insert_frame(
+                        all_new, payload, data_cols, col_types
                     )
+                    live_cols = set(live.columns)
+                    appended = _stamp_meta(live, instant).select(
+                        COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
+                        PARTITION_PATH_COL, FILE_ID_COL,
+                        *[
+                            (
+                                F.col(c) if c in live_cols
+                                else F.lit(None).cast(col_types.get(c, "string"))
+                            ).alias(c)
+                            for c in data_cols
+                        ],
+                    ).repartition(
+                        max(1, len(packed_fids)) + 8,
+                        F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL),
+                    )
+                    merged = passthrough.unionByName(appended)
                 elif (
                     is_delete
                     and payload.name == "empty"
@@ -1285,6 +1381,7 @@ def run_batch_write(
                         F.broadcast(updates.select(*jk)), jk, "left_anti"
                     )
                 else:
+                    upd_for_merge = updates
                     if not needs_combine:
                         # the reference's HoodieMergeHandle collapses
                         # duplicate update keys via its keyToNewRecords
@@ -1292,75 +1389,105 @@ def run_batch_write(
                         # that so the merge groups hold ≤1 incoming row.
                         # Inserts keep duplicates (create-handle path
                         # writes every row).
-                        all_new = precombine_dedup(
+                        upd_for_merge = precombine_dedup(
                             updates, payload, global_idx
-                        ).unionByName(assigned_inserts, allowMissingColumns=True)
-                    merged = merge_stored_and_incoming(
-                        old, all_new, data_cols, col_types, payload, instant,
-                        num_partitions=n_parts,
-                    )
+                        )
+                        all_new = upd_for_merge.unionByName(
+                            assigned_inserts, allowMissingColumns=True
+                        )
+                    n_upd = sum(r[2] for r in profile if r[1] is not None)
+                    if (
+                        not any(s.logs for s in old_slices)
+                        and n_upd * _est_merge_row_bytes(data_cols, col_types)
+                        <= int(getattr(cfg, "upsert_broadcast_budget_bytes", 64 << 20))
+                    ):
+                        # Trickle-upsert fast path (optimization r9,
+                        # guide §3.1): the incoming batch fits the
+                        # broadcast budget, so reconcile via stored LEFT
+                        # JOIN broadcast(incoming winners) — the stored
+                        # side streams from the base-file scan with ZERO
+                        # shuffle (see broadcast_merge_stored for the
+                        # equivalence contract). Gated off when the
+                        # touched slices carry logs: a log tombstone can
+                        # remove a tagged key from the merged stored
+                        # view, and such an unmatched incoming row must
+                        # re-insert via the kernel's new-only path.
+                        # Index tagging against live base files makes
+                        # every update key provably present in `old`
+                        # otherwise, and inserts provably absent — so
+                        # updates reconcile in the join and inserts
+                        # append without one.
+                        from pyspark.sql import Window
+
+                        jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+                        ord_col = (
+                            F.col(ARRIVAL_ORDER_COL).desc_nulls_last()
+                            if ARRIVAL_ORDER_COL in upd_for_merge.columns
+                            else F.lit(1)
+                        )
+                        # one winner per (group, key) — the kernel's
+                        # max_by(__ord) map-put-last pick (also collapses
+                        # the identical copies a duplicate-stored-key tag
+                        # join multiplies out)
+                        wk = Window.partitionBy(*jk).orderBy(ord_col)
+                        bc = (
+                            upd_for_merge.withColumn(
+                                "__rnk", F.row_number().over(wk)
+                            )
+                            .filter(F.col("__rnk") == 1)
+                            .drop("__rnk")
+                        )
+                        merged = broadcast_merge_stored(
+                            old, bc, data_cols, col_types, payload, instant
+                        )
+                        ins_src = assigned_inserts
+                        if not needs_combine:
+                            # kernel parity: duplicate insert keys headed
+                            # to the same group collapse by arrival order
+                            wi = Window.partitionBy(*jk).orderBy(ord_col)
+                            ins_src = (
+                                assigned_inserts.withColumn(
+                                    "__rnk", F.row_number().over(wi)
+                                )
+                                .filter(F.col("__rnk") == 1)
+                                .drop("__rnk")
+                            )
+                        live = _pure_insert_frame(
+                            ins_src, payload, data_cols, col_types
+                        )
+                        live_cols = set(live.columns)
+                        appended = _stamp_meta(live, instant).select(
+                            COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
+                            PARTITION_PATH_COL, FILE_ID_COL,
+                            *[
+                                (
+                                    F.col(c) if c in live_cols
+                                    else F.lit(None).cast(
+                                        col_types.get(c, "string")
+                                    )
+                                ).alias(c)
+                                for c in data_cols
+                            ],
+                        ).repartition(
+                            max(1, len(packed_fids)) + 8,
+                            F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL),
+                        )
+                        merged = merged.unionByName(appended)
+                    else:
+                        merged = merge_stored_and_incoming(
+                            old, all_new, data_cols, col_types, payload, instant,
+                            num_partitions=n_parts,
+                        )
                 out = _finalize(merged, data_cols)
                 timer.mark("merge_plan")
                 write_instant_files(
                     table, out, instant, n_parts, pre_partitioned=True,
                 )
             else:
-                live = all_new
-                gate = payload.pure_insert_gate()
-                if gate is not None:
-                    # merge-kernel bypass (no stored side): the payload
-                    # must still veto pure inserts — e.g. MERGE INTO with
-                    # no WHEN NOT MATCHED drops unmatched source rows.
-                    # Build the FULL merge-frame column shape (typed-null
-                    # old__<c> side included) so conditions referencing
-                    # the target alias — 'WHEN NOT MATCHED AND t.v IS
-                    # NULL' — resolve here exactly like in the kernel.
-                    from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD
-
-                    live_cols = set(live.columns)
-                    helper = (
-                        [HAS_OLD, HAS_NEW,
-                         OLD + COMMIT_TIME_COL, OLD + SEQNO_COL,
-                         NEW + DELETE_MARKER_COL]
-                        + [NEW + c for c in data_cols if c in live_cols]
-                        + [OLD + c for c in data_cols]
-                    )
-                    live = (
-                        live.withColumn(HAS_OLD, F.lit(False))
-                        .withColumn(HAS_NEW, F.lit(True))
-                        .withColumn(
-                            OLD + COMMIT_TIME_COL, F.lit(None).cast("string")
-                        )
-                        .withColumn(OLD + SEQNO_COL, F.lit(None).cast("string"))
-                        .withColumn(
-                            NEW + DELETE_MARKER_COL,
-                            (
-                                F.col(DELETE_MARKER_COL)
-                                if DELETE_MARKER_COL in live_cols
-                                else F.lit(False)
-                            ).cast("boolean"),
-                        )
-                        .select(
-                            "*",
-                            *[
-                                F.col(c).alias(NEW + c)
-                                for c in data_cols
-                                if c in live_cols
-                            ],
-                            *[
-                                F.lit(None)
-                                .cast(col_types.get(c, "string"))
-                                .alias(OLD + c)
-                                for c in data_cols
-                            ],
-                        )
-                        .filter(gate)
-                        .drop(*helper)
-                    )
-                if DELETE_MARKER_COL in live.columns:
-                    live = live.filter(
-                        ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
-                    )
+                # merge-kernel bypass (no stored side): the payload
+                # must still veto pure inserts — e.g. MERGE INTO with
+                # no WHEN NOT MATCHED drops unmatched source rows.
+                live = _pure_insert_frame(all_new, payload, data_cols, col_types)
                 merged = _stamp_meta(live, instant)
                 out = _finalize(merged, data_cols)
                 write_instant_files(table, out, instant, max(len(touched), 1) + 8)

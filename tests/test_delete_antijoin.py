@@ -92,21 +92,15 @@ def test_antijoin_delete_empties_a_whole_partition(spark, orders, tmp_table_path
     )
 
 
-def test_antijoin_preserves_untouched_duplicate_stored_keys(spark, tmp_table_path):
-    """Deliberate divergence from the merge-kernel path, pinned (r8):
-    the kernel's group-by collapse drops duplicate STORED keys of a
-    rewritten group even when the delete never names them; the
-    anti-join streams them through untouched — the reference's
-    merge-handle also writes each stored duplicate independently.
-    Deleting key 2 must not silently dedup key 1's duplicates."""
+def _dup_table(spark, path, **cfg_kw):
     from hudi_0_10_0_spark import HudiTable, WriteConfig
 
     t = HudiTable.create(
         spark,
-        tmp_table_path,
+        path,
         WriteConfig(
             record_key_field="id", partition_field="part",
-            precombine_field="v", inline_compact=False,
+            precombine_field="v", inline_compact=False, **cfg_kw,
         ),
     )
     t.bulk_insert(
@@ -115,6 +109,46 @@ def test_antijoin_preserves_untouched_duplicate_stored_keys(spark, tmp_table_pat
             "id long, part string, v long",
         )
     )
+    return t
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_delete_preserves_untouched_duplicate_stored_keys(
+    spark, tmp_table_path, budget
+):
+    """ENGINE-WIDE contract (r9, resolving the r8 pinned divergence):
+    duplicate STORED keys of a rewritten group stream through per-row on
+    BOTH the broadcast anti-join fast path and the merge kernel — the
+    reference merge-handle writes each stored record independently
+    (HoodieMergeHandle.write probes the incoming map per old record).
+    Deleting key 2 must not silently dedup key 1's duplicates, and the
+    outcome must not depend on the broadcast-budget perf knob."""
+    t = _dup_table(spark, tmp_table_path)
+    if budget is not None:
+        t.cfg = dataclasses.replace(
+            t.cfg, delete_antijoin_broadcast_budget_bytes=budget
+        )  # force the merge-kernel path
     t.delete(spark.createDataFrame([(2, "p0")], "id long, part string"))
     got = sorted(tuple(r) for r in t.snapshot().select("id", "v").collect())
     assert got == [(1, 10), (1, 20)]
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_upsert_merges_each_duplicate_stored_key_per_row(
+    spark, tmp_table_path, budget
+):
+    """Same engine-wide contract on the UPSERT side: an incoming update
+    whose key has duplicate STORED rows merges with EACH of them
+    (reference per-row semantics) — two stored (1, v=10)/(1, v=20) rows
+    updated by one incoming (1, v=30) yield two v=30 rows, on the
+    broadcast trickle path and the kernel alike."""
+    t = _dup_table(spark, tmp_table_path)
+    if budget is not None:
+        t.cfg = dataclasses.replace(
+            t.cfg, upsert_broadcast_budget_bytes=budget
+        )  # force the merge-kernel path
+    t.upsert(
+        spark.createDataFrame([(1, "p0", 30)], "id long, part string, v long")
+    )
+    got = sorted(tuple(r) for r in t.snapshot().select("id", "v").collect())
+    assert got == [(1, 30), (1, 30), (2, 5)]
