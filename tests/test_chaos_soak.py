@@ -35,6 +35,10 @@ from test_crash_matrix import (
     age_heartbeats,
 )
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 N_STEPS = 16
 CRASH_EVERY = 2  # every other step crashes at a random mutation point
 

@@ -35,6 +35,10 @@ from pyspark.sql import functions as F
 from hudi_0_10_0_spark import HudiTable, WriteConfig
 from hudi_0_10_0_spark.config import TableType
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 # fs methods that mutate storage (fs.py public surface)
 MUTATORS = (
     "write_text",

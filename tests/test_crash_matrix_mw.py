@@ -41,6 +41,10 @@ from test_crash_matrix import (
 )
 from test_crash_matrix import _rows  # shared with the single-writer matrix
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 SEED = [(i, f"p{i % 2}", i) for i in range(60)]
 A_UPD = [(i, f"p{i % 2}", i + 1000) for i in range(0, 60, 5)]
 B_UPD = [(i, f"p{i % 2}", i + 9000) for i in range(0, 60, 10)]  # overlaps A's evens

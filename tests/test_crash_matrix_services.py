@@ -57,6 +57,10 @@ from test_crash_matrix_mw import (
     _retry_compact,
 )
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 PROVIDERS = ["FILESYSTEM", "FCNTL"]
 
 

@@ -19,6 +19,10 @@ from pyspark.sql import types as T
 from hudi_0_10_0_spark import HudiTable, WriteConfig
 from hudi_0_10_0_spark.config import TableType
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType()),

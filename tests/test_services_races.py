@@ -26,6 +26,10 @@ from hudi_0_10_0_spark.concurrency import CommitUndoneError
 from hudi_0_10_0_spark.config import TableType
 from hudi_0_10_0_spark.timeline import COMMIT, Instant
 
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
+
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "id long, part string, v long")

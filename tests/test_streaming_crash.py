@@ -22,11 +22,17 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 
 from hudi_0_10_0_spark import HudiTable, WriteConfig
 from hudi_0_10_0_spark.streaming.delta_streamer import CHECKPOINT_KEY, DeltaStreamer
 from hudi_0_10_0_spark.streaming.sink import BATCH_ID_KEY, _foreach_batch
 from test_crash_matrix import SimulatedCrash, _df, _install
+
+# soak/crash-matrix profile: deselected by the default (driver) fast
+# profile, run with HUDI_FULL_SUITE=1 (see tests/conftest.py)
+pytestmark = pytest.mark.soak
 
 SEED = [(i, f"p{i % 2}", i) for i in range(50)]
 B0 = [(i, f"p{i % 2}", i + 1000) for i in range(0, 50, 5)]
