@@ -29,6 +29,11 @@ def build_spark(cpus: str) -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # call-site capture for DataFrame error context costs ~4 py4j
+        # round trips per DataFrame API call on the driver (~25% of all
+        # gateway traffic in a cProfile of the write path, optimization
+        # r9); it only enriches error messages, so the bench turns it off
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .appName("hudi_0_10_0_spark-bench")

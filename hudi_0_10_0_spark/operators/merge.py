@@ -35,6 +35,15 @@ from ..payloads import HAS_NEW, HAS_OLD, NEW, OLD, Payload
 ARRIVAL_ORDER_COL = "__ord"
 
 
+def bq(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr (doubling embedded
+    backticks, the SQL escape). selectExpr ships a whole projection as
+    ONE py4j call where a Column-object select pays several gateway
+    round trips per column — the hot write-path projections use it
+    (optimization r9, guide §4: the JVM boundary)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def seqno_expr(instant: str):
     # reference: commitTime + "_" + partitionId + "_" + rowId
     # (spark-client/.../HoodieRowCreateHandle.java makeId). The ids are
@@ -249,40 +258,53 @@ def broadcast_merge_stored(
     - duplicate STORED keys each probe the map independently (reference
       per-row semantics — identical to the r9 kernel window).
     """
+    # wide projections go through selectExpr — ONE py4j call carrying
+    # every expression as a string, instead of 3+ gateway round trips
+    # per column for Column-object construction (optimization r9, §4:
+    # the JVM boundary; measured ~850 round trips per commit after the
+    # fs fast path, plan construction the largest remaining block)
     jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
     old_cols = set(old.columns)
-    o = old.select(
-        *jk,
-        F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
-        F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
+    o = old.selectExpr(
+        *[bq(k) for k in jk],
+        f"{bq(COMMIT_TIME_COL)} AS {bq(OLD + COMMIT_TIME_COL)}",
+        f"{bq(SEQNO_COL)} AS {bq(OLD + SEQNO_COL)}",
         *[
-            (F.col(c) if c in old_cols else F.lit(None).cast(col_types[c])).alias(OLD + c)
+            (
+                f"{bq(c)} AS {bq(OLD + c)}"
+                if c in old_cols
+                else f"CAST(NULL AS {col_types[c]}) AS {bq(OLD + c)}"
+            )
             for c in data_cols
         ],
     )
     new_cols = set(new.columns)
-    n = new.select(
-        *jk,
-        F.lit(True).alias("__nm"),
+    n = new.selectExpr(
+        *[bq(k) for k in jk],
+        "true AS `__nm`",
         (
-            F.col(DELETE_MARKER_COL) if DELETE_MARKER_COL in new_cols else F.lit(False)
-        ).cast("boolean").alias(NEW + DELETE_MARKER_COL),
+            f"CAST({bq(DELETE_MARKER_COL)} AS boolean) AS {bq(NEW + DELETE_MARKER_COL)}"
+            if DELETE_MARKER_COL in new_cols
+            else f"false AS {bq(NEW + DELETE_MARKER_COL)}"
+        ),
         *[
             (
-                F.col(c) if c in new_cols else F.lit(None).cast(col_types[c])
-            ).alias(NEW + c)
+                f"{bq(c)} AS {bq(NEW + c)}"
+                if c in new_cols
+                else f"CAST(NULL AS {col_types[c]}) AS {bq(NEW + c)}"
+            )
             for c in data_cols
         ],
     )
-    j = o.join(F.broadcast(n), jk, "left").select(
-        *jk,
-        F.lit(True).alias(HAS_OLD),
-        F.coalesce(F.col("__nm"), F.lit(False)).alias(HAS_NEW),
-        OLD + COMMIT_TIME_COL,
-        OLD + SEQNO_COL,
-        *[OLD + c for c in data_cols],
-        NEW + DELETE_MARKER_COL,
-        *[NEW + c for c in data_cols],
+    j = o.join(F.broadcast(n), jk, "left").selectExpr(
+        *[bq(k) for k in jk],
+        f"true AS {bq(HAS_OLD)}",
+        f"coalesce(`__nm`, false) AS {bq(HAS_NEW)}",
+        bq(OLD + COMMIT_TIME_COL),
+        bq(OLD + SEQNO_COL),
+        *[bq(OLD + c) for c in data_cols],
+        bq(NEW + DELETE_MARKER_COL),
+        *[bq(NEW + c) for c in data_cols],
     )
     return finish_merge_frame(j, data_cols, payload, instant)
 

@@ -50,6 +50,7 @@ from ..metadata import FileSystemView, WriteStat, make_commit_metadata
 from ..payloads import Payload, get_payload
 from .merge import (
     ARRIVAL_ORDER_COL,
+    bq,
     broadcast_merge_stored,
     merge_stored_and_incoming,
     mor_merge_window,
@@ -866,32 +867,29 @@ def _pure_insert_frame(
             + [NEW + c for c in data_cols if c in live_cols]
             + [OLD + c for c in data_cols]
         )
+        # one selectExpr instead of 5 withColumn + a per-column select:
+        # each transform is a py4j round trip AND an eager JVM analysis
+        # pass over the whole tree (optimization r9, guide §4)
         live = (
-            live.withColumn(HAS_OLD, F.lit(False))
-            .withColumn(HAS_NEW, F.lit(True))
-            .withColumn(
-                OLD + COMMIT_TIME_COL, F.lit(None).cast("string")
-            )
-            .withColumn(OLD + SEQNO_COL, F.lit(None).cast("string"))
-            .withColumn(
-                NEW + DELETE_MARKER_COL,
-                (
-                    F.col(DELETE_MARKER_COL)
-                    if DELETE_MARKER_COL in live_cols
-                    else F.lit(False)
-                ).cast("boolean"),
-            )
-            .select(
+            live.selectExpr(
                 "*",
+                f"false AS {bq(HAS_OLD)}",
+                f"true AS {bq(HAS_NEW)}",
+                f"CAST(NULL AS string) AS {bq(OLD + COMMIT_TIME_COL)}",
+                f"CAST(NULL AS string) AS {bq(OLD + SEQNO_COL)}",
+                (
+                    f"CAST({bq(DELETE_MARKER_COL)} AS boolean) "
+                    f"AS {bq(NEW + DELETE_MARKER_COL)}"
+                    if DELETE_MARKER_COL in live_cols
+                    else f"false AS {bq(NEW + DELETE_MARKER_COL)}"
+                ),
                 *[
-                    F.col(c).alias(NEW + c)
+                    f"{bq(c)} AS {bq(NEW + c)}"
                     for c in data_cols
                     if c in live_cols
                 ],
                 *[
-                    F.lit(None)
-                    .cast(col_types.get(c, "string"))
-                    .alias(OLD + c)
+                    f"CAST(NULL AS {col_types.get(c, 'string')}) AS {bq(OLD + c)}"
                     for c in data_cols
                 ],
             )
@@ -903,6 +901,28 @@ def _pure_insert_frame(
             ~F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
         )
     return live
+
+
+def _project_write_shape(
+    df: DataFrame, data_cols: list[str], col_types: dict[str, str]
+) -> DataFrame:
+    """Project to the written column shape (meta cols then data cols,
+    typed NULLs for absent columns) as ONE selectExpr — shared by the
+    insert-rewrite passthrough/append and the trickle insert append
+    (optimization r9, guide §4: one py4j call for the whole width)."""
+    have = set(df.columns)
+    return df.selectExpr(
+        bq(COMMIT_TIME_COL), bq(SEQNO_COL), bq(RECORD_KEY_COL),
+        bq(PARTITION_PATH_COL), bq(FILE_ID_COL),
+        *[
+            (
+                bq(c)
+                if c in have
+                else f"CAST(NULL AS {col_types.get(c, 'string')}) AS {bq(c)}"
+            )
+            for c in data_cols
+        ],
+    )
 
 
 def _est_merge_row_bytes(data_cols: list[str], col_types: dict[str, str]) -> int:
@@ -933,18 +953,20 @@ def _ordered_out_cols(data_cols: list[str]) -> list[str]:
 
 
 def _finalize(df: DataFrame, data_cols: list[str]) -> DataFrame:
-    marker = (
-        F.coalesce(F.col(DELETE_MARKER_COL), F.lit(False))
-        if DELETE_MARKER_COL in df.columns
-        else F.lit(False)
-    )
-    # single select: fold the marker fix-up into the projection instead
-    # of two extra full-plan re-analyses
-    cols = [
-        marker.alias(c) if c == DELETE_MARKER_COL else F.col(c)
+    # single selectExpr: fold the marker fix-up into the projection
+    # (one py4j call for the whole width — optimization r9, guide §4)
+    has_marker = DELETE_MARKER_COL in df.columns
+    exprs = [
+        (
+            f"coalesce({bq(c)}, false) AS {bq(c)}"
+            if has_marker
+            else f"false AS {bq(c)}"
+        )
+        if c == DELETE_MARKER_COL
+        else bq(c)
         for c in _ordered_out_cols(data_cols)
     ]
-    return df.select(*cols)
+    return df.selectExpr(*exprs)
 
 
 def _claim_write_instant(table, action, operation, instant_time=None):
@@ -1323,32 +1345,14 @@ def run_batch_write(
                     # of the touched groups, plus the uuid salt/strip,
                     # all disappear (guide §2.4: remove shuffles
                     # outright).
-                    old_cols = set(old.columns)
-                    passthrough = old.select(
-                        COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
-                        PARTITION_PATH_COL, FILE_ID_COL,
-                        *[
-                            (
-                                F.col(c) if c in old_cols
-                                else F.lit(None).cast(col_types[c])
-                            ).alias(c)
-                            for c in data_cols
-                        ],
+                    passthrough = _project_write_shape(
+                        old, data_cols, col_types
                     )
                     live = _pure_insert_frame(
                         all_new, payload, data_cols, col_types
                     )
-                    live_cols = set(live.columns)
-                    appended = _stamp_meta(live, instant).select(
-                        COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
-                        PARTITION_PATH_COL, FILE_ID_COL,
-                        *[
-                            (
-                                F.col(c) if c in live_cols
-                                else F.lit(None).cast(col_types.get(c, "string"))
-                            ).alias(c)
-                            for c in data_cols
-                        ],
+                    appended = _project_write_shape(
+                        _stamp_meta(live, instant), data_cols, col_types
                     ).repartition(
                         max(1, len(packed_fids)) + 8,
                         F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL),
@@ -1455,19 +1459,8 @@ def run_batch_write(
                         live = _pure_insert_frame(
                             ins_src, payload, data_cols, col_types
                         )
-                        live_cols = set(live.columns)
-                        appended = _stamp_meta(live, instant).select(
-                            COMMIT_TIME_COL, SEQNO_COL, RECORD_KEY_COL,
-                            PARTITION_PATH_COL, FILE_ID_COL,
-                            *[
-                                (
-                                    F.col(c) if c in live_cols
-                                    else F.lit(None).cast(
-                                        col_types.get(c, "string")
-                                    )
-                                ).alias(c)
-                                for c in data_cols
-                            ],
+                        appended = _project_write_shape(
+                            _stamp_meta(live, instant), data_cols, col_types
                         ).repartition(
                             max(1, len(packed_fids)) + 8,
                             F.col(FILE_ID_COL), F.col(PARTITION_PATH_COL),
