@@ -394,17 +394,30 @@ def simhash_udf(k_bits: int = 64):
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
+        # tokenize every doc, then hash each UNIQUE token of the batch
+        # ONCE with the vectorized FNV (optimization r9, guide §4.2: the
+        # per-token pure-Python char loop dominated this UDF; natural
+        # text repeats its vocabulary, so unique-token hashing also cuts
+        # total hash work several-fold). Bit-identical to hash_token.
+        doc_toks = [
+            tok_re.findall(str(t).lower()) if t else [] for t in texts
+        ]
+        flat = [w for toks in doc_toks for w in toks]
+        if not flat:
+            return pd.Series(out)
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        all_h = fnv1a_vec(uniq)[inv]
+        shifts = np.arange(k_bits, dtype=np.uint64)
+        pos = 0
+        for i, toks in enumerate(doc_toks):
+            k = len(toks)
+            if k == 0:
                 continue
-            toks = np.array(
-                [hash_token(w) for w in tok_re.findall(str(t).lower())], dtype=np.uint64
-            )
-            if toks.size == 0:
-                continue
-            bits = ((toks[:, None] >> np.arange(k_bits, dtype=np.uint64)) & 1).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= toks.size, 1, 0).astype(np.uint64)
-            out[i] = int((v << np.arange(k_bits, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+            hs = all_h[pos:pos + k]
+            pos += k
+            bits = ((hs[:, None] >> shifts) & 1).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= k, 1, 0).astype(np.uint64)
+            out[i] = int((v << shifts).sum(dtype=np.uint64).astype(np.int64))
         return pd.Series(out)
 
     return _simhash
@@ -412,10 +425,42 @@ def simhash_udf(k_bits: int = 64):
 
 def hash_token(w: str) -> int:
     """Deterministic 64-bit FNV-1a (python hash() is salted per process —
-    unusable across executors)."""
+    unusable across executors). Kept as the executable SPEC for
+    ``fnv1a_vec`` (pinned bit-identical in tests/test_simhash_parity.py);
+    the hot path uses the vectorized form."""
     h = 0xCBF29CE484222325
     for ch in w.encode("utf-8"):
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def fnv1a_vec(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over an array of strings — bit-identical to
+    ``hash_token`` per element (optimization r9, guide §4.2: numpy over
+    a padded byte matrix, one pass per byte POSITION instead of a
+    Python-level loop per byte). uint64 multiply wraps mod 2^64, which
+    IS the & 0xFFFF... mask of the scalar spec."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens.tolist()]
+    lens = np.fromiter((len(e) for e in enc), np.int64, n)
+    total = int(lens.sum())
+    maxlen = int(lens.max())
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    # scatter all UTF-8 bytes into an (n, maxlen) matrix in one shot
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(offs, lens)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    buf[rows, cols] = flat
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        active = lens > j
+        h[active] = (h[active] ^ buf[active, j].astype(np.uint64)) * prime
     return h
 
 
