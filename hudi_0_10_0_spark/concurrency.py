@@ -179,10 +179,27 @@ class FileSystemLockProvider(LockProvider):
     its own (a holder that slept past the TTL mid-critical-section
     aborts instead of committing without mutual exclusion)."""
 
-    def __init__(self, fs, meta_path: str, ttl_seconds: float = 600.0):
+    def __init__(
+        self,
+        fs,
+        meta_path: str,
+        ttl_seconds: float = 600.0,
+        claim_ttl_seconds: float | None = None,
+    ):
         self.fs = fs
         self.path = f"{meta_path.rstrip('/')}/locks/table.lock"
         self.ttl = ttl_seconds
+        # How long a RECOVERY CLAIM stays protected from rival clearing
+        # (advice r8: was a hard-coded min(ttl, 30 s)). A recovery is a
+        # handful of metadata ops, so 30 s is generous locally — but on
+        # a slow object store a legitimate recovery can run longer, and
+        # a rival clearing its claim mid-flight re-admits concurrent
+        # recovery; such deployments should raise this explicitly.
+        self.claim_ttl = (
+            min(ttl_seconds, 30.0)
+            if claim_ttl_seconds is None
+            else claim_ttl_seconds
+        )
         self._token: str | None = None
 
     def _read(self) -> dict | None:
@@ -306,7 +323,7 @@ class FileSystemLockProvider(LockProvider):
         import uuid as _uuid
 
         try:
-            if time.time() - self.fs.mtime(claim) <= min(self.ttl, 30.0):
+            if time.time() - self.fs.mtime(claim) <= self.claim_ttl:
                 return
         except Exception:
             return
@@ -321,7 +338,7 @@ class FileSystemLockProvider(LockProvider):
         except Exception:
             moved = None
         if moved is not None and (
-            time.time() - moved.get("at", 0) <= min(self.ttl, 30.0)
+            time.time() - moved.get("at", 0) <= self.claim_ttl
         ):
             # we moved a FRESH claim (rival re-claimed inside our
             # read→rename gap) — put it back; if the rival already
@@ -332,19 +349,34 @@ class FileSystemLockProvider(LockProvider):
     def _release_claim(self, claim: str, claim_token: str) -> None:
         import uuid as _uuid
 
+        # Verify ownership BEFORE the move-aside (advice r8): if this
+        # recovery stalled past the stale gate and a rival cleared our
+        # claim and re-claimed, renaming first would evict the rival's
+        # LIVE claim and leave the path vacant until the restore CAS —
+        # a window a third taker could claim into, re-admitting the
+        # multi-recoverer race the claim exists to serialize. When the
+        # current content is not provably ours, returning without
+        # touching it is strictly safer.
+        try:
+            cur = json.loads(self.fs.read_text(claim))
+        except Exception:
+            return  # vanished/unreadable — nothing provably ours
+        if cur.get("token") != claim_token:
+            return  # a rival's claim — leave it alone
         tomb = f"{claim}.release.{_uuid.uuid4().hex}"
         try:
             if not self.fs.rename(claim, tomb):
                 return  # already cleared by a stale-gate rival
         except Exception:
             return
+        # re-verify the MOVED content: a rival could still have cleared
+        # and re-claimed inside the read→rename gap — restore theirs
+        # through the CAS (single-winner either way)
         try:
             moved = json.loads(self.fs.read_text(tomb))
         except Exception:
             moved = None
         if moved is not None and moved.get("token") != claim_token:
-            # not ours — a rival cleared our stale claim and re-claimed;
-            # restore theirs through the CAS
             self.fs.create_exclusive(claim, json.dumps(moved))
         self.fs.delete(tomb)
 

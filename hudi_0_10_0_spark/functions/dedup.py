@@ -292,7 +292,7 @@ def ngram_jaccard_pairs(
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge set — dedup GROUP
     resolution: near-dup pairs chain (A~B, B~C → one group even when A
@@ -303,13 +303,31 @@ def connected_components(
     (``comp ← comp's comp``): the neighbor-min step alone converges in
     O(diameter) rounds, the path-compression join brings that to
     O(log diameter) so ``max_iter=25`` covers chains of length ~2^25.
-    Each round is two shuffle joins + one aggregation;
-    ``localCheckpoint`` truncates the lineage so a long run doesn't
-    build a deep plan — the same pattern GraphFrames uses for its
-    connected components at scale. Raises if the fixpoint is not
-    reached within ``max_iter`` (a silently split component would
-    diverge from the exact oracle)."""
-    sym = (
+    Each round is two shuffle joins + one aggregation; checkpointing
+    truncates the lineage so a long run doesn't build a deep plan — the
+    same pattern GraphFrames uses for its connected components at
+    scale. Raises if the fixpoint is not reached within ``max_iter``
+    (a silently split component would diverge from the exact oracle).
+
+    Checkpoint durability (optimization r9, VERDICT r8): the default
+    ``localCheckpoint`` stores NON-REPLICATED executor-local blocks and
+    truncates lineage, so losing any executor mid-query is
+    unrecoverable — fine on local[N] or a static cluster, wrong under
+    dynamic allocation / spot instances. Pass ``checkpoint_dir`` to use
+    RELIABLE checkpoints instead: blocks go to the shared store and
+    survive executor loss, at the cost of a write+read per round. The
+    choice is the explicit argument only (no session-state sniffing —
+    a pre-set session checkpoint dir does not silently change this
+    function's durability)."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    sym = _ckpt(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
@@ -319,12 +337,10 @@ def connected_components(
         # round re-evaluated it from scratch, turning O(rounds) fixups
         # into O(rounds × edge-pipeline) (measured 42 s → 14 s on the
         # sf0.1 component query, optimization r8)
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("s").alias("id")).distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -343,8 +359,8 @@ def connected_components(
                     labels["comp"], F.coalesce(nbr["nbr_comp"], labels["comp"])
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
+        new = _ckpt(new)
         # pointer jump: comp ← min(comp, comp's comp). comp is always
         # the id of some node, so it resolves against the label table —
         # path compression turns O(diameter) into O(log diameter).
@@ -359,8 +375,8 @@ def connected_components(
                     new["comp"], F.coalesce(jump["c_comp"], new["comp"])
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
+        new = _ckpt(new)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")

@@ -38,7 +38,15 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` for small driver-side
     metadata row lists, materialized as a JVM ``LocalTableScan`` (one
     Arrow batch) instead of a parallelized PythonRDD.  ``schema`` is a
-    DDL string or StructType; ``rows`` a list of tuples."""
+    DDL string or StructType; ``rows`` a list of tuples.
+
+    Validation caveat (advice r8): the Arrow path is MORE LENIENT than
+    plain createDataFrame — ``pa.array`` silently coerces values the
+    row verifier would reject with TypeError (e.g. a Python int into a
+    double column), so which path fires determines whether a
+    wrongly-typed value errors or coerces. Every current call site
+    passes values already typed to the schema; callers must not rely
+    on this function for type VALIDATION."""
     st = schema if isinstance(schema, T.StructType) else T.StructType.fromDDL(schema)
     # empty row lists carry no values to mis-convert — any schema may
     # take the fast path (the empty-table reader passes full table

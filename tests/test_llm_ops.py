@@ -422,6 +422,34 @@ def test_connected_components_chains(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_table_path):
+    """VERDICT r8 #7 / optimization r9: with ``checkpoint_dir`` set the
+    iteration uses RELIABLE checkpoints (executor-loss-safe blocks in
+    the shared store) instead of localCheckpoint, and the labels are
+    identical. The dir must actually receive checkpoint data."""
+    import os
+
+    from hudi_0_10_0_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    want = {r.id: r.comp for r in connected_components(edges).collect()}
+    got = {
+        r.id: r.comp
+        for r in connected_components(
+            edges, checkpoint_dir=tmp_table_path
+        ).collect()
+    }
+    assert got == want
+    # reliable checkpoint files were actually written under the dir
+    found = []
+    for root, _dirs, files in os.walk(tmp_table_path):
+        found.extend(files)
+    assert found, "no reliable checkpoint data written"
+
+
 def test_connected_components_long_chain_converges(spark):
     """ADVICE r2 (low): a chain whose diameter exceeds the round budget
     must not silently split — pointer jumping converges in O(log
