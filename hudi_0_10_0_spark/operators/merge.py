@@ -94,46 +94,58 @@ def merge_stored_and_incoming(
     # id, and a range partition can span table partitions), so grouping
     # on file_id alone would conflate same-key rows across partitions
     jk = [FILE_ID_COL, PARTITION_PATH_COL, RECORD_KEY_COL]
+    # wide union-side projections as ONE selectExpr call each
+    # (optimization r9, guide §4: 3+ py4j round trips per column for
+    # Column-object construction; this select runs on every kernel
+    # write, twice)
     old_cols = set(old.columns)
-    o = old.select(
-        *jk,
-        F.lit(True).alias("__om"),
-        F.lit(False).alias("__nm"),
-        F.lit(None).cast("long").alias("__ord"),
-        F.col(COMMIT_TIME_COL).alias(OLD + COMMIT_TIME_COL),
-        F.col(SEQNO_COL).alias(OLD + SEQNO_COL),
-        F.lit(None).cast("boolean").alias(NEW + DELETE_MARKER_COL),
+    o = old.selectExpr(
+        *[bq(k) for k in jk],
+        "true AS `__om`",
+        "false AS `__nm`",
+        "CAST(NULL AS long) AS `__ord`",
+        f"{bq(COMMIT_TIME_COL)} AS {bq(OLD + COMMIT_TIME_COL)}",
+        f"{bq(SEQNO_COL)} AS {bq(OLD + SEQNO_COL)}",
+        f"CAST(NULL AS boolean) AS {bq(NEW + DELETE_MARKER_COL)}",
         *[
             # add-column evolution: stored files predate new columns
-            (F.col(c) if c in old_cols else F.lit(None).cast(col_types[c])).alias(OLD + c)
+            (
+                f"{bq(c)} AS {bq(OLD + c)}"
+                if c in old_cols
+                else f"CAST(NULL AS {col_types[c]}) AS {bq(OLD + c)}"
+            )
             for c in data_cols
         ],
-        *[F.lit(None).cast(col_types[c]).alias(NEW + c) for c in data_cols],
+        *[f"CAST(NULL AS {col_types[c]}) AS {bq(NEW + c)}" for c in data_cols],
     )
     new_cols = set(new.columns)
-    n = new.select(
-        *jk,
-        F.lit(False).alias("__om"),
-        F.lit(True).alias("__nm"),
+    n = new.selectExpr(
+        *[bq(k) for k in jk],
+        "false AS `__om`",
+        "true AS `__nm`",
         # arrival order: prefer the ``__ord`` stamped on the RAW input by
         # run_batch_write (deterministic w.r.t. the user's input layout);
         # an id generated here would run after the tag join's shuffle,
         # whose partition layout is nondeterministic (advice r5)
         (
-            F.col(ARRIVAL_ORDER_COL)
-            if ARRIVAL_ORDER_COL in new.columns
-            else F.monotonically_increasing_id()
-        ).alias("__ord"),
-        F.lit(None).cast("string").alias(OLD + COMMIT_TIME_COL),
-        F.lit(None).cast("string").alias(OLD + SEQNO_COL),
+            f"{bq(ARRIVAL_ORDER_COL)} AS `__ord`"
+            if ARRIVAL_ORDER_COL in new_cols
+            else "monotonically_increasing_id() AS `__ord`"
+        ),
+        f"CAST(NULL AS string) AS {bq(OLD + COMMIT_TIME_COL)}",
+        f"CAST(NULL AS string) AS {bq(OLD + SEQNO_COL)}",
         (
-            F.col(DELETE_MARKER_COL) if DELETE_MARKER_COL in new_cols else F.lit(False)
-        ).cast("boolean").alias(NEW + DELETE_MARKER_COL),
-        *[F.lit(None).cast(col_types[c]).alias(OLD + c) for c in data_cols],
+            f"CAST({bq(DELETE_MARKER_COL)} AS boolean) AS {bq(NEW + DELETE_MARKER_COL)}"
+            if DELETE_MARKER_COL in new_cols
+            else f"false AS {bq(NEW + DELETE_MARKER_COL)}"
+        ),
+        *[f"CAST(NULL AS {col_types[c]}) AS {bq(OLD + c)}" for c in data_cols],
         *[
             (
-                F.col(c) if c in new_cols else F.lit(None).cast(col_types[c])
-            ).alias(NEW + c)
+                f"{bq(c)} AS {bq(NEW + c)}"
+                if c in new_cols
+                else f"CAST(NULL AS {col_types[c]}) AS {bq(NEW + c)}"
+            )
             for c in data_cols
         ],
     )
@@ -186,14 +198,14 @@ def merge_stored_and_incoming(
         F.col("__om")
         | (~F.col("__go") & nm & (F.col("__ord") == F.col("__mo")))
     )
-    j = j.select(
-        *jk,
-        F.col("__om").alias(HAS_OLD),
-        F.col("__mo").isNotNull().alias(HAS_NEW),
-        OLD + COMMIT_TIME_COL,
-        OLD + SEQNO_COL,
-        *[OLD + c for c in data_cols],
-        *[F.col(f"__new.`{c}`").alias(c) for c in new_side],
+    j = j.selectExpr(
+        *[bq(k) for k in jk],
+        f"`__om` AS {bq(HAS_OLD)}",
+        f"(`__mo` IS NOT NULL) AS {bq(HAS_NEW)}",
+        bq(OLD + COMMIT_TIME_COL),
+        bq(OLD + SEQNO_COL),
+        *[bq(OLD + c) for c in data_cols],
+        *[f"`__new`.{bq(c)} AS {bq(c)}" for c in new_side],
     )
     return finish_merge_frame(j, data_cols, payload, instant)
 

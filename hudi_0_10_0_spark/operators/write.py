@@ -118,7 +118,11 @@ def _align_to_table_schema(
     # match by lowercase name: Spark SQL resolution is case-insensitive
     # by default, and the reference accepts batches whose column names
     # differ in case only (TestMergeIntoTable2 "Test ignoring case")
+    from .merge import bq
+
     in_types = {f.name.lower(): (f.name, f.dataType) for f in incoming.schema.fields}
+    # one selectExpr for the whole width (optimization r9, guide §4:
+    # a Column-object select pays several py4j round trips per column)
     cols = []
     for f in table_schema.fields:
         if f.name in (LAYOUT_PARTITION_COL, LAYOUT_FILEGROUP_COL):
@@ -129,19 +133,24 @@ def _align_to_table_schema(
             # cast to the table's declared type (reference:
             # InsertIntoHoodieTableCommand aligns query output fields) so
             # every file of a group carries an identical parquet schema
-            c = F.col(f"`{src_name}`")
             if src_type != f.dataType:
-                c = c.cast(f.dataType)
-            cols.append(c.alias(f.name))
+                cols.append(
+                    f"CAST({bq(src_name)} AS {f.dataType.simpleString()}) "
+                    f"AS {bq(f.name)}"
+                )
+            else:
+                cols.append(f"{bq(src_name)} AS {bq(f.name)}")
         elif f.name in META_COLS:
             continue  # meta columns are restamped
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            cols.append(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS {bq(f.name)}"
+            )
     table_names = {f.name.lower() for f in table_schema.fields}
     for f in incoming.schema.fields:
         if f.name.lower() not in table_names:
-            cols.append(F.col(f"`{f.name}`"))
-    return incoming.select(*cols)
+            cols.append(bq(f.name))
+    return incoming.selectExpr(*cols)
 
 
 # --------------------------------------------------------------------------
